@@ -1,0 +1,66 @@
+"""Benchmark runner — times headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is measured with a noop-format write (full plan execution, no
+driver-side collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "agg_pricing_summary",
+    "j4_star_join",
+    "gt_versioned_upsert",
+    "agg_window_tumbling",
+    "agg_topk_per_group",
+    "j2_stream_stream_join",
+    "j1_lookup_join_left",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_cosine_topk",
+    "text_quality",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.1
+
+    from kstream_spark import get_spark
+    from kstream_spark.inventory import INVENTORY
+
+    spark = get_spark(app_name="kstream_spark_bench")
+    timings = {}
+    for name in HEADLINE:
+        if name not in INVENTORY:
+            continue
+        fn = INVENTORY[name][0]
+        # warm the input file cache / JIT on the first query only implicitly;
+        # each query timed end-to-end (plan + execute)
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

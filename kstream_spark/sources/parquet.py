@@ -1,0 +1,45 @@
+"""Parquet source with nanosecond-timestamp compatibility.
+
+The driver's testdata is written with TIMESTAMP(NANOS) columns, which Spark's
+vectorized parquet reader rejects ([PARQUET_TYPE_ILLEGAL]).  With
+``spark.sql.legacy.parquet.nanosAsLong=true`` they surface as int64 nanos; we
+detect nanos columns from the parquet footer (pyarrow) and restore proper
+TimestampType with integer division (no double round-trip — ns since epoch
+overflow double's 53-bit mantissa).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    f = path
+    if os.path.isdir(path):
+        files = glob.glob(os.path.join(path, "*.parquet")) or \
+            glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if not files:
+            return []
+        f = files[0]
+    try:
+        schema = pq.read_schema(f)
+    except Exception:
+        return []
+    out = []
+    for field in schema:
+        t = field.type
+        if str(t).startswith("timestamp[ns"):
+            out.append(field.name)
+    return out
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    df = spark.read.parquet(path)
+    for c in _nanos_timestamp_cols(path):
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+    return df

@@ -1,0 +1,75 @@
+"""Join semantics mirroring kstream/processors/join/global_table_joiner_test.go:68-130
+(inner hit, inner-miss => DLQ error path, left-miss => nil right)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from kstream_spark import StreamBuilder
+from kstream_spark.operators.joins import DLQ
+
+
+@pytest.fixture(scope="module")
+def env(spark):
+    b = StreamBuilder(spark)
+    stream = b.from_df(
+        spark.createDataFrame([(100, 1), (200, 2), (300, 9)], "pk long, fk long"),
+        name="left",
+    )
+    table = b.global_table(
+        spark.createDataFrame([(1, "one"), (2, "two")], "tk long, name string"),
+        key="tk", name="dim", sync=False,
+    )
+    return b, stream, table
+
+
+def test_inner_hit_and_miss_to_dlq(env):
+    _, stream, table = env
+    dlq = DLQ()
+    out = stream.join_global_table(table, on="fk", how="inner", dlq=dlq).to_df()
+    assert {(r.pk, r.name) for r in out.collect()} == {(100, "one"), (200, "two")}
+    # ref: global_table_joiner.go:109-113 — miss is an ERROR, not a drop
+    missed = dlq.df().collect()
+    assert [(r.pk, r.fk) for r in missed] == [(300, 9)]
+    assert "dim" in missed[0].dlq_reason
+
+
+def test_inner_without_dlq_drops(env):
+    _, stream, table = env
+    out = stream.join_global_table(table, on="fk", how="inner").to_df()
+    assert out.count() == 2
+
+
+def test_left_miss_gives_null(env):
+    _, stream, table = env
+    out = stream.join_global_table(table, on="fk", how="left").to_df()
+    rows = {r.pk: r.name for r in out.collect()}
+    assert rows == {100: "one", 200: "two", 300: None}
+
+
+def test_lookup_join_is_broadcast(env):
+    _, stream, table = env
+    plan = stream.join_global_table(table, on="fk", how="left").to_df() \
+        ._sc._jvm.PythonSQLUtils if False else None
+    df = stream.join_global_table(table, on="fk", how="left").to_df()
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in physical
+
+
+def test_stream_stream_join_time_bound(spark):
+    b = StreamBuilder(spark)
+    l = b.from_df(spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (2, "2024-01-01 01:00:00")],
+        "k long, ts string").withColumn("ts", F.col("ts").cast("timestamp")))
+    r = b.from_df(spark.createDataFrame(
+        [(1, "2024-01-01 00:10:00"), (1, "2024-01-01 03:00:00"),
+         (2, "2024-01-01 00:59:00")],
+        "k long, ts string").withColumn("ts", F.col("ts").cast("timestamp")))
+    # within 30 minutes after l.ts
+    out = l.join_stream(r, on="k", within=("0 seconds", "30 minutes"),
+                        select=[F.col("l.k").alias("k"),
+                                F.col("r.ts").alias("rts")]).to_df()
+    assert [r.k for r in out.collect()] == [1]
+
+    # unbounded (reference parity: join/window.go has no eviction)
+    out2 = l.join_stream(r, on="k").to_df()
+    assert out2.count() == 3

@@ -1,0 +1,74 @@
+"""Stateless operator semantics (SURVEY §2.2), mirroring the reference's
+operator unit tests (kstream/processors/*_test.go)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from kstream_spark import StreamBuilder
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return StreamBuilder(spark).from_df(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0), (4, "c", 40.0)],
+            "id long, cat string, v double",
+        ),
+        name="t",
+    )
+
+
+def test_filter(events):
+    got = events.filter(F.col("v") > 15).to_df().collect()
+    assert sorted(r.id for r in got) == [2, 3, 4]
+
+
+def test_select_key_marks_rekeyed(events):
+    s = events.select_key(F.col("cat"))
+    assert s.key == "key" and s.key_selected
+    assert {r.key for r in s.to_df().collect()} == {"a", "b", "c"}
+
+
+def test_transform_values_keeps_key(events):
+    s = events.select_key("cat").transform_values(v2=F.col("v") * 2)
+    rows = {r.id: r.v2 for r in s.to_df().collect()}
+    assert rows == {1: 20.0, 2: 40.0, 3: 60.0, 4: 80.0}
+    assert s.key == "key"
+
+
+def test_branch_first_match_exclusive(events):
+    # ref branch/branch.go:74-80 — a record reaches at most ONE branch
+    br = events.branch([
+        ("big", F.col("v") >= 30),
+        ("cat_a", F.col("cat") == "a"),  # id=3 is both big and cat_a -> big only
+        ("rest", F.lit(True)),
+    ])
+    big = {r.id for r in br["big"].to_df().collect()}
+    cat_a = {r.id for r in br["cat_a"].to_df().collect()}
+    rest = {r.id for r in br["rest"].to_df().collect()}
+    assert big == {3, 4}
+    assert cat_a == {1}
+    assert rest == {2}
+    assert big | cat_a | rest == {1, 2, 3, 4}
+    assert not (big & cat_a) and not (big & rest) and not (cat_a & rest)
+
+
+def test_merge(events):
+    a = events.filter("cat = 'a'")
+    b = events.filter("cat = 'b'")
+    assert a.merge(b).to_df().count() == 3
+
+
+def test_through_repartitions(events):
+    s = events.select_key("cat").through(2)
+    assert s.to_df().rdd.getNumPartitions() == 2
+    assert not s.key_selected  # repartition point clears the re-key flag
+    assert s.to_df().count() == 4
+
+
+def test_process_passthrough(events):
+    seen = []
+    out = events.process(lambda pdf: seen.append(len(pdf))).to_df()
+    assert out.count() == 4
+    # fn runs on executors; driver-side list only observable in local mode
+    assert out.columns == events.to_df().columns
