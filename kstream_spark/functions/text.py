@@ -1,0 +1,46 @@
+"""Text Column helpers: tokenization, shingling, hashing.
+
+All hashes are md5 hex STRINGS (identical across Spark/DuckDB/any engine), so
+every operator built on them is exactly reproducible by the SQL oracle — no
+engine-specific 64-bit hash seeds.  At 100 TB the md5-as-string costs ~2× an
+xxhash64 but keeps signatures portable; swap ``hash_str`` for
+``F.xxhash64`` when oracle parity is not required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def words(text: Column) -> Column:
+    """Lower-cased whitespace-robust tokens (split on runs of whitespace)."""
+    return F.split(F.lower(text), r"\s+")
+
+
+def hash_str(col: Column, seed: str = "") -> Column:
+    """Portable hash: md5 hex of (seed || ':' || value)."""
+    payload = F.concat(F.lit(f"{seed}:"), col) if seed != "" else col
+    return F.md5(F.encode(payload, "UTF-8"))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Array of n-word shingles (with duplicates; wrap in array_distinct for
+    set semantics).  Empty array when the document has fewer than n words."""
+    w = words(text)
+    idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, n)))
+    return F.when(F.size(w) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def token_count(text: Column) -> Column:
+    """Word-regex token count (BPE-ish proxy: word pieces + punctuation)."""
+    return F.regexp_count(text, F.lit(r"\w+|[^\w\s]"))
+
+
+def content_hash(text: Column, normalize: bool = True) -> Column:
+    """Exact-dup fingerprint: md5 of (optionally normalized) text."""
+    t = text
+    if normalize:
+        t = F.regexp_replace(F.lower(text), r"\s+", " ")
+    return F.md5(F.encode(t, "UTF-8"))

@@ -363,7 +363,7 @@ def q_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
     orders = b.stream(f"{sf}/orders.parquet", name="orders").to_df()
     w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
-        orders.withColumn("rnk", F.row_number().over(w))
+        orders.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
     )
@@ -398,3 +398,9 @@ INVENTORY: dict[str, tuple] = {
     "agg_pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "agg_topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
 }
+
+
+# -- data-pipeline superset (dedup / similarity / text / multimodal) --------
+from kstream_spark.inventory_pipeline import PIPELINE_INVENTORY  # noqa: E402
+
+INVENTORY.update(PIPELINE_INVENTORY)

@@ -1,0 +1,261 @@
+"""Data-pipeline query inventory: dedup, similarity search, text analysis,
+multimodal — the 100 TB training-data operators (BASELINE.json north-star).
+
+Oracle parity notes:
+  * all hashes are md5 hex strings — DuckDB reproduces Spark signatures
+    bit-for-bit, so even the MinHash+LSH pipeline has an exact SQL oracle;
+  * counts are cast to BIGINT on the Spark side (DuckDB len()/count() are
+    BIGINT natively);
+  * every computed double is rounded in-query on BOTH sides; ranks order by
+    the ROUNDED value with id tie-breaks (deterministic across engines);
+  * DuckDB regexp_replace needs the 'g' flag to match Spark's replace-all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kstream_spark.builder import StreamBuilder
+from kstream_spark.operators import dedup as D
+from kstream_spark.operators import multimodal as M
+from kstream_spark.operators import similarity as S
+from kstream_spark.operators import text as TX
+
+# shared DuckDB CTE fragments: words + distinct 3-word shingles
+_W = ("w AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS words "
+      "FROM documents)")
+_SH = ("sh AS (SELECT DISTINCT doc_id, "
+       "unnest(list_transform(range(1, greatest(len(words)-2, 0)+1), "
+       "i -> array_to_string(words[i:i+2], ' '))) AS s FROM w)")
+_NORM = "md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+def _docs(b: StreamBuilder, sf: str) -> DataFrame:
+    return b.table(f"{sf}/documents.parquet", name="documents").to_df()
+
+
+def _embs(b: StreamBuilder, sf: str) -> DataFrame:
+    return b.table(f"{sf}/embeddings.parquet", name="embeddings").to_df()
+
+
+# -- dedup ------------------------------------------------------------------
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    return D.exact_dedup(_docs(StreamBuilder(spark), sf), "doc_id", "text")
+
+
+SQL_DEDUP_EXACT = f"""
+SELECT min(doc_id) AS doc_id, {_NORM} AS content_hash, count(*) AS group_size
+FROM documents GROUP BY 2
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(_docs(StreamBuilder(spark), sf),
+                                 "doc_id", "text", n=3, threshold=0.8)
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH {_W}, {_SH},
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, round(i * 1.0 / (x.n + y.n - i), 6) AS jaccard
+FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+WHERE i * 1.0 / (x.n + y.n - i) >= 0.8
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    return D.minhash_lsh_pairs(_docs(StreamBuilder(spark), sf),
+                               "doc_id", "text", n=3, threshold=0.8)
+
+
+def _minhash_sql() -> str:
+    nh, bands = D.NUM_HASHES, D.BANDS
+    rows = nh // bands
+    mins = ", ".join(f"min(md5('{i}:' || s)) AS h{i}" for i in range(nh))
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({cat}) AS bh FROM sig".format(
+            b=b, cat=" || ".join(f"h{b * rows + r}" for r in range(rows)))
+        for b in range(bands))
+    return f"""
+WITH {_W}, {_SH},
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bands AS ({band_selects}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+          FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+          JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b, round(i * 1.0 / (x.n + y.n - i), 6) AS jaccard
+FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+WHERE i * 1.0 / (x.n + y.n - i) >= 0.8
+"""
+
+
+def q_dedup_survivors(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _docs(StreamBuilder(spark), sf)
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    return D.dedup_survivors(pairs, docs, "doc_id").select("doc_id")
+
+
+def _survivors_sql() -> str:
+    return (
+        "WITH pairs AS (" + _minhash_sql() + ")\n"
+        "SELECT doc_id FROM documents WHERE doc_id NOT IN "
+        "(SELECT doc_b FROM pairs)"
+    )
+
+
+# -- text analysis ----------------------------------------------------------
+def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    return TX.text_stats(_docs(StreamBuilder(spark), sf), "doc_id", "text")
+
+
+_STOP = ", ".join(f"'{s}'" for s in TX.STOPWORDS)
+
+SQL_TEXT_QUALITY = f"""
+WITH {_W},
+base AS (
+  SELECT doc_id,
+    CAST(len(words) AS BIGINT) AS n_words,
+    CAST(len(regexp_extract_all(d.text, '\\w+|[^\\w\\s]')) AS BIGINT) AS n_tokens,
+    CAST(length(d.text) AS BIGINT) AS n_chars_measured,
+    round(length(regexp_replace(d.text, '\\s', '', 'g'))
+          / greatest(len(words), 1), 6) AS mean_word_len,
+    round(len(list_filter(words, x -> list_contains([{_STOP}], x)))
+          / greatest(len(words), 1), 6) AS stopword_ratio,
+    round(length(regexp_replace(d.text, '[^.,;:!?]', '', 'g'))
+          / greatest(length(d.text), 1), 6) AS punct_ratio
+  FROM documents d JOIN w USING (doc_id))
+SELECT doc_id, n_words, n_tokens, n_chars_measured, mean_word_len,
+       stopword_ratio, punct_ratio,
+       round(least(stopword_ratio * 4, 1.0) * 0.5
+             + CASE WHEN mean_word_len >= 3 AND mean_word_len <= 10
+                    THEN 0.5 ELSE 0.2 END
+             - least(punct_ratio * 2, 0.5), 6) AS quality_score
+FROM base
+"""
+
+
+def q_text_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    return TX.lang_id(_docs(StreamBuilder(spark), sf), "doc_id", "text")
+
+
+def _lang_sql() -> str:
+    score_cols = ", ".join(
+        "CAST(len(list_filter(words, x -> list_contains([{m}], x))) AS BIGINT)"
+        " AS score_{l}".format(
+            m=", ".join(f"'{w}'" for w in ws), l=lang)
+        for lang, ws in TX.LANG_MARKERS.items())
+    langs = list(TX.LANG_MARKERS)
+    g = "greatest(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    case = "CASE WHEN " + g + " = 0 THEN 'und' " + " ".join(
+        f"WHEN score_{l} = {g} THEN '{l}'" for l in langs) + " ELSE 'und' END"
+    return f"""
+WITH {_W},
+sc AS (SELECT doc_id, {score_cols} FROM w)
+SELECT doc_id, {', '.join(f'score_{l}' for l in langs)}, {case} AS pred_lang
+FROM sc
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    return TX.fingerprint(_docs(StreamBuilder(spark), sf), "doc_id", "text")
+
+
+SQL_TEXT_FINGERPRINT = f"""
+WITH {_W}, {_SH},
+msh AS (SELECT doc_id, min(md5(s)) AS m FROM sh GROUP BY doc_id)
+SELECT d.doc_id, {_NORM} AS content_hash, msh.m AS min_shingle_hash
+FROM documents d LEFT JOIN msh ON d.doc_id = msh.doc_id
+"""
+
+
+# -- similarity search ------------------------------------------------------
+def q_sim_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _embs(StreamBuilder(spark), sf)
+    return S.cosine_topk(emb, "vec_id", "embedding",
+                         query_ids=list(range(5)), k=10)
+
+
+SQL_SIM_COSINE_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS nv FROM embeddings),
+s AS (SELECT query_id, neighbor_id,
+        round(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i] * nv[i]))
+              / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+                 * sqrt(list_sum(list_transform(nv, x -> x * x)))), 6) AS cos
+      FROM q, c WHERE query_id <> neighbor_id)
+SELECT query_id, neighbor_id, cos,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+FROM s QUALIFY rank <= 10
+"""
+
+
+def q_sim_cosine_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    return S.cosine_pairs(_embs(StreamBuilder(spark), sf), "vec_id", "embedding",
+                          threshold=0.4)
+
+
+SQL_SIM_COSINE_PAIRS = """
+SELECT * FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_sum(list_transform(range(1, len(a.embedding)+1),
+                                       i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+               / (sqrt(list_sum(list_transform(a.embedding::DOUBLE[], x -> x * x)))
+                  * sqrt(list_sum(list_transform(b.embedding::DOUBLE[], x -> x * x)))), 6) AS cos
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+) WHERE cos >= 0.4
+"""
+
+
+def q_sim_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-bucketed near-dup (scale path) — exact-verified candidates; recall
+    depends on LSH parameters, so no SQL oracle (driver rows-only check);
+    parity with brute force is covered by tests/test_pipeline.py."""
+    return S.lsh_cosine_pairs(_embs(StreamBuilder(spark), sf), "vec_id",
+                              "embedding", threshold=0.4)
+
+
+# -- multimodal -------------------------------------------------------------
+def q_mm_binary_meta(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _docs(StreamBuilder(spark), sf)
+    with_bin = M.attach_binary(docs, "text", modality="image")
+    return with_bin.select(
+        "doc_id",
+        F.col("media_meta.modality").alias("modality"),
+        F.col("media_meta.n_bytes").cast("long").alias("n_bytes"),
+        F.col("media_meta.sha256").alias("sha256"),
+    )
+
+
+SQL_MM_BINARY_META = """
+SELECT doc_id, 'image' AS modality,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256
+FROM documents
+"""
+
+
+PIPELINE_INVENTORY: dict[str, tuple] = {
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, _minhash_sql()),
+    "dedup_survivors": (q_dedup_survivors, _survivors_sql()),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "text_lang_id": (q_text_lang_id, _lang_sql()),
+    "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
+    "sim_cosine_topk": (q_sim_cosine_topk, SQL_SIM_COSINE_TOPK),
+    "sim_cosine_pairs": (q_sim_cosine_pairs, SQL_SIM_COSINE_PAIRS),
+    "sim_lsh_pairs": (q_sim_lsh_pairs, None),
+    "mm_binary_meta": (q_mm_binary_meta, SQL_MM_BINARY_META),
+}

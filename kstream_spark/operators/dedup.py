@@ -1,0 +1,142 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Capability superset over the reference (its only dedup is per-record-UUID
+exactly-once, consumer/consumer.go:16-26); these are the document-level
+dedup families a 100 TB text corpus needs.
+
+Scale design:
+  * exact_dedup       — one hash-groupBy; map-side partial agg; no sort.
+  * ngram_jaccard     — inverted-index self-join on shingle.  The classic
+                        hot-key hazard is stop-shingles appearing in most
+                        docs; ``max_shingle_df`` drops shingles whose doc
+                        frequency exceeds the cap BEFORE the join (at scale
+                        set it ~0.1% of corpus; also a correctness win — a
+                        shingle in every doc carries no signal).
+  * minhash_lsh       — per-doc signature (one groupBy), band-bucket
+                        self-join (only docs sharing a band bucket meet),
+                        exact-Jaccard verification of the candidate set.
+                        This is the 100 TB path: candidate generation cost
+                        is ~|bucket|² summed over buckets, not |corpus|².
+                        Hashes are md5-hex strings (functions/text.py) so the
+                        DuckDB oracle reproduces signatures exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kstream_spark.functions.text import content_hash, hash_str, word_shingles
+
+NUM_HASHES = 16
+BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // BANDS
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str,
+                normalize: bool = True) -> DataFrame:
+    """Keep the lowest-id survivor per identical (normalized) text.
+    Returns (id, content_hash, group_size)."""
+    h = content_hash(F.col(text_col), normalize=normalize)
+    return (
+        df.select(F.col(id_col), h.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("group_size"))
+        .select(id_col, "content_hash", "group_size")
+    )
+
+
+def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3,
+                 max_shingle_df: int | None = None) -> DataFrame:
+    """(id, shingle) distinct pairs — the inverted-index relation."""
+    sh = (
+        df.select(F.col(id_col), F.explode(
+            F.array_distinct(word_shingles(F.col(text_col), n))).alias("s"))
+        .distinct()
+    )
+    if max_shingle_df is not None:
+        keep = sh.groupBy("s").agg(F.count("*").alias("df")) \
+                 .filter(F.col("df") <= max_shingle_df).select("s")
+        sh = sh.join(keep, "s")
+    return sh
+
+
+def _jaccard_on_pairs(cand: DataFrame, sh: DataFrame, id_col: str,
+                      threshold: float) -> DataFrame:
+    """Exact Jaccard for candidate (doc_a, doc_b) pairs via the inverted index."""
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "s")
+    bside = sh.select(F.col(id_col).alias("doc_b"), "s")
+    inter = (
+        cand.join(a, "doc_a").join(bside, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b").agg(F.count("*").alias("i"))
+    )
+    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
+    j = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(na, "doc_a").join(nb, "doc_b")
+        .filter(j >= threshold)
+        .select("doc_a", "doc_b", F.round(j, 6).alias("jaccard"))
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
+                        threshold: float = 0.8,
+                        max_shingle_df: int | None = None) -> DataFrame:
+    """All pairs with shingle-set Jaccard >= threshold (exact, inverted index)."""
+    sh = shingle_sets(df, id_col, text_col, n, max_shingle_df)
+    cand = (
+        sh.select(F.col(id_col).alias("doc_a"), "s")
+        .join(sh.select(F.col(id_col).alias("doc_b"), "s"), "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+    )
+    return _jaccard_on_pairs(cand, sh, id_col, threshold)
+
+
+def minhash_signatures(sh: DataFrame, id_col: str,
+                       num_hashes: int = NUM_HASHES) -> DataFrame:
+    """Per-doc minhash signature: h_i = min over shingles of md5('i:'||s)."""
+    aggs = [F.min(hash_str(F.col("s"), seed=str(i))).alias(f"h{i}")
+            for i in range(num_hashes)]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
+                      threshold: float = 0.8, num_hashes: int = NUM_HASHES,
+                      bands: int = BANDS,
+                      max_shingle_df: int | None = None) -> DataFrame:
+    """MinHash+LSH candidate generation, exact-Jaccard verified.
+
+    shingle -> minhash -> band -> bucket-join -> verify.  Returns
+    (doc_a, doc_b, jaccard) for verified pairs.
+    """
+    rows = num_hashes // bands
+    sh = shingle_sets(df, id_col, text_col, n, max_shingle_df)
+    sig = minhash_signatures(sh, id_col, num_hashes)
+    band_cols = [
+        F.md5(F.encode(F.concat_ws(
+            "", *[F.col(f"h{b * rows + r}") for r in range(rows)]), "UTF-8"))
+        .alias(f"b{b}")
+        for b in range(bands)
+    ]
+    sig_b = sig.select(id_col, *band_cols)
+    stack = ", ".join(f"{b}, b{b}" for b in range(bands))
+    band_long = sig_b.selectExpr(id_col, f"stack({bands}, {stack}) AS (band, bh)")
+    cand = (
+        band_long.select(F.col(id_col).alias("doc_a"), "band", "bh")
+        .join(band_long.select(F.col(id_col).alias("doc_b"), "band", "bh"),
+              ["band", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+    )
+    return _jaccard_on_pairs(cand, sh, id_col, threshold)
+
+
+def dedup_survivors(pairs: DataFrame, df: DataFrame, id_col: str) -> DataFrame:
+    """Greedy survivor selection from a near-dup pair list: drop any doc that
+    pairs with a lower-id doc (single pass — at scale run connected
+    components to fixpoint; one pass is the standard one-round approximation)."""
+    losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")

@@ -1,0 +1,90 @@
+"""Text analysis operators: quality scoring, language ID, token counting,
+document fingerprinting.  Everything is built-in Column expressions
+(whole-stage codegen; no Python in the hot path) and exactly reproducible by
+the SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kstream_spark.functions.text import (content_hash, token_count,
+                                          word_shingles, words)
+
+STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+# marker-word profiles for the n-gram-free heuristic language scorer; on real
+# corpora these would be char-n-gram profiles per language — the operator
+# shape (score per language -> argmax with deterministic tie-break) is the same
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "is"],
+    "de": ["der", "die", "und", "ist"],
+    "fr": ["le", "la", "et", "est"],
+    "es": ["el", "la", "y", "es"],
+}
+
+
+def _ratio(num: Column, den: Column) -> Column:
+    return F.round(num / F.greatest(den, F.lit(1)), 6)
+
+
+def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document quality features + a composite quality score."""
+    t = F.col(text_col)
+    w = words(t)
+    n_words = F.size(w)
+    n_chars = F.length(t)
+    n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", ""))
+    n_stop = F.size(F.filter(w, lambda x: x.isin(STOPWORDS)))
+    mean_wlen = _ratio(F.length(F.regexp_replace(t, r"\s", "")), n_words)
+    stop_ratio = _ratio(n_stop, n_words)
+    punct_ratio = _ratio(n_punct, n_chars)
+    # composite: reward stopword presence (fluency proxy) and moderate word
+    # length; penalize punctuation soup.  Weights are illustrative.
+    quality = F.round(
+        F.least(stop_ratio * 4, F.lit(1.0)) * 0.5
+        + F.when((mean_wlen >= 3) & (mean_wlen <= 10), 0.5).otherwise(0.2)
+        - F.least(punct_ratio * 2, F.lit(0.5)),
+        6,
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        token_count(t).cast("long").alias("n_tokens"),
+        n_chars.cast("long").alias("n_chars_measured"),
+        mean_wlen.alias("mean_word_len"),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Marker-word language scorer: hits per language profile, argmax with
+    fixed profile order as tie-break, 'und' when no marker hits."""
+    w = words(F.col(text_col))
+    scores = {lang: F.size(F.filter(w, lambda x: x.isin(markers)))
+              for lang, markers in LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):       # earlier profiles win ties
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best > 0, pred).otherwise(F.lit("und"))
+    return df.select(
+        F.col(id_col),
+        *[scores[lang].cast("long").alias(f"score_{lang}") for lang in LANG_MARKERS],
+        pred.alias("pred_lang"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Document fingerprints: exact content hash + min-shingle-hash (the
+    1-hash minhash — a cheap similarity-preserving sketch)."""
+    sh = F.array_distinct(word_shingles(F.col(text_col), n))
+    return df.select(
+        F.col(id_col),
+        content_hash(F.col(text_col)).alias("content_hash"),
+        F.array_min(F.transform(sh, lambda s: F.md5(F.encode(s, "UTF-8"))))
+         .alias("min_shingle_hash"),
+    )

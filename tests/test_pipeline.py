@@ -1,0 +1,140 @@
+"""Training-data pipeline operators: dedup, similarity, text, multimodal."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from kstream_spark.operators import dedup as D
+from kstream_spark.operators import multimodal as M
+from kstream_spark.operators import similarity as S
+from kstream_spark.operators import text as TX
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+        (2, "THE quick  brown fox jumps over the lazy dog"),  # normalized dup of 0? (case+ws)
+        (3, "completely different content about spark engines and shuffles"),
+        (4, "tiny"),                                          # < 3 words
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_normalization(spark, docs):
+    out = D.exact_dedup(docs, "doc_id", "text")
+    rows = {r.doc_id: r.group_size for r in out.collect()}
+    # doc 2 differs only by case/extra space -> same group as 0
+    assert rows[0] == 2 and 2 not in rows
+    assert rows[3] == 1 and rows[4] == 1
+
+
+def test_ngram_jaccard_finds_near_dup(spark, docs):
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert (0, 2) in got          # normalized-identical
+    assert (0, 1) in got          # one word changed
+    assert all(a != 3 and b != 3 for a, b in got)
+
+
+def test_minhash_lsh_matches_exact_on_near_dups(spark, docs):
+    exact = {(r.doc_a, r.doc_b) for r in
+             D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()}
+    lsh = {(r.doc_a, r.doc_b) for r in
+           D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).collect()}
+    # LSH is candidate-generation + exact verify: precision is exact
+    assert lsh <= exact
+    # near-identical pairs must be recalled
+    assert (0, 2) in lsh
+
+
+def test_dedup_survivors(spark, docs):
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5)
+    kept = {r.doc_id for r in D.dedup_survivors(pairs, docs, "doc_id").collect()}
+    assert 0 in kept and 1 not in kept and 2 not in kept
+    assert {3, 4} <= kept
+
+
+def test_max_shingle_df_drops_hot_shingles(spark):
+    # a shingle present in every doc must not generate candidates when capped
+    rows = [(i, f"common shingle text unique{i} word{i} tail{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh_all = D.shingle_sets(df, "doc_id", "text", n=3)
+    sh_capped = D.shingle_sets(df, "doc_id", "text", n=3, max_shingle_df=5)
+    hot = sh_all.groupBy("s").count().filter(F.col("count") > 5).count()
+    assert hot > 0
+    assert sh_capped.groupBy("s").count().filter(F.col("count") > 5).count() == 0
+
+
+def test_lsh_cosine_recovers_planted_near_dups(spark):
+    # planted clusters: vectors i and i+100 are tiny perturbations -> cos ~ 1
+    import random
+    random.seed(7)
+    rows = []
+    for i in range(20):
+        v = [random.gauss(0, 1) for _ in range(16)]
+        rows.append((i, [float(x) for x in v]))
+        rows.append((i + 100, [float(x + 0.01) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = S.lsh_cosine_pairs(emb, "vec_id", "embedding", threshold=0.99,
+                             planes=8, tables=6)
+    pairs = {(r.id_a, r.id_b) for r in got.collect()}
+    brute = {(r.id_a, r.id_b) for r in
+             S.cosine_pairs(emb, "vec_id", "embedding", threshold=0.99).collect()}
+    assert pairs <= brute                    # exact verification => precision 1
+    assert len(pairs) >= 0.9 * len(brute)    # high recall on near-identical
+    assert len(brute) == 20
+
+
+def test_cosine_topk_self_excluded(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(4)]) for i in range(4)] +
+        [(9, [1.0, 0.0, 0.0, 0.1])],
+        "vec_id long, embedding array<float>")
+    out = S.cosine_topk(emb, "vec_id", "embedding", query_ids=[0], k=2).collect()
+    assert [r.neighbor_id for r in out] == [9, 1]
+    assert all(r.query_id == 0 for r in out)
+
+
+def test_text_stats_shapes(spark, docs):
+    out = TX.text_stats(docs, "doc_id", "text").collect()
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[0].n_words == 9
+    assert by_id[0].stopword_ratio > 0.2           # 'the' twice + 'over'...
+    assert by_id[4].n_words == 1
+    assert all(0 <= r.quality_score <= 1 for r in out)
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog is here"),
+         (2, "der hund und die katze ist hier"),
+         (3, "xyz qqq zzz")],
+        "doc_id long, text string")
+    out = {r.doc_id: r.pred_lang for r in TX.lang_id(df, "doc_id", "text").collect()}
+    assert out[1] == "en" and out[2] == "de" and out[3] == "und"
+
+
+def test_fingerprint_null_for_short_docs(spark, docs):
+    out = {r.doc_id: r.min_shingle_hash for r in
+           TX.fingerprint(docs, "doc_id", "text").collect()}
+    assert out[4] is None and out[0] is not None
+
+
+def test_multimodal_attach_and_decode_stub(spark, docs):
+    wb = M.attach_binary(docs, "text", modality="image")
+    meta = wb.select("doc_id", "media_meta.*").collect()[0]
+    assert meta.modality == "image" and meta.n_bytes > 0 and len(meta.sha256) == 64
+    feats = M.decode_stub(wb, id_col="doc_id", fake=True).collect()
+    assert len(feats) == 5
+    assert all(len(r.feature) == 8 for r in feats)
+    assert all(0.0 <= x <= 1.0 for r in feats for x in r.feature)
+    # deterministic
+    again = M.decode_stub(wb, id_col="doc_id", fake=True).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, again))
+
+
+def test_decode_stub_requires_fake_flag(spark, docs):
+    wb = M.attach_binary(docs, "text")
+    with pytest.raises(NotImplementedError):
+        M.decode_stub(wb, id_col="doc_id")
