@@ -400,6 +400,53 @@ INVENTORY: dict[str, tuple] = {
 }
 
 
+# Sliding window agg (superset; runs the streaming windowed_agg code path in
+# batch mode — same lineage either way)
+def q_window_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    from kstream_spark.streaming.core import windowed_agg
+    b = StreamBuilder(spark)
+    return windowed_agg(_events(b, sf).to_df(), "ts", "2 hours", "1 hour",
+                        keys=["event_type"], aggs={"n": F.count("*")})
+
+
+SQL_WINDOW_SLIDING = """
+WITH s AS (SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS w0 FROM events),
+e2 AS (SELECT event_type, w0 AS ws FROM s
+       UNION ALL SELECT event_type, w0 - INTERVAL 1 HOUR FROM s)
+SELECT ws AS window_start, ws + INTERVAL 2 HOUR AS window_end, event_type,
+       count(*) AS n
+FROM e2 GROUP BY 1, 2, 3
+"""
+
+
+# Session window agg (superset; ref window/sliding.go:5-10 is a stub)
+def q_window_session(spark: SparkSession, sf: str) -> DataFrame:
+    from kstream_spark.streaming.core import session_agg
+    b = StreamBuilder(spark)
+    return session_agg(_events(b, sf).to_df(), "ts", "30 minutes",
+                       keys=["user_id"], aggs={"n": F.count("*")})
+
+
+SQL_WINDOW_SESSION = """
+WITH o AS (SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+           FROM events),
+m AS (SELECT user_id, ts,
+        CASE WHEN pts IS NULL OR ts >= pts + INTERVAL 30 MINUTE
+             THEN 1 ELSE 0 END AS brk FROM o),
+g AS (SELECT user_id, ts,
+        sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS grp FROM m)
+SELECT min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end,
+       user_id, count(*) AS n
+FROM g GROUP BY user_id, grp
+"""
+
+
+INVENTORY["agg_window_sliding"] = (q_window_sliding, SQL_WINDOW_SLIDING)
+INVENTORY["agg_window_session"] = (q_window_session, SQL_WINDOW_SESSION)
+
+
 # -- data-pipeline superset (dedup / similarity / text / multimodal) --------
 from kstream_spark.inventory_pipeline import PIPELINE_INVENTORY  # noqa: E402
 

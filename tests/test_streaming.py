@@ -1,0 +1,155 @@
+"""Structured Streaming layer: file-source micro-batches driving the
+materializer, dedup, DLQ routing, windowed aggs, and the stateful TTL store.
+Mirrors the reference's mock-cluster integration tests
+(kstream/global_table_stream_test.go:22-160): produce N records -> run the
+sync loop -> assert store contents.
+"""
+
+import shutil
+import time
+
+import pyspark.sql.functions as F
+import pytest
+
+from kstream_spark import StreamBuilder
+from kstream_spark.sources.kafka import decode_records, encode_records, source_options
+from kstream_spark.streaming import core as SC
+from kstream_spark.streaming.state import latest_with_ttl
+
+
+@pytest.fixture()
+def stream_dir(spark, tmp_path):
+    """A streaming source directory seeded with one parquet batch of events."""
+    d = tmp_path / "in"
+    d.mkdir()
+    df = spark.createDataFrame(
+        [(1, 10, "a", 1.0, "2024-01-01 00:00:00"),
+         (2, 10, "b", 2.0, "2024-01-01 00:05:00"),
+         (3, 20, "a", 3.0, "2024-01-01 00:10:00"),
+         (2, 10, "b", 2.0, "2024-01-01 00:05:00")],   # duplicate uuid=2
+        "uuid long, k long, t string, v double, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.coalesce(1).write.mode("overwrite").parquet(str(d))
+    return str(d)
+
+
+def _run(q):
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(10)
+
+
+def test_materialize_stream_builds_store(spark, stream_dir, tmp_path):
+    b = StreamBuilder(spark)
+    src = SC.read_stream_parquet(spark, stream_dir)
+    q = SC.materialize_stream(src, b.stores, "stream_store", key="k",
+                              version="uuid",
+                              checkpoint_dir=str(tmp_path / "ckpt"))
+    _run(q)
+    store = b.stores.store("stream_store")
+    rows = {r.k: (r.uuid, r.t) for r in store.get_all().collect()}
+    assert rows == {10: (2, "b"), 20: (3, "a")}
+
+
+def test_materialize_stream_idempotent_replay(spark, stream_dir, tmp_path):
+    # replaying the same data (fresh checkpoint, same store) must not change
+    # the store: at-least-once + version-gated merge == effective exactly-once
+    b = StreamBuilder(spark)
+    for i in range(2):
+        src = SC.read_stream_parquet(spark, stream_dir)
+        q = SC.materialize_stream(src, b.stores, "replay_store", key="k",
+                                  version="uuid",
+                                  checkpoint_dir=str(tmp_path / f"ck{i}"))
+        _run(q)
+    rows = {r.k: r.uuid for r in b.stores.store("replay_store").get_all().collect()}
+    assert rows == {10: 2, 20: 3}
+
+
+def test_dedup_stream_drops_duplicate_uuid(spark, stream_dir, tmp_path):
+    src = SC.read_stream_parquet(spark, stream_dir)
+    deduped = SC.dedup_stream(src, ["uuid"], "ts")
+    q = (deduped.writeStream.format("memory").queryName("dedup_out")
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    _run(q)
+    out = spark.sql("SELECT * FROM dedup_out").collect()
+    assert sorted(r.uuid for r in out) == [1, 2, 3]
+
+
+def test_route_errors_splits_dlq(spark, stream_dir, tmp_path):
+    ok, bad = [], []
+    src = SC.read_stream_parquet(spark, stream_dir)
+    q = SC.route_errors(
+        src, F.col("v") >= 3.0,
+        ok_sink=lambda df, e: ok.extend(df.collect()),
+        dlq_sink=lambda df, e: bad.extend(df.collect()),
+        checkpoint_dir=str(tmp_path / "ck"))
+    _run(q)
+    assert sorted(r.uuid for r in bad) == [3]
+    assert sorted(r.uuid for r in ok) == [1, 2, 2]
+
+
+def test_windowed_agg_streaming(spark, stream_dir, tmp_path):
+    src = SC.read_stream_parquet(spark, stream_dir)
+    agg = SC.windowed_agg(src, "ts", "10 minutes", keys=["k"],
+                          aggs={"n": F.count("*")}, watermark="1 minute")
+    q = (agg.writeStream.format("memory").queryName("win_out")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    _run(q)
+    # append mode only emits finalized windows; check plan validity + rows>=0
+    out = spark.sql("SELECT * FROM win_out").collect()
+    assert {c for c in spark.sql("SELECT * FROM win_out").columns} == \
+        {"window_start", "window_end", "k", "n"}
+
+
+def test_session_agg_batch_parity(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:10:00"),
+         (1, "2024-01-01 01:00:00"), (2, "2024-01-01 00:00:00")],
+        "k long, ts string").withColumn("ts", F.col("ts").cast("timestamp"))
+    out = SC.session_agg(df, "ts", "30 minutes", keys=["k"],
+                         aggs={"n": F.count("*")}).collect()
+    sessions = {(r.k, r.n) for r in out}
+    assert sessions == {(1, 2), (1, 1), (2, 1)}
+
+
+def test_latest_with_ttl_stateful(spark, stream_dir, tmp_path):
+    src = SC.read_stream_parquet(spark, stream_dir)
+    latest = latest_with_ttl(src, "k", "uuid", ["t", "v"])
+    q = (latest.writeStream.format("memory").queryName("state_out")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    _run(q)
+    out = {r.k: (r.version, r.expired) for r in
+           spark.sql("SELECT * FROM state_out").collect()}
+    assert out[10] == (2, False) and out[20] == (3, False)
+
+
+def test_kafka_wire_roundtrip_batch(spark):
+    """Kafka connector jar isn't in the container; the encode/decode path is
+    exercised on a wire-shaped batch DataFrame (exact source schema)."""
+    import pyspark.sql.types as T
+    wire = spark.createDataFrame(
+        [(b"7", b'{"a": 1}', "t", 0, 100, None, None, None)],
+        "key binary, value binary, topic string, partition int, offset long,"
+        " timestamp timestamp, timestampType int,"
+        " headers array<struct<key:string,value:binary>>")
+    schema = T.StructType([T.StructField("a", T.LongType())])
+    decoded = decode_records(wire, schema, key_type="long")
+    row = decoded.collect()[0]
+    assert row.key == 7 and row.value.a == 1 and row.offset == 100
+
+    typed = spark.createDataFrame([(7, "x", False), (8, "y", True)],
+                                  "key long, payload string, deleted boolean")
+    encoded = encode_records(typed, key_col="key", value_col="payload",
+                             tombstone=F.col("deleted"))
+    rows = {r.key: r.value for r in encoded.collect()}
+    assert rows == {"7": "x", "8": None}    # tombstone -> null value
+
+
+def test_kafka_source_options():
+    opts = source_options("topic-a", "broker:9092", starting="latest",
+                          max_offsets_per_trigger=50000)
+    assert opts["subscribe"] == "topic-a"
+    assert opts["startingOffsets"] == "latest"
+    assert opts["maxOffsetsPerTrigger"] == "50000"
