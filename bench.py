@@ -40,6 +40,9 @@ def main():
     from kstream_spark.inventory import INVENTORY
 
     spark = get_spark(app_name="kstream_spark_bench")
+    # warm-up: JVM/JIT + file-listing so the first timed query isn't charged
+    # for session startup (steady-state throughput is the comparison point)
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     timings = {}
     for name in HEADLINE:
         if name not in INVENTORY:

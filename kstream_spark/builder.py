@@ -49,13 +49,23 @@ class StreamBuilder:
                      version: str | None = None,
                      tombstone: Column | str | None = None,
                      broadcast: bool = True, fmt: str = "parquet",
-                     name: str | None = None, sync: bool = True) -> GlobalTable:
+                     name: str | None = None, sync: bool = True,
+                     snapshot: bool = False) -> GlobalTable:
         """Ref: kstream/builder.go:226-254.  ``sync=True`` reproduces the boot
-        barrier (tables synced before streams start, streams.go:143-166)."""
-        df = source if isinstance(source, DataFrame) else \
-            self.spark.read.format(fmt).load(source)
+        barrier (tables synced before streams start, streams.go:143-166).
+
+        ``snapshot=True`` declares the source already latest-per-key (a table
+        snapshot, not a changelog) — skips the compaction groupBy, so lookup
+        joins against it are a zero-shuffle broadcast probe."""
+        if isinstance(source, DataFrame):
+            df = source
+        elif fmt == "parquet":
+            from kstream_spark.sources.parquet import read_parquet
+            df = read_parquet(self.spark, source)
+        else:
+            df = self.spark.read.format(fmt).load(source)
         gt = GlobalTable(df, key=key, version=version, tombstone=tombstone,
-                         broadcast=broadcast,
+                         broadcast=broadcast, pre_compacted=snapshot,
                          name=name or (source if isinstance(source, str) else "global_table"))
         return gt.sync() if sync else gt
 

@@ -131,7 +131,7 @@ WHERE event_type IN ('purchase', 'signup')
 def q_lookup_join_left(spark: SparkSession, sf: str) -> DataFrame:
     b = StreamBuilder(spark)
     customer = b.global_table(f"{sf}/customer.parquet", key="c_custkey",
-                              name="customer", sync=False)
+                              name="customer", sync=False, snapshot=True)
     return (
         _events(b, sf)
         .join_global_table(customer, on="user_id", how="left",
@@ -152,7 +152,7 @@ FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
 def q_lookup_join_inner(spark: SparkSession, sf: str) -> DataFrame:
     b = StreamBuilder(spark)
     nation = b.global_table(f"{sf}/nation.parquet", key="n_nationkey",
-                            name="nation", sync=False)
+                            name="nation", sync=False, snapshot=True)
     dlq = DLQ()
     return (
         _events(b, sf)
@@ -172,7 +172,7 @@ FROM events e JOIN nation n ON e.user_id = n.n_nationkey
 def q_lookup_join_dlq(spark: SparkSession, sf: str) -> DataFrame:
     b = StreamBuilder(spark)
     nation = b.global_table(f"{sf}/nation.parquet", key="n_nationkey",
-                            name="nation", sync=False)
+                            name="nation", sync=False, snapshot=True)
     dlq = DLQ()
     _events(b, sf).join_global_table(nation, on="user_id", how="inner", dlq=dlq)
     return dlq.df().select("event_id", "user_id", "dlq_reason")
@@ -190,11 +190,11 @@ FROM events e WHERE NOT EXISTS
 def q_star_join(spark: SparkSession, sf: str) -> DataFrame:
     b = StreamBuilder(spark)
     customer = b.global_table(f"{sf}/customer.parquet", key="c_custkey",
-                              name="customer", sync=False)
+                              name="customer", sync=False, snapshot=True)
     nation = b.global_table(f"{sf}/nation.parquet", key="n_nationkey",
-                            name="nation", sync=False)
+                            name="nation", sync=False, snapshot=True)
     region = b.global_table(f"{sf}/region.parquet", key="r_regionkey",
-                            name="region", sync=False)
+                            name="region", sync=False, snapshot=True)
     branches = _events(b, sf).branch([
         ("purchase", F.col("event_type") == "purchase"),
         ("other", F.lit(True)),

@@ -48,12 +48,14 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str,
 
 def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3,
                  max_shingle_df: int | None = None) -> DataFrame:
-    """(id, shingle) distinct pairs — the inverted-index relation."""
-    sh = (
-        df.select(F.col(id_col), F.explode(
-            F.array_distinct(word_shingles(F.col(text_col), n))).alias("s"))
-        .distinct()
-    )
+    """(id, shingle) distinct pairs — the inverted-index relation.
+
+    ``array_distinct`` before the explode makes rows per-doc unique already —
+    no global distinct (that would be a full shuffle of the largest relation
+    for nothing)."""
+    from kstream_spark.util import ensure_parallelism
+    sh = ensure_parallelism(df).select(F.col(id_col), F.explode(
+        F.array_distinct(word_shingles(F.col(text_col), n))).alias("s"))
     if max_shingle_df is not None:
         keep = sh.groupBy("s").agg(F.count("*").alias("df")) \
                  .filter(F.col("df") <= max_shingle_df).select("s")
@@ -113,7 +115,10 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
     (doc_a, doc_b, jaccard) for verified pairs.
     """
     rows = num_hashes // bands
-    sh = shingle_sets(df, id_col, text_col, n, max_shingle_df)
+    # the inverted index feeds signature building, candidate generation AND
+    # verification — materialize it once instead of recomputing the
+    # scan+explode three times (at corpus scale this is the dominant cost)
+    sh = shingle_sets(df, id_col, text_col, n, max_shingle_df).persist()
     sig = minhash_signatures(sh, id_col, num_hashes)
     band_cols = [
         F.md5(F.encode(F.concat_ws(
@@ -123,7 +128,12 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
     ]
     sig_b = sig.select(id_col, *band_cols)
     stack = ", ".join(f"{b}, b{b}" for b in range(bands))
-    band_long = sig_b.selectExpr(id_col, f"stack({bands}, {stack}) AS (band, bh)")
+    # persist: the self-join references this twice and Spark does not reuse
+    # the signature-aggregation subtree through the stack() projection —
+    # without the cache the 16-way min-hash groupBy runs twice.
+    # Size is |docs| x bands rows of (id, hash) — negligible at any scale.
+    band_long = sig_b.selectExpr(id_col, f"stack({bands}, {stack}) AS (band, bh)") \
+        .persist()
     cand = (
         band_long.select(F.col(id_col).alias("doc_a"), "band", "bh")
         .join(band_long.select(F.col(id_col).alias("doc_b"), "band", "bh"),

@@ -92,6 +92,67 @@ def join_global_table(stream, table, on, how: str = "inner", dlq: DLQ | None = N
     return stream._derive(matched, name=f"{stream.name}⋈{table.name}")
 
 
+def asof_join(left: DataFrame, right: DataFrame, key: str, left_ts: str,
+              right_ts: str, right_cols: Sequence[str], how: str = "left",
+              tolerance: str | None = None) -> DataFrame:
+    """As-of join: for each left row, the most recent right row with
+    ``right.ts <= left.ts`` on the same key (capability superset — the
+    reference has no temporal joins, SURVEY §2.3 "not present").
+
+    Scale-first implementation: tag both sides, UNION, one
+    shuffle+sort per key, then ``last(value, ignorenulls=True)`` over an
+    unbounded-preceding window — O(n log n) with NO row explosion, unlike the
+    naive inequality join (which Spark would execute as a broadcast
+    nested-loop).  This is the standard distributed as-of; pandas
+    ``merge_asof`` per group (applyInPandas) would be the fallback, but the
+    window form stays entirely JVM-side.
+
+    The right side is compacted to one row per (key, ts) first (greatest
+    row wins) so results are deterministic.
+
+    ``tolerance``: optional max age of the match, e.g. "90 days" — older
+    matches become nulls (left) / drop the row (inner).
+    """
+    r = right.groupBy(key, right_ts).agg(
+        F.max_by(F.struct(*right_cols), F.struct(*right_cols)).alias("__r")
+    ).select(key, right_ts, "__r.*")
+
+    ltypes, rtypes = dict(left.dtypes), dict(r.dtypes)
+    l_payload = [c for c in left.columns if c != key]
+    lhs = left.select(
+        F.col(key),
+        *l_payload,
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(rtypes[c]).alias(c) for c in right_cols],
+        F.lit(None).cast(rtypes[right_ts]).alias("__rt"),
+    )
+    rhs = r.select(
+        F.col(key),
+        *[F.lit(None).cast(ltypes[c]).alias(c) for c in l_payload],
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__side"),
+        *right_cols,
+        F.col(right_ts).alias("__rt"),
+    )
+
+    from pyspark.sql import Window as W
+    w = (W.partitionBy(key).orderBy("__t", "__side")
+         .rowsBetween(W.unboundedPreceding, 0))
+    filled = lhs.unionByName(rhs)
+    for c in [*right_cols, "__rt"]:
+        filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    out = filled.filter(F.col("__side") == 1)
+    if tolerance is not None:
+        in_tol = F.col("__rt") >= F.col("__t") - F.expr(f"INTERVAL {tolerance}")
+        for c in right_cols:
+            out = out.withColumn(c, F.when(in_tol, F.col(c)))
+        out = out.withColumn("__rt", F.when(in_tol, F.col("__rt")))
+    if how == "inner":
+        out = out.filter(F.col("__rt").isNotNull())
+    return out.drop("__t", "__side", "__rt")
+
+
 def join_stream(left, right, on, within=None, ts_col: str = "ts", how: str = "inner",
                 select: Sequence | None = None):
     """Stream-stream join on key, optional time bound.

@@ -27,6 +27,8 @@ def cosine_topk(emb: DataFrame, id_col: str, vec_col: str,
     Returns (query_id, neighbor_id, cos, rank).  The query side is broadcast:
     the corpus side streams through one scan, no shuffle of the corpus.
     """
+    from kstream_spark.util import ensure_parallelism
+    emb = ensure_parallelism(emb)
     if queries is None:
         queries = emb.filter(F.col(id_col).isin(query_ids))
     q = F.broadcast(queries.select(F.col(id_col).alias("query_id"),
@@ -47,6 +49,8 @@ def cosine_pairs(emb: DataFrame, id_col: str, vec_col: str,
                  threshold: float = 0.9) -> DataFrame:
     """All pairs with cosine >= threshold (brute force; use lsh_cosine_pairs
     at corpus scale).  Returns (id_a, id_b, cos)."""
+    from kstream_spark.util import ensure_parallelism
+    emb = ensure_parallelism(emb)
     a = emb.select(F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), as_double(F.col(vec_col)).alias("vb"))
     return (

@@ -163,6 +163,28 @@ class Stream:
         return join_stream(self, other, on, within=within, ts_col=ts_col, how=how,
                            select=select)
 
+    def join_asof(self, other: "Stream", key: str, left_ts: str, right_ts: str,
+                  right_cols: Sequence[str], how: str = "left",
+                  tolerance: str | None = None) -> "Stream":
+        """As-of (temporal) join — latest right row at-or-before each left
+        row's timestamp.  Superset operator; see operators/joins.asof_join."""
+        from kstream_spark.operators.joins import asof_join
+        return self._derive(asof_join(self.df, other.df, key, left_ts, right_ts,
+                                      right_cols, how=how, tolerance=tolerance),
+                            name=f"{self.name}⋈asof")
+
+    def join_table(self, store, on, how: str = "inner", dlq=None,
+                   select: Sequence | None = None) -> "Stream":
+        """Stream–table join against a materialized registry Store — the
+        KTable join the reference declares but never implements
+        (kstream/k_stream.go:518-520 panics; k_table.go:10-31 commented out).
+        Free upgrade via Spark: the store is already a keyed relation."""
+        from kstream_spark.global_table import GlobalTable
+        from kstream_spark.operators.joins import join_global_table
+        gt = GlobalTable(store.df(), key=store.key, pre_compacted=True,
+                         name=store.name)
+        return join_global_table(self, gt, on, how=how, dlq=dlq, select=select)
+
     # -- state (SURVEY §2.4 / §1.3) ---------------------------------------
     def materialize(self, registry, store_name: str, key: str | Sequence[str],
                     version: str | None = None, tombstone: Column | str | None = None) -> "Stream":
