@@ -25,6 +25,8 @@ HEADLINE = [
     "agg_topk_per_group",
     "j2_stream_stream_join",
     "j1_lookup_join_left",
+    "j_asof_join",
+    "agg_nation_revenue",
     "dedup_exact",
     "dedup_minhash_lsh",
     "sim_cosine_topk",

@@ -451,3 +451,8 @@ INVENTORY["agg_window_session"] = (q_window_session, SQL_WINDOW_SESSION)
 from kstream_spark.inventory_pipeline import PIPELINE_INVENTORY  # noqa: E402
 
 INVENTORY.update(PIPELINE_INVENTORY)
+
+# -- OLAP / relational superset ---------------------------------------------
+from kstream_spark.inventory_olap import OLAP_INVENTORY  # noqa: E402
+
+INVENTORY.update(OLAP_INVENTORY)

@@ -1,0 +1,195 @@
+"""OLAP / relational superset inventory: temporal (as-of) join, semi/anti
+joins, set operations, rollup, multi-join analytics — everything SURVEY §2.3
+lists as "not present in the reference", provided as capability upgrades.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kstream_spark.builder import StreamBuilder
+
+
+# As-of join (temporal): latest order at-or-before each event, per customer
+def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    b = StreamBuilder(spark)
+    events = b.stream(f"{sf}/events.parquet", name="events")
+    orders = b.stream(f"{sf}/orders.parquet", name="orders")
+    return (
+        events.join_asof(orders, key="user_id", left_ts="ts",
+                         right_ts="o_orderdate", right_cols=["o_orderkey"],
+                         how="left", right_key="o_custkey")
+        .select("event_id", "user_id", "o_orderkey")
+        .to_df()
+    )
+
+
+SQL_ASOF_JOIN = """
+WITH r AS (SELECT o_custkey AS user_id, o_orderdate,
+                  max(o_orderkey) AS o_orderkey
+           FROM orders GROUP BY 1, 2)
+SELECT e.event_id, e.user_id, r.o_orderkey
+FROM events e ASOF LEFT JOIN r
+  ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
+"""
+
+
+# Semi join: customers with at least one event
+def q_semi_join(spark: SparkSession, sf: str) -> DataFrame:
+    b = StreamBuilder(spark)
+    cust = b.table(f"{sf}/customer.parquet").to_df()
+    events = b.stream(f"{sf}/events.parquet").to_df()
+    return cust.join(events.select(F.col("user_id").alias("c_custkey")),
+                     "c_custkey", "left_semi").select("c_custkey", "c_name")
+
+
+SQL_SEMI_JOIN = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+"""
+
+
+# Anti join: customers with no events
+def q_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    b = StreamBuilder(spark)
+    cust = b.table(f"{sf}/customer.parquet").to_df()
+    events = b.stream(f"{sf}/events.parquet").to_df()
+    return cust.join(events.select(F.col("user_id").alias("c_custkey")),
+                     "c_custkey", "left_anti").select("c_custkey", "c_name")
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+"""
+
+
+# Set operations: INTERSECT / EXCEPT (distinct semantics)
+def q_set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    b = StreamBuilder(spark)
+    ev = b.stream(f"{sf}/events.parquet").to_df()
+    purchasers = ev.filter("event_type = 'purchase'").select("user_id")
+    erroring = ev.filter("event_type = 'error'").select("user_id")
+    big_signups = ev.filter("event_type = 'signup' AND value > 150").select("user_id")
+    return purchasers.intersect(erroring).subtract(big_signups)
+
+
+SQL_SET_OPS = """
+(SELECT user_id FROM events WHERE event_type = 'purchase'
+ INTERSECT
+ SELECT user_id FROM events WHERE event_type = 'error')
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'signup' AND value > 150
+"""
+
+
+# Rollup aggregation (grouping-set superset)
+def q_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    b = StreamBuilder(spark)
+    li = b.stream(f"{sf}/lineitem.parquet").to_df()
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.count("*").alias("n")))
+
+
+SQL_ROLLUP = """
+SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+       count(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# TPC-H Q3-like: high-revenue BUILDING orders
+def q_top_revenue_orders(spark: SparkSession, sf: str) -> DataFrame:
+    b = StreamBuilder(spark)
+    li = b.stream(f"{sf}/lineitem.parquet").to_df()
+    orders = b.stream(f"{sf}/orders.parquet").to_df()
+    cust = b.table(f"{sf}/customer.parquet").to_df()
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust.filter("c_mktsegment = 'BUILDING'")),
+              orders.o_custkey == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.round(rev, 2).alias("revenue"))
+        .filter(F.col("revenue") > 400000)
+    )
+
+
+SQL_TOP_REVENUE_ORDERS = """
+SELECT o_orderkey, o_orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate
+HAVING round(sum(l_extendedprice * (1 - l_discount)), 2) > 400000
+"""
+
+
+# TPC-H Q5-like: revenue by nation through the full join chain
+def q_nation_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    b = StreamBuilder(spark)
+    li = b.stream(f"{sf}/lineitem.parquet").to_df()
+    orders = b.stream(f"{sf}/orders.parquet").to_df()
+    cust = b.table(f"{sf}/customer.parquet").to_df()
+    nation = b.table(f"{sf}/nation.parquet").to_df()
+    region = b.table(f"{sf}/region.parquet").to_df()
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region.filter("r_name = 'ASIA'")),
+              nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(rev, 2).alias("revenue"))
+    )
+
+
+SQL_NATION_REVENUE = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+# J3 stream-table join (ref JoinKTable, k_stream.go:518-520 — unimplemented
+# there; here: join against a materialized registry store)
+def q_stream_table_join(spark: SparkSession, sf: str) -> DataFrame:
+    b = StreamBuilder(spark)
+    orders = b.stream(f"{sf}/orders.parquet", name="orders")
+    orders.materialize(b.stores, "latest_order", key="o_custkey",
+                       version="o_orderkey")
+    store = b.stores.store("latest_order")
+    events = b.stream(f"{sf}/events.parquet", name="events")
+    return (events.join_table(store, on="user_id", how="left",
+                              select=["event_id", "user_id", "o_orderkey"])
+            .to_df())
+
+
+SQL_STREAM_TABLE_JOIN = """
+SELECT e.event_id, e.user_id, s.o_orderkey
+FROM events e LEFT JOIN
+  (SELECT o_custkey, arg_max(o_orderkey, o_orderkey) AS o_orderkey
+   FROM orders GROUP BY 1) s
+  ON e.user_id = s.o_custkey
+"""
+
+
+OLAP_INVENTORY: dict[str, tuple] = {
+    "j_asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "j_semi_join": (q_semi_join, SQL_SEMI_JOIN),
+    "j_anti_join": (q_anti_join, SQL_ANTI_JOIN),
+    "setop_intersect_except": (q_set_ops, SQL_SET_OPS),
+    "agg_rollup": (q_rollup, SQL_ROLLUP),
+    "agg_top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
+    "agg_nation_revenue": (q_nation_revenue, SQL_NATION_REVENUE),
+    "j3_stream_table_join": (q_stream_table_join, SQL_STREAM_TABLE_JOIN),
+}

@@ -94,7 +94,8 @@ def join_global_table(stream, table, on, how: str = "inner", dlq: DLQ | None = N
 
 def asof_join(left: DataFrame, right: DataFrame, key: str, left_ts: str,
               right_ts: str, right_cols: Sequence[str], how: str = "left",
-              tolerance: str | None = None) -> DataFrame:
+              tolerance: str | None = None,
+              right_key: str | None = None) -> DataFrame:
     """As-of join: for each left row, the most recent right row with
     ``right.ts <= left.ts`` on the same key (capability superset — the
     reference has no temporal joins, SURVEY §2.3 "not present").
@@ -113,6 +114,8 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, left_ts: str,
     ``tolerance``: optional max age of the match, e.g. "90 days" — older
     matches become nulls (left) / drop the row (inner).
     """
+    if right_key and right_key != key:
+        right = right.withColumnRenamed(right_key, key)
     r = right.groupBy(key, right_ts).agg(
         F.max_by(F.struct(*right_cols), F.struct(*right_cols)).alias("__r")
     ).select(key, right_ts, "__r.*")

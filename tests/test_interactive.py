@@ -1,0 +1,78 @@
+"""Interactive query layer (HTTP facade over the store registry) + topic
+admin parity.  Mirrors ref store/http.go endpoints and admin mocks."""
+
+import json
+import urllib.request
+
+import pytest
+
+from kstream_spark import StreamBuilder
+from kstream_spark.admin import InMemoryTopicAdmin, Topic, live_admin
+from kstream_spark.stores.http import StoreHttpServer
+
+
+@pytest.fixture(scope="module")
+def server(spark):
+    b = StreamBuilder(spark)
+    df = spark.createDataFrame(
+        [(1, 1, "alpha", "x"), (2, 1, "beta", "y"), (1, 2, "alpha2", "x")],
+        "key long, version long, payload string, tag string")
+    b.stores.materialize("accounts", df, key="key", version="version")
+    srv = StoreHttpServer(b.stores).start()
+    yield srv
+    srv.stop()
+
+
+def _get(srv, path):
+    with urllib.request.urlopen(f"http://127.0.0.1:{srv.port}{path}") as r:
+        return r.status, json.loads(r.read())
+
+
+def test_list_stores(server):
+    assert _get(server, "/stores") == (200, ["accounts"])
+
+
+def test_full_scan(server):
+    code, rows = _get(server, "/stores/accounts")
+    assert code == 200
+    assert {r["key"]: r["payload"] for r in rows} == {1: "alpha2", 2: "beta"}
+
+
+def test_point_lookup_and_miss(server):
+    code, row = _get(server, "/stores/accounts/1")
+    assert code == 200 and row["payload"] == "alpha2"
+    try:
+        code, _ = _get(server, "/stores/accounts/99")
+    except urllib.error.HTTPError as e:
+        code = e.code
+    assert code == 404
+
+
+def test_index_lookup(server):
+    code, rows = _get(server, "/stores/accounts/indexes/tag/y")
+    assert code == 200 and [r["key"] for r in rows] == [2]
+
+
+def test_unknown_store_404(server):
+    import urllib.error
+    try:
+        code, _ = _get(server, "/stores/nope")
+    except urllib.error.HTTPError as e:
+        code = e.code
+    assert code == 404
+
+
+def test_topic_admin_roundtrip():
+    admin = InMemoryTopicAdmin()
+    admin.create_topics({"t1": Topic("t1", num_partitions=4)})
+    t = admin.ensure_changelog_topic("t1")
+    assert t.config["cleanup.policy"] == "compact"
+    info = admin.fetch_info(["t1", "t1_changelog", "absent"])
+    assert set(info) == {"t1", "t1_changelog"}
+    admin.delete_topics(["t1"])
+    assert admin.fetch_info(["t1"]) == {}
+
+
+def test_live_admin_gated():
+    with pytest.raises(NotImplementedError):
+        live_admin("broker:9092")

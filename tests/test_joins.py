@@ -73,3 +73,44 @@ def test_stream_stream_join_time_bound(spark):
     # unbounded (reference parity: join/window.go has no eviction)
     out2 = l.join_stream(r, on="k").to_df()
     assert out2.count() == 3
+
+
+def test_asof_join_basic_and_tolerance(spark):
+    from kstream_spark.operators.joins import asof_join
+    left = spark.createDataFrame(
+        [(1, "2024-01-10"), (1, "2024-01-20"), (2, "2024-01-05"), (3, "2024-01-10")],
+        "k long, lt string").withColumn("lt", F.col("lt").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-08", 100), (1, "2024-01-15", 101),
+         (1, "2024-01-15", 102),              # dup ts -> greatest row wins
+         (2, "2024-01-06", 200)],             # after left's ts -> no match
+        "k long, rt string, val int").withColumn("rt", F.col("rt").cast("timestamp"))
+
+    out = asof_join(left, right, key="k", left_ts="lt", right_ts="rt",
+                    right_cols=["val"])
+    rows = {(r.k, str(r.lt)[:10]): r.val for r in out.collect()}
+    assert rows[(1, "2024-01-10")] == 100     # latest <= Jan10 is Jan8
+    assert rows[(1, "2024-01-20")] == 102     # dup-ts deterministic winner
+    assert rows[(2, "2024-01-05")] is None    # right row is later -> miss
+    assert rows[(3, "2024-01-10")] is None    # key absent on right
+
+    inner = asof_join(left, right, key="k", left_ts="lt", right_ts="rt",
+                      right_cols=["val"], how="inner")
+    assert inner.count() == 2
+
+    tol = asof_join(left, right, key="k", left_ts="lt", right_ts="rt",
+                    right_cols=["val"], tolerance="3 days")
+    trows = {(r.k, str(r.lt)[:10]): r.val for r in tol.collect()}
+    assert trows[(1, "2024-01-10")] == 100    # 2 days old: within tolerance
+    assert trows[(1, "2024-01-20")] is None   # 5 days old: too stale
+
+
+def test_asof_join_equal_ts_matches(spark):
+    from kstream_spark.operators.joins import asof_join
+    left = spark.createDataFrame([(1, "2024-01-08")], "k long, lt string") \
+        .withColumn("lt", F.col("lt").cast("timestamp"))
+    right = spark.createDataFrame([(1, "2024-01-08", 7)], "k long, rt string, val int") \
+        .withColumn("rt", F.col("rt").cast("timestamp"))
+    out = asof_join(left, right, key="k", left_ts="lt", right_ts="rt",
+                    right_cols=["val"]).collect()
+    assert out[0].val == 7                    # at-or-before includes equality
