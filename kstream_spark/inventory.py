@@ -456,3 +456,7 @@ INVENTORY.update(PIPELINE_INVENTORY)
 from kstream_spark.inventory_olap import OLAP_INVENTORY  # noqa: E402
 
 INVENTORY.update(OLAP_INVENTORY)
+
+from kstream_spark.inventory_extra import EXTRA_INVENTORY  # noqa: E402
+
+INVENTORY.update(EXTRA_INVENTORY)

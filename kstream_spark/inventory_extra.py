@@ -1,0 +1,129 @@
+"""Additional inventory: SimHash dedup, pandas grouped-map UDAF, JSON column
+handling, cube grouping."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kstream_spark.builder import StreamBuilder
+from kstream_spark.operators import dedup as D
+
+_W = ("w AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS words "
+      "FROM documents)")
+_HEXHI = "('8','9','a','b','c','d','e','f')"
+
+
+def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    docs = StreamBuilder(spark).table(f"{sf}/documents.parquet").to_df()
+    return D.simhash_pairs(docs, "doc_id", "text", max_hamming=1)
+
+
+def _simhash_sql() -> str:
+    bits, chunks = D.SIMHASH_BITS, D.SIMHASH_CHUNKS
+    width = bits // chunks
+    sums = ", ".join(
+        f"sum(CASE WHEN substr(md5(w), {i + 1}, 1) IN {_HEXHI} "
+        f"THEN 1 ELSE 0 END) AS s{i}" for i in range(bits))
+    chunk_exprs = ", ".join(
+        "(" + " + ".join(
+            f"(CASE WHEN s{c * width + j} * 2 >= n THEN {1 << (width - 1 - j)} "
+            f"ELSE 0 END)" for j in range(width)) + f") AS c{c}"
+        for c in range(chunks))
+    chunk_union = " UNION ALL ".join(
+        f"SELECT doc_id, {c} AS ci, c{c} AS cv FROM sig" for c in range(chunks))
+    ham = " + ".join(f"bit_count(xor(a.c{c}, b.c{c}))" for c in range(chunks))
+    return f"""
+WITH {_W},
+tok AS (SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(words)-2, 0)+1),
+                               i -> array_to_string(words[i:i+2], ' '))) AS w
+       FROM w),
+sums AS (SELECT doc_id, count(*) AS n, {sums} FROM tok GROUP BY doc_id),
+sig AS (SELECT doc_id, {chunk_exprs} FROM sums),
+ch AS ({chunk_union}),
+cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM ch x JOIN ch y ON x.ci = y.ci AND x.cv = y.cv
+                          AND x.doc_id < y.doc_id)
+SELECT doc_a, doc_b, CAST({ham} AS BIGINT) AS hamming
+FROM cand JOIN sig a ON a.doc_id = doc_a JOIN sig b ON b.doc_id = doc_b
+WHERE {ham} <= 1
+"""
+
+
+# Pandas grouped-map UDAF (the UDF surface, SURVEY §2.6): per-user z-score.
+# Arrow-batched applyInPandas — the sanctioned slow path for per-group
+# imperative logic Spark expressions can't state.
+def q_udaf_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    ev = StreamBuilder(spark).stream(f"{sf}/events.parquet").to_df() \
+        .select("event_id", "user_id", "value")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["value"].mean()
+        sd = pdf["value"].std(ddof=1)
+        out = pdf[["event_id", "user_id"]].copy()
+        out["z"] = ((pdf["value"] - mu) / sd).round(4)
+        return out
+
+    return ev.groupBy("user_id").applyInPandas(
+        zscore, "event_id long, user_id long, z double")
+
+
+SQL_UDAF_ZSCORE = """
+SELECT event_id, user_id,
+       round((value - avg(value) OVER (PARTITION BY user_id))
+             / stddev_samp(value) OVER (PARTITION BY user_id), 4) AS z
+FROM events
+"""
+
+
+# JSON value handling (the reference's values are JSON payloads decoded by
+# encoders, kstream/encoding/json_encoder.go:48-61)
+def q_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    ev = StreamBuilder(spark).stream(f"{sf}/events.parquet").to_df()
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
+SQL_JSON_EXTRACT = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
+"""
+
+
+# Cube grouping (superset)
+def q_cube(spark: SparkSession, sf: str) -> DataFrame:
+    ev = StreamBuilder(spark).stream(f"{sf}/events.parquet").to_df()
+    return (ev.cube("event_type", (F.col("user_id") % 10).alias("cohort"))
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 2).alias("sum_value")))
+
+
+SQL_CUBE = """
+SELECT event_type, user_id % 10 AS cohort, count(*) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY CUBE (event_type, user_id % 10)
+"""
+
+
+# IVF approximate top-k (scale path for similarity search).  Deterministic
+# but its SQL transliteration would be hundreds of lines — driver records a
+# rows-only check; equivalence to brute force (full probe) is covered by
+# tests/test_pipeline.py::test_ivf_topk_high_recall_on_probed_cells.
+def q_sim_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from kstream_spark.operators.similarity import ivf_topk
+    emb = StreamBuilder(spark).table(f"{sf}/embeddings.parquet").to_df()
+    return ivf_topk(emb, "vec_id", "embedding", query_ids=list(range(5)),
+                    k=10, n_cells=16, n_probe=4)
+
+
+EXTRA_INVENTORY: dict[str, tuple] = {
+    "dedup_simhash": (q_dedup_simhash, _simhash_sql()),
+    "udaf_pandas_zscore": (q_udaf_zscore, SQL_UDAF_ZSCORE),
+    "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
+    "agg_cube": (q_cube, SQL_CUBE),
+    "sim_ivf_topk": (q_sim_ivf_topk, None),
+}

@@ -150,3 +150,71 @@ def dedup_survivors(pairs: DataFrame, df: DataFrame, id_col: str) -> DataFrame:
     components to fixpoint; one pass is the standard one-round approximation)."""
     losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
+
+
+# -- SimHash ----------------------------------------------------------------
+SIMHASH_BITS = 32
+SIMHASH_CHUNKS = 4
+_CHUNK_W = SIMHASH_BITS // SIMHASH_CHUNKS  # 8 bits per chunk
+
+
+def _bit_of(token_col: Column, i: int) -> Column:
+    """Bit i of a token's hash: high bit of the i-th md5 hex nibble — a
+    portable 32-bit hash family reproducible in any engine with md5."""
+    return F.substring(F.md5(F.encode(token_col, "UTF-8")), i + 1, 1) \
+        .isin("8", "9", "a", "b", "c", "d", "e", "f").cast("long")
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc SimHash as 4 chunk integers (8 bits each).
+
+    Classic SimHash: bit i of the signature is the majority vote of bit i
+    over the document's distinct 3-word shingles (shingles, not bare tokens —
+    a small shared vocabulary would collapse token-level signatures).  Chunks are emitted as INTEGERS
+    (built arithmetically from the per-bit majority sums), so candidate
+    bucketing is an equi-join and hamming distance is bit_count(xor) —
+    no string parsing anywhere, exactly reproducible in SQL.
+    """
+    from kstream_spark.util import ensure_parallelism
+    toks = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), 3))).alias("w"))
+    aggs = [F.sum(_bit_of(F.col("w"), i)).alias(f"s{i}")
+            for i in range(SIMHASH_BITS)] + [F.count("*").alias("n")]
+    sums = toks.groupBy(id_col).agg(*aggs)
+    chunk_cols = []
+    for c in range(SIMHASH_CHUNKS):
+        expr = F.lit(0)
+        for j in range(_CHUNK_W):
+            bit = (F.col(f"s{c * _CHUNK_W + j}") * 2 >= F.col("n")).cast("long")
+            expr = expr + bit * (1 << (_CHUNK_W - 1 - j))
+        chunk_cols.append(expr.alias(f"c{c}"))
+    return sums.select(id_col, *chunk_cols)
+
+
+def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
+                  max_hamming: int = 1) -> DataFrame:
+    """Near-dup pairs with SimHash hamming distance <= max_hamming.
+
+    Candidate generation by chunk equality: with 4 chunks, hamming <= 3
+    guarantees at least one identical chunk (pigeonhole) — so recall is
+    EXACT for max_hamming <= 3, unlike probabilistic LSH.  Verification
+    computes the true distance with bit_count(xor).  Scale: candidates meet
+    only within a (chunk_idx, chunk_value) bucket.
+    """
+    sig = simhash_signatures(df, id_col, text_col).persist()
+    stack = ", ".join(f"{c}, c{c}" for c in range(SIMHASH_CHUNKS))
+    chunks = sig.selectExpr(id_col, f"stack({SIMHASH_CHUNKS}, {stack}) AS (ci, cv)")
+    cand = (chunks.select(F.col(id_col).alias("doc_a"), "ci", "cv")
+            .join(chunks.select(F.col(id_col).alias("doc_b"), "ci", "cv"),
+                  ["ci", "cv"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b").distinct())
+    a = sig.select(F.col(id_col).alias("doc_a"),
+                   *[F.col(f"c{c}").alias(f"a{c}") for c in range(SIMHASH_CHUNKS)])
+    bb = sig.select(F.col(id_col).alias("doc_b"),
+                    *[F.col(f"c{c}").alias(f"b{c}") for c in range(SIMHASH_CHUNKS)])
+    ham = sum(F.bit_count(F.expr(f"a{c} ^ b{c}")) for c in range(SIMHASH_CHUNKS))
+    return (cand.join(a, "doc_a").join(bb, "doc_b")
+            .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))

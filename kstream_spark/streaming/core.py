@@ -135,3 +135,26 @@ def session_agg(df: DataFrame, ts_col: str, gap: str, keys: Sequence[str] = (),
             .select(F.col("session_window.start").alias("session_start"),
                     F.col("session_window.end").alias("session_end"), *keys,
                     *[F.col(n) for n in (aggs or {})]))
+
+
+def with_retries(fn: Callable, attempts: int = 3, delay_ms: int = 100) -> Callable:
+    """Wrap a foreachBatch sink with bounded retries.
+
+    Ref: per-processor retry count/interval (kstream/k_stream.go:91-92;
+    defaults retry=2, interval=100ms at builder.go:210-211).  After the
+    retries are exhausted the exception propagates and the streaming query
+    fails — the checkpoint replays the batch on restart (at-least-once), so
+    pair this with idempotent sinks (materialize_stream is)."""
+    import time as _time
+
+    def wrapped(bdf, epoch_id):
+        last = None
+        for _ in range(max(1, attempts)):
+            try:
+                return fn(bdf, epoch_id)
+            except Exception as e:  # noqa: BLE001
+                last = e
+                _time.sleep(delay_ms / 1000.0)
+        raise last
+
+    return wrapped

@@ -138,3 +138,31 @@ def test_decode_stub_requires_fake_flag(spark, docs):
     wb = M.attach_binary(docs, "text")
     with pytest.raises(NotImplementedError):
         M.decode_stub(wb, id_col="doc_id")
+
+
+def test_simhash_near_dups(spark, docs):
+    from kstream_spark.operators.dedup import simhash_pairs, simhash_signatures
+    pairs = {(r.doc_a, r.doc_b): r.hamming
+             for r in simhash_pairs(docs, "doc_id", "text", max_hamming=3).collect()}
+    assert (0, 2) in pairs and pairs[(0, 2)] == 0    # normalized-identical
+    assert all(3 not in p for p in pairs)            # unrelated doc excluded
+    sig = simhash_signatures(docs, "doc_id", "text").collect()
+    for r in sig:
+        for c in range(4):
+            assert 0 <= r[f"c{c}"] <= 255            # 8-bit chunks
+
+
+def test_ivf_topk_high_recall_on_probed_cells(spark):
+    import random
+    random.seed(11)
+    rows = [(i, [float(random.gauss(0, 1)) for _ in range(16)]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    ivf = S.ivf_topk(emb, "vec_id", "embedding", query_ids=[50, 60], k=5,
+                     n_cells=8, n_probe=8)   # probe all cells -> exact
+    brute = S.cosine_topk(emb, "vec_id", "embedding", query_ids=[50, 60], k=5)
+    got = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
+    want = {(r.query_id, r.neighbor_id) for r in brute.collect()}
+    assert got == want                       # full probe == brute force
+    part = S.ivf_topk(emb, "vec_id", "embedding", query_ids=[50], k=5,
+                      n_cells=8, n_probe=2)
+    assert part.count() == 5                 # partial probe still yields k

@@ -72,3 +72,10 @@ def test_process_passthrough(events):
     assert out.count() == 4
     # fn runs on executors; driver-side list only observable in local mode
     assert out.columns == events.to_df().columns
+
+
+def test_to_sink_with_tombstone_filter(spark, events, tmp_path):
+    out = tmp_path / "sink"
+    events.to(str(out), tombstone_filter=F.col("v") >= 30, mode="overwrite")
+    back = spark.read.parquet(str(out))
+    assert sorted(r.id for r in back.collect()) == [1, 2]

@@ -153,3 +153,54 @@ def test_kafka_source_options():
     assert opts["subscribe"] == "topic-a"
     assert opts["startingOffsets"] == "latest"
     assert opts["maxOffsetsPerTrigger"] == "50000"
+
+
+def test_streaming_stream_stream_join(spark, tmp_path):
+    """Watermarked stream-stream inner join (ref J2 with bounded state —
+    the compat delta for join/window.go's unbounded buffers)."""
+    import pyspark.sql.functions as F
+    from kstream_spark.streaming import core as SC
+
+    left_d, right_d = tmp_path / "l", tmp_path / "r"
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (2, "2024-01-01 02:00:00")],
+        "k long, ts string").withColumn("ts", F.col("ts").cast("timestamp")) \
+        .coalesce(1).write.parquet(str(left_d))
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:05:00"), (2, "2024-01-01 03:30:00")],
+        "k long, ts string").withColumn("ts", F.col("ts").cast("timestamp")) \
+        .coalesce(1).write.parquet(str(right_d))
+
+    l = SC.read_stream_parquet(spark, str(left_d)).withWatermark("ts", "1 hour")
+    r = SC.read_stream_parquet(spark, str(right_d)) \
+        .withColumnRenamed("ts", "rts").withColumnRenamed("k", "rk") \
+        .withWatermark("rts", "1 hour")
+    joined = l.join(
+        r, F.expr("k = rk AND rts BETWEEN ts AND ts + INTERVAL 30 MINUTES"),
+        "inner").select("k", "ts", "rts")
+    q = (joined.writeStream.format("memory").queryName("ssj_out")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    q.processAllAvailable(); q.stop(); q.awaitTermination(10)
+    out = spark.sql("SELECT * FROM ssj_out").collect()
+    assert [r.k for r in out] == [1]      # k=2 outside the 30-min bound
+
+
+def test_with_retries_recovers_then_raises(spark):
+    from kstream_spark.streaming.core import with_retries
+    calls = {"n": 0}
+
+    def flaky(bdf, eid):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("transient")
+        return "ok"
+
+    assert with_retries(flaky, attempts=3, delay_ms=1)(None, 0) == "ok"
+
+    def always_fails(bdf, eid):
+        raise RuntimeError("permanent")
+
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="permanent"):
+        with_retries(always_fails, attempts=2, delay_ms=1)(None, 0)
