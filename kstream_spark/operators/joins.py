@@ -70,13 +70,19 @@ def join_global_table(stream, table, on, how: str = "inner", dlq: DLQ | None = N
     """
     right = table.lookup_relation()
     right_key = table.key[0]
+    drop_right_key = None
     if isinstance(on, Column):
         cond = on
     else:
         cond = stream.df[on] == right[right_key]
+        if right_key in stream.df.columns:
+            # FK and table key share a name: keep the stream's instance only
+            drop_right_key = right[right_key]
 
     if how == "left" or dlq is None:
         joined = stream.df.join(right, cond, "left" if how == "left" else how)
+        if drop_right_key is not None:
+            joined = joined.drop(drop_right_key)
         if select is not None:
             joined = joined.select(*select)
         return stream._derive(joined, name=f"{stream.name}⋈{table.name}")
@@ -84,6 +90,8 @@ def join_global_table(stream, table, on, how: str = "inner", dlq: DLQ | None = N
     # inner with DLQ: ONE left-outer probe, split by match-ness.
     marked = right.withColumn("__rk_matched", F.lit(True))
     probed = stream.df.join(marked, cond, "left")
+    if drop_right_key is not None:
+        probed = probed.drop(marked[right_key])
     matched = probed.filter(F.col("__rk_matched").isNotNull()).drop("__rk_matched")
     missed = probed.filter(F.col("__rk_matched").isNull()).select(*stream.df.columns)
     dlq.add(missed, reason=f"inner lookup miss: {table.name}")

@@ -217,6 +217,21 @@ class Stream:
             w = w.partitionBy(*partition_by)
         w.format(fmt).save(path)
 
+    def to_bucketed_table(self, table: str, buckets: int,
+                          key: str | Sequence[str] | None = None,
+                          sort: bool = True, mode: str = "overwrite") -> None:
+        """Persist hash-bucketed (and bucket-sorted) by key, so later joins /
+        aggregations on the key are CO-LOCATED — no shuffle of either side.
+        This is the batch analog of the reference's co-partitioned topics
+        (streams joined on their Kafka partitioning, kstream/k_stream.go:383-516):
+        pre-partition once at write time, join shuffle-free forever after.
+        """
+        keys = [key] if isinstance(key, str) else list(key or [self.key])
+        w = self.df.write.mode(mode).bucketBy(buckets, *keys)
+        if sort:
+            w = w.sortBy(*keys)
+        w.saveAsTable(table)
+
     def to_df(self) -> DataFrame:
         return self.df
 

@@ -1,0 +1,90 @@
+"""End-to-end topology tests mirroring the reference's example apps.
+
+example_1 (banking): transaction stream -> branch by event type (first-match)
+-> timestamp filter -> inner lookup join to account_detail -> inner lookup
+join to customer_profile -> project message -> sink.
+Ref: examples/example_1/stream/account_credited.go:44-63, events/*.go
+(fixture F2 in FIXTURES.md).
+
+example_2 (abc): one common topic carrying three event types -> branch 3
+ways -> A joins B on key -> AB joins C on key.
+Ref: examples/example_2/stream/a.go:17-104, events/{a,b,c,ab,abc}.go
+(fixture F3).
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from kstream_spark import StreamBuilder
+from kstream_spark.operators.joins import DLQ
+
+
+def test_example_1_banking_pipeline(spark):
+    b = StreamBuilder(spark)
+    tx = b.from_df(spark.createDataFrame(
+        [("t1", "account_credited", 1000, 101, 25.0),
+         ("t2", "account_debited", 1001, 102, 10.0),
+         ("t3", "account_credited", 900, 101, 5.0),     # too old -> filtered
+         ("t4", "account_credited", 1002, 999, 7.0)],   # unknown account -> DLQ
+        "id string, type string, ts long, account_no long, amount double"),
+        name="transaction")
+    account_detail = b.global_table(spark.createDataFrame(
+        [(101, "saving", "c-1"), (102, "current", "c-2")],
+        "account_no long, account_type string, customer_id string"),
+        key="account_no", name="account_detail", sync=False)
+    customer_profile = b.global_table(spark.createDataFrame(
+        [("c-1", "Ann", "ann@x.io"), ("c-2", "Bob", "bob@x.io")],
+        "customer_id string, customer_name string, email string"),
+        key="customer_id", name="customer_profile", sync=False)
+
+    branches = tx.branch([
+        ("credited", F.col("type") == "account_credited"),
+        ("debited", F.col("type") == "account_debited"),
+    ])
+    dlq = DLQ()
+    # ref filters on timestamp recency (account_credited.go:65-73)
+    message = (branches["credited"]
+               .filter(F.col("ts") >= 950)
+               .join_global_table(account_detail, on="account_no", dlq=dlq)
+               .join_global_table(customer_profile, on="customer_id", dlq=dlq)
+               .select("id", "customer_name", "email",
+                       F.concat(F.lit("credited "), F.col("amount"))
+                       .alias("text")))
+    rows = message.to_df().collect()
+    assert [(r.id, r.customer_name) for r in rows] == [("t1", "Ann")]
+    # inner-join miss went to the DLQ, not silently dropped
+    assert [r.id for r in dlq.df().collect()] == ["t4"]
+
+
+def test_example_2_three_way_stream_join(spark):
+    b = StreamBuilder(spark)
+    # one common topic, discriminated union (abcCommonStream.go:9-27)
+    abc = b.from_df(spark.createDataFrame(
+        [("k1", "AA", "a-one", 10), ("k1", "BB", "b-one", 11),
+         ("k1", "CC", "c-one", 12),
+         ("k2", "AA", "a-two", 20), ("k2", "BB", "b-two", 21),
+         ("k3", "CC", "c-three", 30)],
+        "key string, type string, payload string, ts long"), name="abc")
+    br = abc.branch([
+        ("a", F.col("type") == "AA"),
+        ("b", F.col("type") == "BB"),
+        ("c", F.col("type") == "CC"),
+    ])
+    ab = br["a"].join_stream(
+        br["b"], on="key",
+        select=[F.col("l.key").alias("key"),
+                F.col("l.payload").alias("aaa"),
+                F.col("r.payload").alias("bbb"),
+                F.col("l.ts").alias("timestamp_a"),
+                F.col("r.ts").alias("timestamp_b")])
+    abc_joined = ab.join_stream(
+        br["c"], on="key",
+        select=[F.col("l.key").alias("key"), F.col("l.aaa").alias("aaa"),
+                F.col("l.bbb").alias("bbb"),
+                F.col("r.payload").alias("ccc")])
+    rows = abc_joined.to_df().collect()
+    # only k1 has all three arms
+    assert [(r.key, r.aaa, r.bbb, r.ccc) for r in rows] == \
+        [("k1", "a-one", "b-one", "c-one")]
+    # AB sees k1 and k2 (both have A and B)
+    assert {r.key for r in ab.to_df().collect()} == {"k1", "k2"}

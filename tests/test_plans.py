@@ -59,3 +59,30 @@ def test_pricing_summary_single_shuffle(spark):
     df = q_pricing_summary(spark, SF)
     P.assert_max_shuffles(df, 1)
     P.assert_filter_pushed(df, "l_shipdate")
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Bucketed tables join co-located: zero shuffle exchanges on either side
+    (the 100 TB repeated-join strategy; batch analog of the reference's
+    co-partitioned topics)."""
+    from kstream_spark import StreamBuilder
+    b = StreamBuilder(spark)
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bdb LOCATION '{tmp_path}/bdb'")
+    left = b.from_df(spark.range(0, 1000).withColumnRenamed("id", "k")
+                     .withColumn("v", F.col("k") * 2))
+    right = b.from_df(spark.range(0, 1000).withColumnRenamed("id", "k")
+                      .withColumn("w", F.col("k") + 1))
+    left.to_bucketed_table("bdb.bt_left", buckets=8, key="k")
+    right.to_bucketed_table("bdb.bt_right", buckets=8, key="k")
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bdb.bt_left").join(spark.table("bdb.bt_right"), "k")
+        assert P.shuffle_count(joined) == 0
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bdb.bt_left")
+        spark.sql("DROP TABLE IF EXISTS bdb.bt_right")
+        spark.sql("DROP DATABASE IF EXISTS bdb")
