@@ -61,6 +61,9 @@ def main():
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
+        # operators may persist() intermediates (dedup's inverted index);
+        # clear between queries so cache memory doesn't skew later timings
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

