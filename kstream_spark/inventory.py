@@ -460,3 +460,7 @@ INVENTORY.update(OLAP_INVENTORY)
 from kstream_spark.inventory_extra import EXTRA_INVENTORY  # noqa: E402
 
 INVENTORY.update(EXTRA_INVENTORY)
+
+from kstream_spark.inventory_sql import SQL_INVENTORY  # noqa: E402
+
+INVENTORY.update(SQL_INVENTORY)

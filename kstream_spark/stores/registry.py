@@ -109,3 +109,60 @@ class StoreRegistry:
     def sql(self, query: str) -> DataFrame:
         """Interactive query surface (supersedes ref store/http.go REST API)."""
         return self.spark.sql(query)
+
+
+class PersistentStoreRegistry(StoreRegistry):
+    """Registry with a disk-backed snapshot per store.
+
+    Ref: the rocksdb backend the reference stubs out entirely
+    (backend/rocks/rocks.go:10-302 is 100% commented out) and the
+    local-offset resume path (global_table_stream_instance.go:93-98) —
+    here: every materialize also writes a parquet snapshot, and ``load``
+    restores stores after a restart.  Snapshots are partitioned-overwrite
+    parquet — at scale this is the same pattern as a Delta/Iceberg table
+    without the transaction log (the container has no lake-format jars).
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        super().__init__(spark)
+        self.root = root.rstrip("/")
+        self._epochs: dict[str, int] = {}
+
+    def _latest_epoch(self, name: str) -> int | None:
+        import glob
+        import os
+        dirs = glob.glob(f"{self.root}/{name}/epoch=*")
+        if not dirs:
+            return None
+        return max(int(os.path.basename(d).split("=")[1]) for d in dirs)
+
+    def materialize(self, name, df, key, version=None, tombstone=None,
+                    ttl_col=None) -> Store:
+        store = super().materialize(name, df, key, version=version,
+                                    tombstone=tombstone, ttl_col=ttl_col)
+        # epoch-versioned snapshot: a NEW directory per materialization, so
+        # the write never clobbers the files the incoming lineage reads from
+        # (the previous store may point at the prior snapshot)
+        epoch = self._epochs.get(name, self._latest_epoch(name) or 0) + 1
+        self._epochs[name] = epoch
+        path = f"{self.root}/{name}/epoch={epoch}"
+        store._df.write.mode("overwrite").parquet(path)
+        # re-point the store at the snapshot: downstream reads hit the
+        # materialized files, not the (possibly long) upstream lineage
+        reloaded = self.spark.read.parquet(path)
+        self._stores[name] = Store(name, reloaded, store.key, ttl_col=ttl_col)
+        reloaded.createOrReplaceTempView(name)
+        return self._stores[name]
+
+    def load(self, name: str, key, ttl_col: str | None = None) -> Store:
+        """Restore a store from its latest snapshot (restart path)."""
+        epoch = self._latest_epoch(name)
+        if epoch is None:
+            raise KeyError(f"no snapshot for store: {name}")
+        self._epochs[name] = epoch
+        df = self.spark.read.parquet(f"{self.root}/{name}/epoch={epoch}")
+        keys = [key] if isinstance(key, str) else list(key)
+        store = Store(name, df, keys, ttl_col=ttl_col)
+        self._stores[name] = store
+        df.createOrReplaceTempView(name)
+        return store

@@ -159,3 +159,23 @@ def with_retries(fn: Callable, attempts: int = 3, delay_ms: int = 100) -> Callab
         raise last
 
     return wrapped
+
+
+def write_stream_idempotent(df: DataFrame, path: str, checkpoint_dir: str,
+                            partition_col: str = "__epoch"):
+    """Exactly-once file sink: each micro-batch writes to an epoch-keyed
+    partition with dynamic partition overwrite, so a replayed epoch
+    OVERWRITES its own partition instead of appending duplicates.
+
+    This is the file-sink analog of the reference's changelog
+    mark->process->delete protocol (processor.go:116-170): replay is safe
+    because re-applying epoch N is idempotent."""
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    def apply_batch(bdf: DataFrame, epoch_id: int) -> None:
+        (bdf.withColumn(partition_col, F.lit(epoch_id))
+         .write.mode("overwrite").partitionBy(partition_col).parquet(path))
+
+    return (df.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", checkpoint_dir).start())

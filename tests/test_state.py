@@ -108,3 +108,30 @@ def test_global_table_point_lookup(spark, changes):
     b = StreamBuilder(spark)
     gt = b.global_table(changes, key="key", version="version", sync=True)
     assert gt.get("k1").collect()[0].payload == "c"
+
+
+def test_persistent_registry_survives_restart(spark, tmp_path):
+    from kstream_spark.stores.registry import PersistentStoreRegistry
+    reg = PersistentStoreRegistry(spark, str(tmp_path / "stores"))
+    df1 = spark.createDataFrame([("a", 1, "v1"), ("b", 1, "w1")],
+                                "key string, version long, p string")
+    reg.materialize("ps", df1, key="key", version="version")
+    # incremental re-materialize (merges with prior snapshot)
+    df2 = spark.createDataFrame([("a", 2, "v2")], "key string, version long, p string")
+    reg.materialize("ps", df2, key="key", version="version")
+    assert {r.key: r.p for r in reg.store("ps").get_all().collect()} == \
+        {"a": "v2", "b": "w1"}
+
+    # "restart": a fresh registry loads the latest snapshot from disk
+    reg2 = PersistentStoreRegistry(spark, str(tmp_path / "stores"))
+    store = reg2.load("ps", key="key")
+    assert {r.key: r.p for r in store.get_all().collect()} == {"a": "v2", "b": "w1"}
+    # and further materializations continue from the restored state
+    reg2.materialize("ps", spark.createDataFrame(
+        [("b", 0, "stale")], "key string, version long, p string"),
+        key="key", version="version")
+    assert reg2.store("ps").get("b").collect()[0].p == "w1"   # version gate held
+
+    import pytest as _p
+    with _p.raises(KeyError):
+        reg2.load("missing", key="key")

@@ -232,3 +232,15 @@ def test_checkpoint_restart_no_reprocessing(spark, tmp_path):
     q2 = df2.writeStream.foreachBatch(sink).option("checkpointLocation", ck).start()
     q2.processAllAvailable(); q2.stop(); q2.awaitTermination(10)
     assert sorted(seen) == [1, 2, 3]     # no duplicates of 1, 2
+
+
+def test_write_stream_idempotent_epoch_overwrite(spark, stream_dir, tmp_path):
+    from kstream_spark.streaming.core import write_stream_idempotent
+    out = str(tmp_path / "out")
+    for i in range(2):   # fresh checkpoint each time -> epochs replayed
+        src = SC.read_stream_parquet(spark, stream_dir)
+        q = write_stream_idempotent(src, out, str(tmp_path / f"ck{i}"))
+        _run(q)
+    back = spark.read.parquet(out)
+    # replay overwrote its own epoch partitions: row count == source count
+    assert back.count() == 4
