@@ -464,3 +464,7 @@ INVENTORY.update(EXTRA_INVENTORY)
 from kstream_spark.inventory_sql import SQL_INVENTORY  # noqa: E402
 
 INVENTORY.update(SQL_INVENTORY)
+
+from kstream_spark.inventory_tpch import TPCH_INVENTORY  # noqa: E402
+
+INVENTORY.update(TPCH_INVENTORY)

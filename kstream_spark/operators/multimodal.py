@@ -78,3 +78,61 @@ def decode_stub(df: DataFrame, id_col: str = "doc_id",
         T.StructField("feature", T.ArrayType(T.FloatType())),
     ])
     return df.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+def sample_frames(df: DataFrame, id_col: str = "doc_id",
+                  payload_col: str = "payload", every_n_bytes: int = 32,
+                  max_frames: int = 8, fake: bool = False) -> DataFrame:
+    """Frame sampling for video payloads: emit every k-th frame as its own
+    row (one input row -> N frame rows).
+
+    Plumbing is real — Arrow-batched iterator, explode-shaped output schema,
+    frame index + byte-offset metadata; the codec is stubbed (``fake=True``
+    treats every ``every_n_bytes`` slice as a "frame" and hashes it).  At
+    scale the fan-out happens executor-side with no shuffle; downstream
+    per-frame feature extraction partitions on (doc, frame).
+    """
+    if not fake:
+        raise NotImplementedError(
+            "video codecs (pyav/ffmpeg) not installed in this environment; "
+            "pass fake=True for the deterministic test path")
+
+    def run(batches):
+        for pdf in batches:
+            out = {"doc": [], "frame_idx": [], "byte_offset": [], "frame_sha": []}
+            for _, row in pdf.iterrows():
+                b = bytes(row[payload_col])
+                for i in range(min(max_frames, max(1, len(b) // every_n_bytes))):
+                    off = i * every_n_bytes
+                    out["doc"].append(row[id_col])
+                    out["frame_idx"].append(i)
+                    out["byte_offset"].append(off)
+                    out["frame_sha"].append(
+                        hashlib.sha256(b[off:off + every_n_bytes]).hexdigest())
+            import pandas as pd
+            yield pd.DataFrame(out).rename(columns={"doc": id_col})
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("byte_offset", T.IntegerType()),
+        T.StructField("frame_sha", T.StringType()),
+    ])
+    return df.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+def resize_meta(df: DataFrame, target_w: int, target_h: int,
+                meta_col: str = "media_meta") -> DataFrame:
+    """Record a resize intent in metadata (JVM-side — the actual pixel work
+    happens in the decode stage's pandas iterator when codecs exist).
+    Demonstrates typed-metadata evolution without touching payload bytes —
+    column pruning still drops the payload for metadata-only readers."""
+    return df.withColumn(
+        meta_col,
+        F.struct(
+            F.col(f"{meta_col}.modality").alias("modality"),
+            F.col(f"{meta_col}.n_bytes").alias("n_bytes"),
+            F.col(f"{meta_col}.sha256").alias("sha256"),
+            F.lit(target_w).alias("target_w"),
+            F.lit(target_h).alias("target_h"),
+        ))

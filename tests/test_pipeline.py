@@ -166,3 +166,27 @@ def test_ivf_topk_high_recall_on_probed_cells(spark):
     part = S.ivf_topk(emb, "vec_id", "embedding", query_ids=[50], k=5,
                       n_cells=8, n_probe=2)
     assert part.count() == 5                 # partial probe still yields k
+
+
+def test_sample_frames_fanout(spark, docs):
+    wb = M.attach_binary(docs, "text", modality="video")
+    frames = M.sample_frames(wb, id_col="doc_id", every_n_bytes=16,
+                             max_frames=4, fake=True).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[0]) >= 2                      # long doc -> several frames
+    assert [r.frame_idx for r in sorted(by_doc[0], key=lambda x: x.frame_idx)] \
+        == list(range(len(by_doc[0])))
+    assert all(r.byte_offset == r.frame_idx * 16 for r in frames)
+    assert len({r.frame_sha for r in by_doc[0]}) == len(by_doc[0])
+    with pytest.raises(NotImplementedError):
+        M.sample_frames(wb, id_col="doc_id")
+
+
+def test_resize_meta_prunes_payload(spark, docs):
+    from kstream_spark.plans import inspect as P
+    wb = M.attach_binary(docs, "text")
+    resized = M.resize_meta(wb, 224, 224)
+    meta = resized.select("doc_id", "media_meta.target_w").collect()[0]
+    assert meta.target_w == 224
