@@ -100,31 +100,41 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
-# TPC-H Q3-like: high-revenue BUILDING orders
+# TPC-H Q3-like: high-revenue BUILDING orders.
+# Revenue is summed in EXACT decimal arithmetic (inputs are 2-decimal
+# values): double summation-order differences put per-order sums on either
+# side of .005 rounding boundaries at larger SFs.  Cast back to double after
+# the exact round so the schema is engine-neutral.
 def q_top_revenue_orders(spark: SparkSession, sf: str) -> DataFrame:
     b = StreamBuilder(spark)
     li = b.stream(f"{sf}/lineitem.parquet").to_df()
     orders = b.stream(f"{sf}/orders.parquet").to_df()
     cust = b.table(f"{sf}/customer.parquet").to_df()
-    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    rev = F.sum(F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1).cast("decimal(18,2)")
+                   - F.col("l_discount").cast("decimal(18,2)")))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust.filter("c_mktsegment = 'BUILDING'")),
               orders.o_custkey == F.col("c_custkey"))
         .groupBy("o_orderkey", "o_orderdate")
-        .agg(F.round(rev, 2).alias("revenue"))
+        .agg(F.round(rev, 2).cast("double").alias("revenue"))
         .filter(F.col("revenue") > 400000)
     )
 
 
 SQL_TOP_REVENUE_ORDERS = """
 SELECT o_orderkey, o_orderdate,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+            AS DOUBLE) AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 WHERE c_mktsegment = 'BUILDING'
 GROUP BY o_orderkey, o_orderdate
-HAVING round(sum(l_extendedprice * (1 - l_discount)), 2) > 400000
+HAVING CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+            AS DOUBLE) > 400000
 """
 
 

@@ -92,3 +92,26 @@ def test_asof_join_matches_pandas_merge_asof(left_rows, right_rows):
                          None if pd.isna(r.val) else int(r.val))
                         for r in want.itertuples())
     assert got_pairs == want_pairs
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(st.tuples(st.integers(0, 100), st.integers(0, 100)),
+                min_size=1, max_size=20),
+       st.lists(st.integers(0, 100), min_size=1, max_size=4))
+def test_branch_partitions_exactly(rows, cutoffs):
+    """Every record lands in EXACTLY one branch (ref branch/branch.go:74-80
+    first-match + catch-all), for arbitrary predicate cutoffs."""
+    import pyspark.sql.functions as F
+    from kstream_spark import StreamBuilder
+    spark = _spark()
+    b = StreamBuilder(spark)
+    s = b.from_df(spark.createDataFrame(rows, "id long, v long"))
+    branches = [(f"b{i}", F.col("v") >= c) for i, c in enumerate(cutoffs)]
+    branches.append(("rest", F.lit(True)))
+    out = s.branch(branches)
+    total = rows and len(rows)
+    seen = []
+    for st_ in out.values():
+        seen.extend(r.id for r in st_.to_df().collect())
+    assert sorted(seen) == sorted(r[0] for r in rows)   # partition, no dup/loss
