@@ -127,3 +127,29 @@ EXTRA_INVENTORY: dict[str, tuple] = {
     "agg_cube": (q_cube, SQL_CUBE),
     "sim_ivf_topk": (q_sim_ivf_topk, None),
 }
+
+
+def q_text_tfidf(spark: SparkSession, sf: str) -> DataFrame:
+    from kstream_spark.operators.text import tf_idf_top_terms
+    docs = StreamBuilder(spark).table(f"{sf}/documents.parquet").to_df()
+    return tf_idf_top_terms(docs, "doc_id", "text", k=3)
+
+
+SQL_TEXT_TFIDF = """
+WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS words
+           FROM documents),
+tok AS (SELECT doc_id, unnest(words) AS w FROM w),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+n AS (SELECT count(*) AS n_docs FROM documents),
+dfreq AS (SELECT w, count(*) AS df FROM (SELECT DISTINCT doc_id, w FROM tok)
+          GROUP BY w),
+scored AS (SELECT doc_id, w,
+             round(tf * ln(n.n_docs * 1.0 / dfreq.df), 6) AS score
+           FROM tf JOIN dfreq USING (w) CROSS JOIN n)
+SELECT doc_id, w AS term, score,
+       CAST(row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, w) AS BIGINT) AS rnk
+FROM scored QUALIFY rnk <= 3
+"""
+
+EXTRA_INVENTORY["text_tfidf"] = (q_text_tfidf, SQL_TEXT_TFIDF)

@@ -88,3 +88,32 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFr
         F.array_min(F.transform(sh, lambda s: F.md5(F.encode(s, "UTF-8"))))
          .alias("min_shingle_hash"),
     )
+
+
+def tf_idf_top_terms(df: DataFrame, id_col: str, text_col: str,
+                     k: int = 3) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF.
+
+    tf = term count within the doc; idf = ln(N / df) over the corpus.
+    One explode + two hash aggregations + a broadcast-joined doc-frequency
+    relation; ranking by (rounded score, term) is deterministic across
+    engines.  At corpus scale the df relation is vocabulary-sized —
+    broadcastable — and the heavy (doc, term) relation shuffles once.
+    """
+    from pyspark.sql import Window as W
+    from kstream_spark.util import ensure_parallelism
+
+    toks = ensure_parallelism(df).select(
+        F.col(id_col), F.explode(words(F.col(text_col))).alias("w"))
+    tf = toks.groupBy(id_col, "w").agg(F.count("*").alias("tf"))
+    n_docs = df.count()
+    doc_freq = (toks.select(id_col, "w").distinct()
+                .groupBy("w").agg(F.count("*").alias("df")))
+    scored = (tf.join(F.broadcast(doc_freq), "w")
+              .select(id_col, "w",
+                      F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+                      .alias("score")))
+    rank_w = W.partitionBy(id_col).orderBy(F.desc("score"), F.asc("w"))
+    return (scored.withColumn("rnk", F.row_number().over(rank_w).cast("long"))
+            .filter(F.col("rnk") <= k)
+            .select(id_col, F.col("w").alias("term"), "score", "rnk"))
