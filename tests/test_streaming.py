@@ -244,3 +244,28 @@ def test_write_stream_idempotent_epoch_overwrite(spark, stream_dir, tmp_path):
     back = spark.read.parquet(out)
     # replay overwrote its own epoch partitions: row count == source count
     assert back.count() == 4
+
+
+def test_streaming_lookup_join_against_refreshing_table(spark, stream_dir, tmp_path):
+    """Streaming J1: per-batch lookup join against a global table — the
+    streaming analog of JoinGlobalTable (the table is re-resolvable per
+    micro-batch, which is how a refreshed dimension would be picked up)."""
+    from kstream_spark import StreamBuilder
+    b = StreamBuilder(spark)
+    dim = b.global_table(spark.createDataFrame(
+        [(10, "north"), (20, "south")], "k long, region string"),
+        key="k", name="dim", sync=False)
+    joined_rows = []
+
+    def apply_batch(bdf, eid):
+        out = (b.from_df(bdf)
+               .join_global_table(dim, on="k", how="left")
+               .to_df().collect())
+        joined_rows.extend(out)
+
+    src = SC.read_stream_parquet(spark, stream_dir)
+    q = (src.writeStream.foreachBatch(apply_batch)
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    _run(q)
+    regions = {r.uuid: r.region for r in joined_rows}
+    assert regions[1] == "north" and regions[3] == "south"
