@@ -159,3 +159,87 @@ SQL_INVENTORY: dict[str, tuple] = {
     "fn_date": (q_date_functions, SQL_DATE_FUNCTIONS),
     "agg_revenue_delta": (q_revenue_delta, SQL_REVENUE_DELTA),
 }
+
+
+# Pivot (conditional-aggregation equivalence in the oracle)
+def q_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (_ev(spark, sf).groupBy("user_id")
+            .pivot("event_type", types)
+            .agg(F.count(F.lit(1)))
+            .na.fill(0, types))
+
+
+SQL_PIVOT = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click') AS click,
+       count(*) FILTER (event_type = 'error') AS error,
+       count(*) FILTER (event_type = 'purchase') AS purchase,
+       count(*) FILTER (event_type = 'signup') AS signup,
+       count(*) FILTER (event_type = 'view') AS view
+FROM events GROUP BY user_id
+"""
+
+
+# Unpivot / melt
+def q_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    c = StreamBuilder(spark).table(f"{sf}/customer.parquet").to_df()
+    return c.selectExpr(
+        "c_custkey",
+        "stack(2, 'acctbal', c_acctbal, 'nationkey', CAST(c_nationkey AS DOUBLE))"
+        " AS (metric, val)")
+
+
+SQL_UNPIVOT = """
+SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS val FROM customer
+UNION ALL
+SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) FROM customer
+"""
+
+
+# Scalar subquery: customers above the average account balance
+def q_scalar_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    spark_df = StreamBuilder(spark).table(f"{sf}/customer.parquet").to_df()
+    spark_df.createOrReplaceTempView("customer_v")
+    return spark.sql("""
+        SELECT c_custkey, round(c_acctbal, 2) AS c_acctbal
+        FROM customer_v
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer_v)
+    """)
+
+
+SQL_SCALAR_SUBQUERY = """
+SELECT c_custkey, round(c_acctbal, 2) AS c_acctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+"""
+
+
+# Null-handling battery
+def q_null_handling(spark: SparkSession, sf: str) -> DataFrame:
+    c = StreamBuilder(spark).table(f"{sf}/customer.parquet").to_df()
+    return c.select(
+        "c_custkey",
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")),
+                   F.lit("(default)")).alias("seg_or_default"),
+        F.when(F.col("c_acctbal") < 0, None).otherwise(F.col("c_acctbal"))
+         .alias("nonneg_bal"),
+        (F.col("c_acctbal") < 0).cast("boolean").alias("in_debt"),
+    )
+
+
+SQL_NULL_HANDLING = """
+SELECT c_custkey,
+       coalesce(nullif(c_mktsegment, 'BUILDING'), '(default)') AS seg_or_default,
+       CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS nonneg_bal,
+       c_acctbal < 0 AS in_debt
+FROM customer
+"""
+
+
+SQL_INVENTORY.update({
+    "agg_pivot": (q_pivot, SQL_PIVOT),
+    "fn_unpivot": (q_unpivot, SQL_UNPIVOT),
+    "fn_scalar_subquery": (q_scalar_subquery, SQL_SCALAR_SUBQUERY),
+    "fn_null_handling": (q_null_handling, SQL_NULL_HANDLING),
+})
