@@ -259,3 +259,28 @@ PIPELINE_INVENTORY: dict[str, tuple] = {
     "sim_lsh_pairs": (q_sim_lsh_pairs, None),
     "mm_binary_meta": (q_mm_binary_meta, SQL_MM_BINARY_META),
 }
+
+
+def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup components over MinHash+LSH pairs (fixpoint clustering —
+    correct transitive survivor semantics)."""
+    docs = _docs(StreamBuilder(spark), sf)
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    return D.connected_components(pairs)
+
+
+def _clusters_sql() -> str:
+    # recursive CTE: a node's cluster id = min doc id among all reachable
+    return (
+        "WITH RECURSIVE pairs AS (" + _minhash_sql() + "),\n"
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs\n"
+        "          UNION SELECT doc_b, doc_a FROM pairs),\n"
+        "reach(node, label) AS (\n"
+        "  SELECT src, src FROM edges\n"
+        "  UNION\n"
+        "  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node)\n"
+        "SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node"
+    )
+
+
+PIPELINE_INVENTORY["dedup_clusters"] = (q_dedup_clusters, _clusters_sql())

@@ -218,3 +218,50 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
     return (cand.join(a, "doc_a").join(bb, "doc_b")
             .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
             .filter(F.col("hamming") <= max_hamming))
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over a near-dup pair list -> (doc_id, cluster_id),
+    cluster_id = min doc id in the component.
+
+    One-pass survivor selection (dedup_survivors) misses transitive chains
+    (A~B, B~C keeps C if only (A,B),(B,C) paired); clustering to fixpoint is
+    the correct semantics.  Iterative label propagation: each round every
+    node takes the min label among itself and its neighbors — a driver-side
+    loop of distributed joins (label propagation is the standard
+    BSP-on-DataFrames formulation; rounds needed = graph diameter, checked
+    via a convergence count so typical corpora stop after a handful).
+    """
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    sym = edges.union(edges.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    labels = nodes.withColumn("label", F.col("node"))
+    for _ in range(max_iter):
+        neighbor_min = (sym.join(labels, sym.dst == labels.node)
+                        .groupBy("src").agg(F.min("label").alias("nlabel"))
+                        .withColumnRenamed("src", "node"))
+        new_labels = (labels.join(neighbor_min, "node", "left")
+                      .select("node", F.least(F.col("label"),
+                                              F.coalesce("nlabel", "label"))
+                              .alias("label")))
+        new_labels = new_labels.persist()
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.label") != F.col("o.label")).count())
+        labels.unpersist() if hasattr(labels, "unpersist") else None
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))
+
+
+def dedup_survivors_cc(pairs: DataFrame, df: DataFrame, id_col: str,
+                       max_iter: int = 20) -> DataFrame:
+    """Fixpoint survivor selection: keep exactly the min-id doc of every
+    near-dup component (plus all unpaired docs)."""
+    comp = connected_components(pairs, max_iter)
+    losers = comp.filter(F.col("doc_id") != F.col("cluster_id")) \
+        .select(F.col("doc_id").alias(id_col))
+    return df.join(losers, id_col, "left_anti")

@@ -190,3 +190,18 @@ def test_resize_meta_prunes_payload(spark, docs):
     resized = M.resize_meta(wb, 224, 224)
     meta = resized.select("doc_id", "media_meta.target_w").collect()[0]
     assert meta.target_w == 224
+
+
+def test_connected_components_transitive_chain(spark):
+    from kstream_spark.operators.dedup import (connected_components,
+                                               dedup_survivors_cc)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9), (7, 8)],   # chain 1-2-3; 5-6; 7-8-9
+        "doc_a long, doc_b long")
+    comp = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[5] == comp[6] == 5
+    assert comp[7] == comp[8] == comp[9] == 7
+    docs = spark.createDataFrame([(i,) for i in range(1, 11)], "doc_id long")
+    kept = {r.doc_id for r in dedup_survivors_cc(pairs, docs, "doc_id").collect()}
+    assert kept == {1, 4, 5, 7, 10}
