@@ -269,3 +269,45 @@ def test_streaming_lookup_join_against_refreshing_table(spark, stream_dir, tmp_p
     _run(q)
     regions = {r.uuid: r.region for r in joined_rows}
     assert regions[1] == "north" and regions[3] == "south"
+
+
+def test_stateful_stream_join_unbounded_reference_semantics(spark, tmp_path):
+    """Custom stateful join reproduces the reference's unbounded-buffer
+    semantics in STREAMING mode: matched entries stay buffered and keep
+    matching across micro-batches (side_joiner.go:54-93, window.go:5-29)."""
+    import pyspark.sql.functions as F
+    import pyspark.sql.types as T
+    from kstream_spark.streaming import core as SC
+    from kstream_spark.streaming.join import parse_joined, stateful_stream_join
+
+    ldir, rdir = tmp_path / "l", tmp_path / "r"
+    # batch 1: left(1,a1) right(1,b1) -> 1 match
+    spark.createDataFrame([(1, "a1")], "k long, lv string") \
+        .coalesce(1).write.mode("append").parquet(str(ldir))
+    spark.createDataFrame([(1, "b1"), (2, "b2")], "k long, rv string") \
+        .coalesce(1).write.mode("append").parquet(str(rdir))
+
+    l = SC.read_stream_parquet(spark, str(ldir))
+    r = SC.read_stream_parquet(spark, str(rdir))
+    joined = stateful_stream_join(l, r, "k", ["lv"], ["rv"])
+    q = (joined.writeStream.format("memory").queryName("sj_out")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    q.processAllAvailable()
+    first = spark.sql("SELECT * FROM sj_out").count()
+    assert first == 1                      # (a1, b1); k=2 right buffered
+
+    # batch 2: a second left for k=1 must match the STILL-BUFFERED b1
+    # (Spark's native watermarked join would require a time bound; the
+    # reference's buffers never evict) — and k=2 left matches buffered b2
+    spark.createDataFrame([(1, "a2"), (2, "a3")], "k long, lv string") \
+        .coalesce(1).write.mode("append").parquet(str(ldir))
+    q.processAllAvailable()
+    q.stop(); q.awaitTermination(10)
+
+    out = parse_joined(
+        spark.sql("SELECT * FROM sj_out"),
+        T.StructType([T.StructField("lv", T.StringType())]),
+        T.StructType([T.StructField("rv", T.StringType())]))
+    rows = {(r.k, r.l.lv, r.r.rv) for r in out.collect()}
+    assert rows == {(1, "a1", "b1"), (1, "a2", "b1"), (2, "a3", "b2")}
