@@ -136,3 +136,23 @@ def resize_meta(df: DataFrame, target_w: int, target_h: int,
             F.lit(target_w).alias("target_w"),
             F.lit(target_h).alias("target_h"),
         ))
+
+
+def attach_audio(df: DataFrame, source_col: str, sample_rate: int = 16000,
+                 payload_col: str = "payload") -> DataFrame:
+    """Audio-modality variant of attach_binary: payload + typed audio
+    metadata (sample rate, estimated duration from byte length — the stub
+    assumes 16-bit mono PCM; a real decoder would read the container
+    header in the mapInPandas stage)."""
+    payload = F.encode(F.col(source_col), "UTF-8") if \
+        dict(df.dtypes)[source_col] == "string" else F.col(source_col)
+    n_bytes = F.octet_length(payload)
+    return df.withColumn(payload_col, payload).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("audio").alias("modality"),
+            n_bytes.alias("n_bytes"),
+            F.sha2(payload, 256).alias("sha256"),
+            F.lit(sample_rate).alias("sample_rate"),
+            F.round(n_bytes / (2 * sample_rate), 6).alias("est_duration_s"),
+        ))

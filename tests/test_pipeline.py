@@ -205,3 +205,10 @@ def test_connected_components_transitive_chain(spark):
     docs = spark.createDataFrame([(i,) for i in range(1, 11)], "doc_id long")
     kept = {r.doc_id for r in dedup_survivors_cc(pairs, docs, "doc_id").collect()}
     assert kept == {1, 4, 5, 7, 10}
+
+
+def test_attach_audio_metadata(spark, docs):
+    wa = M.attach_audio(docs, "text", sample_rate=8000)
+    m = wa.select("media_meta.*").collect()[0]
+    assert m.modality == "audio" and m.sample_rate == 8000
+    assert abs(m.est_duration_s - m.n_bytes / 16000) < 1e-6
