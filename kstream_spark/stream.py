@@ -72,6 +72,18 @@ class Stream:
         """
         return self._derive(self.df.filter(_to_col(predicate)))
 
+    def filter_strict(self, predicate: Column | str, dlq) -> "Stream":
+        """Filter with the reference's error path made explicit: rows where
+        the predicate evaluates to NULL (SQL's silent third value — the
+        closest analog of a predicate error, e.g. a malformed field) are
+        routed to the DLQ instead of silently dropped.
+        Ref: processors/filter.go:72-89 — predicate error aborts the record
+        into retry/DLQ, never a silent drop."""
+        p = _to_col(predicate)
+        errored = self.df.filter(p.isNull())
+        dlq.add(errored, reason="filter predicate evaluated to NULL")
+        return self._derive(self.df.filter(p.isNotNull() & p))
+
     def select_key(self, expr: Column | str, key_col: str = "key") -> "Stream":
         """Re-key the stream.  Ref: processors/key_selector.go:54-68.
 

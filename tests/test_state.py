@@ -135,3 +135,14 @@ def test_persistent_registry_survives_restart(spark, tmp_path):
     import pytest as _p
     with _p.raises(KeyError):
         reg2.load("missing", key="key")
+
+
+def test_composite_version_column(spark):
+    # version comparator over a composite (epoch, seq) — the analog of the
+    # reference's pluggable RecordVersionExtractor (materializer.go:10-11)
+    df = spark.createDataFrame(
+        [("k", 1, 5, "old-epoch-high-seq"),
+         ("k", 2, 1, "new-epoch-low-seq")],
+        "key string, epoch long, seq long, p string")
+    out = compact_latest(df, "key", version=F.struct("epoch", "seq"))
+    assert out.collect()[0].p == "new-epoch-low-seq"

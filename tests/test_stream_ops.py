@@ -100,3 +100,17 @@ def test_salted_agg_matches_plain(spark):
     # the salt actually splits the hot key across buckets
     salted = with_salt(df.filter("k = 0"), buckets=8)
     assert salted.select("__salt").distinct().count() > 1
+
+
+def test_filter_strict_routes_null_predicates_to_dlq(spark):
+    from kstream_spark import StreamBuilder
+    from kstream_spark.operators.joins import DLQ
+    b = StreamBuilder(spark)
+    df = spark.createDataFrame(
+        [(1, "5"), (2, "not-a-number"), (3, "50")], "id long, raw string")
+    s = b.from_df(df)
+    dlq = DLQ()
+    # try_cast yields NULL for garbage -> predicate NULL -> DLQ, not dropped
+    out = s.filter_strict(F.expr("try_cast(raw AS INT) > 10"), dlq).to_df()
+    assert [r.id for r in out.collect()] == [3]
+    assert [r.id for r in dlq.df().collect()] == [2]

@@ -311,3 +311,20 @@ def test_stateful_stream_join_unbounded_reference_semantics(spark, tmp_path):
         T.StructType([T.StructField("rv", T.StringType())]))
     rows = {(r.k, r.l.lv, r.r.rv) for r in out.collect()}
     assert rows == {(1, "a1", "b1"), (1, "a2", "b1"), (2, "a3", "b2")}
+
+
+def test_materialize_stream_with_tombstones(spark, tmp_path):
+    from kstream_spark import StreamBuilder
+    b = StreamBuilder(spark)
+    d = tmp_path / "in"
+    spark.createDataFrame(
+        [(1, 10, "x", False), (2, 10, None, True), (3, 20, "y", False)],
+        "uuid long, k long, v string, deleted boolean") \
+        .coalesce(1).write.parquet(str(d))
+    src = SC.read_stream_parquet(spark, str(d))
+    q = SC.materialize_stream(src, b.stores, "tomb_store", key="k",
+                              version="uuid", tombstone=F.col("deleted"),
+                              checkpoint_dir=str(tmp_path / "ck"))
+    _run(q)
+    rows = {r.k: r.v for r in b.stores.store("tomb_store").get_all().collect()}
+    assert rows == {20: "y"}        # k=10's latest record is a tombstone
