@@ -328,3 +328,44 @@ def test_materialize_stream_with_tombstones(spark, tmp_path):
     _run(q)
     rows = {r.k: r.v for r in b.stores.store("tomb_store").get_all().collect()}
     assert rows == {20: "y"}        # k=10's latest record is a tombstone
+
+
+def test_stateful_join_equals_batch_unbounded_join(spark, tmp_path):
+    """The streaming stateful join's match set == the batch unbounded join
+    (reference semantics both ways) on the same data."""
+    import pyspark.sql.functions as F
+    import pyspark.sql.types as T
+    from kstream_spark import StreamBuilder
+    from kstream_spark.streaming import core as SC
+    from kstream_spark.streaming.join import parse_joined, stateful_stream_join
+
+    lrows = [(k, f"l{k}-{i}") for k in range(4) for i in range(3)]
+    rrows = [(k, f"r{k}-{i}") for k in range(3) for i in range(2)]
+    ldir, rdir = tmp_path / "l", tmp_path / "r"
+    spark.createDataFrame(lrows, "k long, lv string").coalesce(2) \
+        .write.parquet(str(ldir))
+    spark.createDataFrame(rrows, "k long, rv string").coalesce(2) \
+        .write.parquet(str(rdir))
+
+    # streaming stateful join
+    joined = stateful_stream_join(
+        SC.read_stream_parquet(spark, str(ldir)),
+        SC.read_stream_parquet(spark, str(rdir)), "k", ["lv"], ["rv"])
+    q = (joined.writeStream.format("memory").queryName("eq_out")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    q.processAllAvailable(); q.stop(); q.awaitTermination(10)
+    streaming_set = {(r.k, r.l.lv, r.r.rv) for r in parse_joined(
+        spark.sql("SELECT * FROM eq_out"),
+        T.StructType([T.StructField("lv", T.StringType())]),
+        T.StructType([T.StructField("rv", T.StringType())])).collect()}
+
+    # batch unbounded join (ref parity path)
+    b = StreamBuilder(spark)
+    batch = b.from_df(spark.read.parquet(str(ldir))).join_stream(
+        b.from_df(spark.read.parquet(str(rdir))), on="k",
+        select=[F.col("l.k").alias("k"), F.col("l.lv").alias("lv"),
+                F.col("r.rv").alias("rv")])
+    batch_set = {(r.k, r.lv, r.rv) for r in batch.to_df().collect()}
+    assert streaming_set == batch_set
+    assert len(batch_set) == 3 * 3 * 2     # keys 0..2: 3 lefts x 2 rights
