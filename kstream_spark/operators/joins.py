@@ -124,6 +124,11 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, left_ts: str,
     """
     if right_key and right_key != key:
         right = right.withColumnRenamed(right_key, key)
+    clash = (set(right_cols) & set(left.columns)) | \
+        ({"__t", "__side", "__rt"} & set(left.columns))
+    if clash:
+        raise ValueError(f"asof_join column collision: {sorted(clash)} — "
+                         "rename/project before joining")
     r = right.groupBy(key, right_ts).agg(
         F.max_by(F.struct(*right_cols), F.struct(*right_cols)).alias("__r")
     ).select(key, right_ts, "__r.*")

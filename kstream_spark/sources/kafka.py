@@ -103,7 +103,7 @@ def encode_records(df: DataFrame, key_col: str = "key", value_col: str = "value"
     Ref: k_sink.go:195-248 — encode key/value, optional tombstone predicate
     (rows matching it produce null value = delete marker, k_sink.go:230-240),
     optional headers."""
-    value = F.to_json(F.struct(F.col(value_col))) if \
+    value = F.to_json(F.col(value_col)) if \
         dict(df.dtypes)[value_col].startswith("struct") else F.col(value_col).cast("string")
     if tombstone is not None:
         t = tombstone if isinstance(tombstone, F.Column) else F.expr(tombstone)

@@ -114,3 +114,16 @@ def test_asof_join_equal_ts_matches(spark):
     out = asof_join(left, right, key="k", left_ts="lt", right_ts="rt",
                     right_cols=["val"]).collect()
     assert out[0].val == 7                    # at-or-before includes equality
+
+
+def test_asof_join_rejects_column_collision(spark):
+    from kstream_spark.operators.joins import asof_join
+    left = spark.createDataFrame([(1, "2024-01-01", 9)],
+                                 "k long, lt string, val int") \
+        .withColumn("lt", F.col("lt").cast("timestamp"))
+    right = spark.createDataFrame([(1, "2024-01-01", 5)],
+                                  "k long, rt string, val int") \
+        .withColumn("rt", F.col("rt").cast("timestamp"))
+    with pytest.raises(ValueError, match="collision"):
+        asof_join(left, right, key="k", left_ts="lt", right_ts="rt",
+                  right_cols=["val"])

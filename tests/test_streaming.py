@@ -369,3 +369,12 @@ def test_stateful_join_equals_batch_unbounded_join(spark, tmp_path):
     batch_set = {(r.k, r.lv, r.rv) for r in batch.to_df().collect()}
     assert streaming_set == batch_set
     assert len(batch_set) == 3 * 3 * 2     # keys 0..2: 3 lefts x 2 rights
+
+
+def test_encode_records_struct_value_not_double_wrapped(spark):
+    from kstream_spark.sources.kafka import encode_records
+    import json
+    df = spark.createDataFrame([(1,)], "key long").selectExpr(
+        "key", "named_struct('a', 1, 'b', 'x') AS value")
+    out = encode_records(df).collect()[0]
+    assert json.loads(out.value) == {"a": 1, "b": "x"}   # not {"value": {...}}
