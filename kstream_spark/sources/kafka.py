@@ -97,12 +97,15 @@ def decode_records(df: DataFrame, value_schema: T.StructType | None,
 
 def encode_records(df: DataFrame, key_col: str = "key", value_col: str = "value",
                    tombstone: F.Column | str | None = None,
-                   headers_col: str | None = None) -> DataFrame:
+                   headers_col: str | None = None,
+                   timestamp_col: str | None = None,
+                   include_timestamp: bool = False) -> DataFrame:
     """Typed columns -> Kafka wire record for the sink.
 
     Ref: k_sink.go:195-248 — encode key/value, optional tombstone predicate
     (rows matching it produce null value = delete marker, k_sink.go:230-240),
-    optional headers."""
+    optional headers; the record timestamp defaults to now when no column is
+    given (k_sink.go:198)."""
     value = F.to_json(F.col(value_col)) if \
         dict(df.dtypes)[value_col].startswith("struct") else F.col(value_col).cast("string")
     if tombstone is not None:
@@ -111,6 +114,10 @@ def encode_records(df: DataFrame, key_col: str = "key", value_col: str = "value"
     cols = [F.col(key_col).cast("string").alias("key"), value.alias("value")]
     if headers_col:
         cols.append(F.col(headers_col).alias("headers"))
+    if timestamp_col:
+        cols.append(F.col(timestamp_col).alias("timestamp"))
+    elif include_timestamp:
+        cols.append(F.current_timestamp().alias("timestamp"))
     return df.select(*cols)
 
 

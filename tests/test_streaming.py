@@ -378,3 +378,15 @@ def test_encode_records_struct_value_not_double_wrapped(spark):
         "key", "named_struct('a', 1, 'b', 'x') AS value")
     out = encode_records(df).collect()[0]
     assert json.loads(out.value) == {"a": 1, "b": "x"}   # not {"value": {...}}
+
+
+def test_encode_records_timestamp_default(spark):
+    from kstream_spark.sources.kafka import encode_records
+    df = spark.createDataFrame([(1, "x")], "key long, value string")
+    out = encode_records(df, include_timestamp=True).collect()[0]
+    assert out.timestamp is not None          # defaults to now (k_sink.go:198)
+    with_col = spark.createDataFrame(
+        [(1, "x", "2024-01-01 00:00:00")], "key long, value string, ts string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    out2 = encode_records(with_col, timestamp_col="ts").collect()[0]
+    assert str(out2.timestamp).startswith("2024-01-01")
