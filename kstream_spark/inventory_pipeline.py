@@ -284,3 +284,31 @@ def _clusters_sql() -> str:
 
 
 PIPELINE_INVENTORY["dedup_clusters"] = (q_dedup_clusters, _clusters_sql())
+
+
+def q_train_val_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic hash-bucket train/val/test split counts per split."""
+    from kstream_spark.operators.sampling import train_val_split
+    docs = _docs(StreamBuilder(spark), sf)
+    return (train_val_split(docs, "doc_id", val_pct=10, test_pct=10)
+            .groupBy("split").agg(F.count("*").alias("n"),
+                                  F.min("doc_id").alias("min_id")))
+
+
+def _split_sql() -> str:
+    # DuckDB lacks conv(); reconstruct the 8-hex-digit value positionally
+    digits = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8))
+    return f"""
+WITH hashed AS (
+  SELECT doc_id, md5('split:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+bucketed AS (SELECT doc_id, ({digits}) % 100 AS b FROM hashed)
+SELECT CASE WHEN b < 10 THEN 'val' WHEN b < 20 THEN 'test'
+            ELSE 'train' END AS split,
+       count(*) AS n, min(doc_id) AS min_id
+FROM bucketed GROUP BY 1
+"""
+
+
+PIPELINE_INVENTORY["sample_train_val_split"] = (q_train_val_split, _split_sql())

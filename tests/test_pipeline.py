@@ -212,3 +212,17 @@ def test_attach_audio_metadata(spark, docs):
     m = wa.select("media_meta.*").collect()[0]
     assert m.modality == "audio" and m.sample_rate == 8000
     assert abs(m.est_duration_s - m.n_bytes / 16000) < 1e-6
+
+
+def test_deterministic_split_stability(spark, docs):
+    from kstream_spark.operators.sampling import (deterministic_sample,
+                                                  train_val_split)
+    a = {(r.doc_id, r.split) for r in
+         train_val_split(docs, "doc_id", val_pct=40).collect()}
+    b = {(r.doc_id, r.split) for r in
+         train_val_split(docs.repartition(7), "doc_id", val_pct=40).collect()}
+    assert a == b                                  # partition-layout invariant
+    assert {s for _, s in a} <= {"train", "val"}
+    s1 = {r.doc_id for r in deterministic_sample(docs, "doc_id", 60).collect()}
+    s2 = {r.doc_id for r in deterministic_sample(docs, "doc_id", 60).collect()}
+    assert s1 == s2
