@@ -29,8 +29,16 @@ HEADLINE = [
     "agg_nation_revenue",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
     "sim_cosine_topk",
     "text_quality",
+    "text_tfidf",
+    "tpch_q4_priority_exists",
+    "tpch_q14_promo_revenue",
+    "agg_pivot",
+    "wf_running_sum",
+    "sample_train_val_split",
 ]
 
 

@@ -86,15 +86,28 @@ def _jaccard_on_pairs(cand: DataFrame, sh: DataFrame, id_col: str,
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
                         threshold: float = 0.8,
                         max_shingle_df: int | None = None) -> DataFrame:
-    """All pairs with shingle-set Jaccard >= threshold (exact, inverted index)."""
-    sh = shingle_sets(df, id_col, text_col, n, max_shingle_df)
-    cand = (
+    """All pairs with shingle-set Jaccard >= threshold (exact, inverted index).
+
+    Intersections come straight off the shingle self-join aggregation — no
+    intermediate distinct-pairs relation (that would re-shuffle the largest
+    relation twice for nothing; the LSH path needs the candidate step, the
+    exact path does not)."""
+    sh = shingle_sets(df, id_col, text_col, n, max_shingle_df).persist()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    inter = (
         sh.select(F.col(id_col).alias("doc_a"), "s")
         .join(sh.select(F.col(id_col).alias("doc_b"), "s"), "s")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
+        .groupBy("doc_a", "doc_b").agg(F.count("*").alias("i"))
     )
-    return _jaccard_on_pairs(cand, sh, id_col, threshold)
+    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
+    j = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(na, "doc_a").join(nb, "doc_b")
+        .filter(j >= threshold)
+        .select("doc_a", "doc_b", F.round(j, 6).alias("jaccard"))
+    )
 
 
 def minhash_signatures(sh: DataFrame, id_col: str,
