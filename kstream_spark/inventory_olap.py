@@ -203,3 +203,31 @@ OLAP_INVENTORY: dict[str, tuple] = {
     "agg_nation_revenue": (q_nation_revenue, SQL_NATION_REVENUE),
     "j3_stream_table_join": (q_stream_table_join, SQL_STREAM_TABLE_JOIN),
 }
+
+
+# Range (theta) join: lineitems counted into price bands (bucketized path)
+def q_range_join_bands(spark: SparkSession, sf: str) -> DataFrame:
+    from kstream_spark.operators.joins import range_join
+    b = StreamBuilder(spark)
+    li = b.stream(f"{sf}/lineitem.parquet").to_df() \
+        .select("l_orderkey", "l_extendedprice")
+    bands = spark.createDataFrame(
+        [(0.0, 10000.0, "small"), (10000.0, 40000.0, "medium"),
+         (40000.0, 1e9, "large")],
+        "lo double, hi double, band string")
+    return (range_join(li, bands, "l_extendedprice", "lo", "hi",
+                       bucket_width=5000.0)
+            .groupBy("band").agg(F.count("*").alias("n")))
+
+
+SQL_RANGE_JOIN_BANDS = """
+SELECT band, count(*) AS n
+FROM lineitem
+JOIN (VALUES (0.0, 10000.0, 'small'), (10000.0, 40000.0, 'medium'),
+             (40000.0, 1e9, 'large')) b(lo, hi, band)
+  ON l_extendedprice >= lo AND l_extendedprice < hi
+GROUP BY band
+"""
+
+
+OLAP_INVENTORY["j_range_join_bands"] = (q_range_join_bands, SQL_RANGE_JOIN_BANDS)

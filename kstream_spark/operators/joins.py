@@ -198,3 +198,39 @@ def join_stream(left, right, on, within=None, ts_col: str = "ts", how: str = "in
     if select is not None:
         joined = joined.select(*select)
     return left._derive(joined, name=f"{left.name}⋈{right.name}")
+
+
+def range_join(left: DataFrame, right: DataFrame, left_val: str,
+               lo_col: str, hi_col: str, bucket_width: float | None = None,
+               select: Sequence | None = None) -> DataFrame:
+    """Range (theta) join: match left rows whose ``left_val`` falls in the
+    right row's [lo, hi) interval (capability superset — SURVEY §2.3 lists
+    range/theta joins as absent from the reference).
+
+    Scale paths:
+      * ``bucket_width=None``: plain non-equi join — Catalyst picks
+        broadcast-nested-loop, correct when the interval side is small
+        (the common "banding dimension" case).
+      * ``bucket_width=w``: BUCKETIZED — each interval explodes to the
+        integer buckets it overlaps, the point side maps to one bucket, and
+        the join becomes an EQUI-join on bucket + exact filter.  This is the
+        large×large path: shuffle-hash instead of O(n·m) nested loop, with
+        fan-out bounded by interval_length/w per right row.
+    """
+    if bucket_width is None:
+        cond = (F.col(left_val) >= right[lo_col]) & (F.col(left_val) < right[hi_col])
+        out = left.join(right, cond)
+        return out.select(*select) if select is not None else out
+
+    w = float(bucket_width)
+    lbuck = F.floor(F.col(left_val) / w)
+    r_expanded = right.withColumn(
+        "__bucket",
+        F.explode(F.sequence(F.floor(F.col(lo_col) / w),
+                             F.floor((F.col(hi_col) - F.lit(1e-9)) / w))))
+    out = (left.withColumn("__bucket", lbuck)
+           .join(r_expanded, "__bucket")
+           .filter((F.col(left_val) >= F.col(lo_col))
+                   & (F.col(left_val) < F.col(hi_col)))
+           .drop("__bucket"))
+    return out.select(*select) if select is not None else out

@@ -127,3 +127,23 @@ def test_asof_join_rejects_column_collision(spark):
     with pytest.raises(ValueError, match="collision"):
         asof_join(left, right, key="k", left_ts="lt", right_ts="rt",
                   right_cols=["val"])
+
+
+def test_range_join_bucketized_equals_plain(spark):
+    from kstream_spark.operators.joins import range_join
+    points = spark.createDataFrame(
+        [(i, float(i)) for i in range(0, 100, 7)], "id long, v double")
+    bands = spark.createDataFrame(
+        [(0.0, 25.0, "low"), (25.0, 75.0, "mid"), (75.0, 200.0, "high")],
+        "lo double, hi double, band string")
+    plain = {(r.id, r.band) for r in
+             range_join(points, bands, "v", "lo", "hi").collect()}
+    bucketized = {(r.id, r.band) for r in
+                  range_join(points, bands, "v", "lo", "hi",
+                             bucket_width=10.0).collect()}
+    assert plain == bucketized
+    assert (0, "low") in plain and (77, "high") in plain
+    # boundary: v == lo matches, v == hi does not (half-open)
+    edge = spark.createDataFrame([(1, 25.0)], "id long, v double")
+    got = range_join(edge, bands, "v", "lo", "hi").collect()
+    assert [r.band for r in got] == ["mid"]
