@@ -65,19 +65,24 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3,
 
 def _jaccard_on_pairs(cand: DataFrame, sh: DataFrame, id_col: str,
                       threshold: float) -> DataFrame:
-    """Exact Jaccard for candidate (doc_a, doc_b) pairs via the inverted index."""
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
-    a = sh.select(F.col(id_col).alias("doc_a"), "s")
-    bside = sh.select(F.col(id_col).alias("doc_b"), "s")
-    inter = (
-        cand.join(a, "doc_a").join(bside, ["doc_b", "s"])
-        .groupBy("doc_a", "doc_b").agg(F.count("*").alias("i"))
-    )
-    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
-    j = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    """Exact Jaccard for candidate (doc_a, doc_b) pairs.
+
+    Collapses the inverted index to one sorted shingle-array per doc, then
+    verifies each candidate with ``array_intersect`` — two joins keyed on doc
+    id instead of re-exploding candidates through the (doc, shingle) relation
+    (which shuffles |cand| x avg_shingles rows).  The per-doc array relation
+    is |docs| rows of ~shingle_count strings; joins on it shuffle (or
+    broadcast, when small) by doc id only."""
+    sets = sh.groupBy(id_col).agg(F.sort_array(F.collect_set("s")).alias("ss"),
+                                  F.count("*").alias("n"))
+    a = sets.select(F.col(id_col).alias("doc_a"),
+                    F.col("ss").alias("ssa"), F.col("n").alias("na"))
+    b = sets.select(F.col(id_col).alias("doc_b"),
+                    F.col("ss").alias("ssb"), F.col("n").alias("nb"))
+    i = F.size(F.array_intersect("ssa", "ssb")).cast("long")
+    j = i / (F.col("na") + F.col("nb") - i)
     return (
-        inter.join(na, "doc_a").join(nb, "doc_b")
+        cand.join(a, "doc_a").join(b, "doc_b")
         .filter(j >= threshold)
         .select("doc_a", "doc_b", F.round(j, 6).alias("jaccard"))
     )
@@ -171,11 +176,12 @@ SIMHASH_CHUNKS = 4
 _CHUNK_W = SIMHASH_BITS // SIMHASH_CHUNKS  # 8 bits per chunk
 
 
-def _bit_of(token_col: Column, i: int) -> Column:
+def _bit_of(hash_hex_col: Column, i: int) -> Column:
     """Bit i of a token's hash: high bit of the i-th md5 hex nibble — a
-    portable 32-bit hash family reproducible in any engine with md5."""
-    return F.substring(F.md5(F.encode(token_col, "UTF-8")), i + 1, 1) \
-        .isin("8", "9", "a", "b", "c", "d", "e", "f").cast("long")
+    portable 32-bit hash family reproducible in any engine with md5.
+    ``ascii(c) >= 56`` is exactly c in {'8','9','a'..'f'} for hex chars
+    ('8' = 56; 'a'..'f' > 56) — an integer compare instead of a set probe."""
+    return (F.ascii(F.substring(hash_hex_col, i + 1, 1)) >= 56).cast("long")
 
 
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -192,7 +198,9 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     toks = ensure_parallelism(df).select(
         F.col(id_col),
         F.explode(F.array_distinct(word_shingles(F.col(text_col), 3))).alias("w"))
-    aggs = [F.sum(_bit_of(F.col("w"), i)).alias(f"s{i}")
+    # hash once per shingle; the 32 bit-extracts below read this one column
+    toks = toks.select(id_col, F.md5(F.encode(F.col("w"), "UTF-8")).alias("m"))
+    aggs = [F.sum(_bit_of(F.col("m"), i)).alias(f"s{i}")
             for i in range(SIMHASH_BITS)] + [F.count("*").alias("n")]
     sums = toks.groupBy(id_col).agg(*aggs)
     chunk_cols = []
