@@ -221,9 +221,13 @@ SELECT * FROM (
 def q_sim_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """LSH-bucketed near-dup (scale path) — exact-verified candidates; recall
     depends on LSH parameters, so no SQL oracle (driver rows-only check);
-    parity with brute force is covered by tests/test_pipeline.py."""
+    parity with brute force is covered by tests/test_pipeline.py.
+
+    planes/tables tuned for the 0.4 threshold (test embeddings carry no
+    planted near-dups; max pairwise cos ~0.51): 6 planes x 12 tables gives
+    ~54% recall at cos=0.4 — nonzero, deterministic output at every SF."""
     return S.lsh_cosine_pairs(_embs(StreamBuilder(spark), sf), "vec_id",
-                              "embedding", threshold=0.4)
+                              "embedding", threshold=0.4, planes=6, tables=12)
 
 
 # -- multimodal -------------------------------------------------------------
