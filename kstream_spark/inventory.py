@@ -466,5 +466,7 @@ from kstream_spark.inventory_sql import SQL_INVENTORY  # noqa: E402
 INVENTORY.update(SQL_INVENTORY)
 
 from kstream_spark.inventory_tpch import TPCH_INVENTORY  # noqa: E402
+from kstream_spark.inventory_tpch_full import TPCH_FULL_INVENTORY  # noqa: E402
 
 INVENTORY.update(TPCH_INVENTORY)
+INVENTORY.update(TPCH_FULL_INVENTORY)
