@@ -230,6 +230,43 @@ def q_sim_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
                               "embedding", threshold=0.4, planes=6, tables=12)
 
 
+def q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup: survivors after dropping any vector
+    with a lower-id neighbor at cos >= 0.4 (exact pair generation here so
+    the oracle can reproduce it; lsh_cosine_pairs is the drop-in scale
+    path)."""
+    emb = _embs(StreamBuilder(spark), sf)
+    return S.embedding_dedup_survivors(emb, "vec_id", "embedding",
+                                       threshold=0.4) \
+        .select("vec_id", "label")
+
+
+SQL_DEDUP_EMBEDDING = """
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE round(list_sum(list_transform(range(1, len(a.embedding)+1),
+                                      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+              / (sqrt(list_sum(list_transform(a.embedding::DOUBLE[], x -> x * x)))
+                 * sqrt(list_sum(list_transform(b.embedding::DOUBLE[], x -> x * x)))), 6)
+        >= 0.4)
+SELECT vec_id, label FROM embeddings
+WHERE vec_id NOT IN (SELECT id_b FROM pairs)
+"""
+
+
+def q_sim_ivf_kmeans_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF with LEARNED centroids: 3 Lloyd's iterations (distributed
+    assignment, driver only ever sees the k x dim centroid matrix), then
+    cell-probed top-k.  Approximate by design -> rows-only driver check;
+    recall vs brute force is asserted in tests/test_pipeline.py."""
+    emb = _embs(StreamBuilder(spark), sf)
+    cents = S.kmeans_centroids(emb, "embedding", k=8, iters=3)
+    return S.ivf_topk(emb, "vec_id", "embedding",
+                      query_ids=list(range(5)), k=10, n_probe=3,
+                      centroids=cents)
+
+
 # -- multimodal -------------------------------------------------------------
 def q_mm_binary_meta(spark: SparkSession, sf: str) -> DataFrame:
     docs = _docs(StreamBuilder(spark), sf)
@@ -261,6 +298,8 @@ PIPELINE_INVENTORY: dict[str, tuple] = {
     "sim_cosine_topk": (q_sim_cosine_topk, SQL_SIM_COSINE_TOPK),
     "sim_cosine_pairs": (q_sim_cosine_pairs, SQL_SIM_COSINE_PAIRS),
     "sim_lsh_pairs": (q_sim_lsh_pairs, None),
+    "sim_ivf_kmeans_topk": (q_sim_ivf_kmeans_topk, None),
+    "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "mm_binary_meta": (q_mm_binary_meta, SQL_MM_BINARY_META),
 }
 

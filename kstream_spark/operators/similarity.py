@@ -127,24 +127,110 @@ def lsh_cosine_pairs(emb: DataFrame, id_col: str, vec_col: str,
     )
 
 
+def embedding_dedup_survivors(emb: DataFrame, id_col: str, vec_col: str,
+                              threshold: float = 0.9,
+                              pair_fn=None) -> DataFrame:
+    """Embedding-cosine near-dup dedup: keep a vector iff no LOWER-id vector
+    is within ``threshold`` cosine — the embedding-space member of the dedup
+    family (exact/Jaccard/MinHash/SimHash live in operators/dedup.py).
+
+    ``pair_fn`` picks the pair generator: default brute-force
+    ``cosine_pairs`` (exact, oracle-checkable); pass ``lsh_cosine_pairs``
+    for the 100 TB path (bucketed candidates, same survivor logic).
+    Returns the surviving rows of ``emb``.
+    """
+    pairs = (pair_fn or cosine_pairs)(emb, id_col, vec_col, threshold)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return emb.join(losers, id_col, "left_anti")
+
+
+def kmeans_centroids(emb: DataFrame, vec_col: str, k: int = 16,
+                     iters: int = 5, seed: int = 7) -> list:
+    """Lloyd's k-means over the embedding column, cosine-style (vectors and
+    centroids L2-normalized each round).
+
+    The heavy step — assigning every vector to its nearest centroid — runs
+    distributed as one Arrow-batched matmul per batch; only the k x dim
+    centroid matrix ever reaches the driver (per-cell sums reduced with a
+    groupBy, so the pattern survives any corpus size).  Returns the centroid
+    matrix as a list of lists (broadcastable literal).
+    """
+    import numpy as np
+
+    first = emb.select(as_double(F.col(vec_col)).alias("v")).limit(k).collect()
+    cents = np.array([r["v"] for r in first], dtype=np.float64)
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    dim = cents.shape[1]
+
+    vecs = emb.select(as_double(F.col(vec_col)).alias("v")).persist()
+    schema = "cell int, n long, s array<double>"
+    for _ in range(iters):
+        c = cents  # capture current centroids in the closure
+
+        def partials(batches):
+            # assign + partially reduce inside each Arrow batch: emits at
+            # most k rows per batch, so the driver only ever collects
+            # ~num_partitions x k partial sums regardless of corpus size
+            import numpy as np  # noqa: F811 — runs on executors
+            for pdf in batches:
+                mat = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+                normed = mat / np.maximum(
+                    np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+                cells = np.argmax(normed @ c.T, axis=1)
+                out = {"cell": [], "n": [], "s": []}
+                for cell in np.unique(cells):
+                    sel = mat[cells == cell]
+                    out["cell"].append(int(cell))
+                    out["n"].append(int(sel.shape[0]))
+                    out["s"].append(sel.sum(axis=0).tolist())
+                yield pd.DataFrame(out)
+
+        sums: dict[int, np.ndarray] = {}
+        counts: dict[int, int] = {}
+        for r in vecs.mapInPandas(partials, schema=schema).collect():
+            sums[r["cell"]] = sums.get(r["cell"], np.zeros(dim)) \
+                + np.array(r["s"], dtype=np.float64)
+            counts[r["cell"]] = counts.get(r["cell"], 0) + r["n"]
+        new = cents.copy()
+        for cell, s in sums.items():
+            m = s / counts[cell]
+            norm = np.linalg.norm(m)
+            if norm > 1e-12:
+                new[cell] = m / norm
+        if np.allclose(new, cents, atol=1e-9):
+            cents = new
+            break
+        cents = new
+    vecs.unpersist()
+    return cents.tolist()
+
+
 def ivf_topk(emb: DataFrame, id_col: str, vec_col: str,
              query_ids: list, k: int = 10, n_cells: int = 16,
-             n_probe: int = 4) -> DataFrame:
+             n_probe: int = 4, centroids: list | None = None) -> DataFrame:
     """IVF-style approximate top-k: coarse quantizer + cell-probed search.
 
-    The corpus is partitioned into ``n_cells`` Voronoi cells around
-    deterministic centroids (the lowest-id vectors serve as centroids — at
-    production scale substitute k-means centroids; the operator shape is
-    identical).  A query probes only its ``n_probe`` nearest cells, so the
-    scan cost drops by ~n_cells/n_probe versus brute force — the standard
-    recall/cost dial.  Results are exact cosines over the probed subset,
-    ranked like cosine_topk.
+    The corpus is partitioned into ``n_cells`` Voronoi cells; centroids are
+    either the lowest-id vectors (default — deterministic, zero training) or
+    a learned matrix passed via ``centroids`` (see ``kmeans_centroids`` —
+    the production path; same operator shape either way).  A query probes
+    only its ``n_probe`` nearest cells, so the scan cost drops by
+    ~n_cells/n_probe versus brute force — the standard recall/cost dial.
+    Results are exact cosines over the probed subset, ranked like
+    cosine_topk.
     """
     from kstream_spark.util import ensure_parallelism
     emb = ensure_parallelism(emb)
-    cents = F.broadcast(
-        emb.orderBy(id_col).limit(n_cells)
-        .select(F.col(id_col).alias("cell_id"), as_double(F.col(vec_col)).alias("cv")))
+    if centroids is not None:
+        spark = emb.sparkSession
+        cents = F.broadcast(spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            schema="cell_id long, cv array<double>"))
+    else:
+        cents = F.broadcast(
+            emb.orderBy(id_col).limit(n_cells)
+            .select(F.col(id_col).alias("cell_id"),
+                    as_double(F.col(vec_col)).alias("cv")))
 
     # assign every corpus vector to its nearest centroid (one broadcast pass)
     corpus = emb.select(F.col(id_col).alias("neighbor_id"),

@@ -226,3 +226,31 @@ def test_deterministic_split_stability(spark, docs):
     s1 = {r.doc_id for r in deterministic_sample(docs, "doc_id", 60).collect()}
     s2 = {r.doc_id for r in deterministic_sample(docs, "doc_id", 60).collect()}
     assert s1 == s2
+
+
+def test_embedding_dedup_drops_higher_id_near_dups(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.999, 0.01]), (2, [0.0, 1.0]),
+         (3, [0.01, 0.999])],
+        "vec_id long, embedding array<float>")
+    kept = {r.vec_id for r in
+            S.embedding_dedup_survivors(emb, "vec_id", "embedding",
+                                        threshold=0.9).collect()}
+    assert kept == {0, 2}
+
+
+def test_ivf_kmeans_recall_vs_brute_force(spark):
+    from kstream_spark.builder import StreamBuilder
+    from kstream_spark.inventory_pipeline import _embs
+    emb = _embs(StreamBuilder(spark), "/root/testdata/sf0.001")
+    cents = S.kmeans_centroids(emb, "embedding", k=8, iters=3)
+    assert len(cents) == 8
+    approx = S.ivf_topk(emb, "vec_id", "embedding", query_ids=[0, 1, 2],
+                        k=10, n_probe=3, centroids=cents)
+    exact = S.cosine_topk(emb, "vec_id", "embedding", query_ids=[0, 1, 2],
+                          k=10)
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    # probing 3 of 8 learned cells on near-random vectors: expect most of
+    # the true top-10 back (recall floor chosen loose for determinism)
+    assert len(a & e) >= 0.5 * len(e)
