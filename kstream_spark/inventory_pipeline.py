@@ -355,3 +355,88 @@ FROM bucketed GROUP BY 1
 
 
 PIPELINE_INVENTORY["sample_train_val_split"] = (q_train_val_split, _split_sql())
+
+
+def q_text_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrub pass over the corpus (SSN/phone/email -> tokens)."""
+    return TX.pii_redact(_docs(StreamBuilder(spark), sf), "doc_id", "text")
+
+
+SQL_TEXT_PII_REDACT = r"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+           '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')
+         AS redacted_text,
+       CAST(len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b'))
+            + len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))
+            + len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+            AS BIGINT) AS n_redactions
+FROM documents
+"""
+
+
+def q_sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
+    """Balanced per-source downsampling: at most 10 docs per source by
+    deterministic hash rank."""
+    from kstream_spark.operators.sampling import stratified_cap
+    docs = _docs(StreamBuilder(spark), sf)
+    return stratified_cap(docs, "doc_id", "source", cap=10) \
+        .select("doc_id", "source", "lang")
+
+
+SQL_SAMPLE_STRATIFIED = """
+SELECT doc_id, source, lang FROM (
+  SELECT doc_id, source, lang,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)),
+                                     doc_id) AS rn
+  FROM documents)
+WHERE rn <= 10
+"""
+
+
+def q_pipeline_training_set(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end training-set assembly — the composed pipeline a corpus
+    build runs: quality gate -> exact-dedup survivors -> deterministic
+    split, summarized per (split, lang).  Each stage is its own
+    oracle-checked operator; this query checks their composition."""
+    from kstream_spark.operators.sampling import train_val_split
+    docs = _docs(StreamBuilder(spark), sf)
+    stats = TX.text_stats(docs, "doc_id", "text") \
+        .select("doc_id", "quality_score")
+    survivors = D.exact_dedup(docs, "doc_id", "text").select("doc_id")
+    kept = (docs.join(stats, "doc_id")
+            .join(survivors, "doc_id", "left_semi")
+            .filter(F.col("quality_score") >= 0.4))
+    return (train_val_split(kept, "doc_id", val_pct=10, test_pct=10)
+            .groupBy("split", "lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.round(F.avg("quality_score"), 6).alias("avg_quality")))
+
+
+def _training_set_sql() -> str:
+    digits = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8))
+    return f"""
+WITH q AS (SELECT * FROM ({SQL_TEXT_QUALITY})),
+surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY {_NORM}),
+kept AS (
+  SELECT d.doc_id, d.lang, q.quality_score
+  FROM documents d JOIN q USING (doc_id) JOIN surv USING (doc_id)
+  WHERE q.quality_score >= 0.4),
+hashed AS (SELECT *, md5('split:' || CAST(doc_id AS VARCHAR)) AS h FROM kept),
+bucketed AS (SELECT *, ({digits}) % 100 AS b FROM hashed)
+SELECT CASE WHEN b < 10 THEN 'val' WHEN b < 20 THEN 'test'
+            ELSE 'train' END AS split,
+       lang, count(*) AS n_docs, round(avg(quality_score), 6) AS avg_quality
+FROM bucketed GROUP BY 1, 2
+"""
+
+
+PIPELINE_INVENTORY["text_pii_redact"] = (q_text_pii_redact, SQL_TEXT_PII_REDACT)
+PIPELINE_INVENTORY["sample_stratified"] = (q_sample_stratified, SQL_SAMPLE_STRATIFIED)
+PIPELINE_INVENTORY["pipeline_training_set"] = (q_pipeline_training_set,
+                                               _training_set_sql())

@@ -38,3 +38,20 @@ def deterministic_sample(df: DataFrame, id_col: str, pct: int,
                          seed: str = "sample") -> DataFrame:
     """Keep a stable pct% sample by id hash (same rows every run/engine)."""
     return df.filter(hash_bucket(F.col(id_col), 100, seed) < pct)
+
+
+def stratified_cap(df: DataFrame, id_col: str, strat_col: str,
+                   cap: int = 10, seed: str = "strat") -> DataFrame:
+    """Keep at most ``cap`` rows per stratum, chosen by deterministic hash
+    rank (md5 of the id) — balanced downsampling for skewed sources that is
+    stable under reruns and engines (no rand()).
+
+    One window per stratum = one shuffle on strat_col; at 100 TB prefer
+    many strata (source, shard) so partitions stay bounded, and salt any
+    jumbo stratum before the window."""
+    from pyspark.sql import Window as W
+    h = F.md5(F.encode(F.concat(F.lit(f"{seed}:"),
+                                F.col(id_col).cast("string")), "UTF-8"))
+    w = W.partitionBy(strat_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (df.withColumn("rn", F.row_number().over(w).cast("long"))
+            .filter(F.col("rn") <= cap).drop("rn"))

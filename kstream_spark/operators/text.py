@@ -117,3 +117,29 @@ def tf_idf_top_terms(df: DataFrame, id_col: str, text_col: str,
     return (scored.withColumn("rnk", F.row_number().over(rank_w).cast("long"))
             .filter(F.col("rnk") <= k)
             .select(id_col, F.col("w").alias("term"), "score", "rnk"))
+
+
+# PII patterns (applied most-specific first; Java regex == RE2 semantics for
+# these).  Counts are taken BEFORE redaction so n_redactions is exact.
+PII_PATTERNS = [
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+]
+
+
+def pii_redact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Redact common PII shapes (SSN / phone / email) from a text column.
+
+    Returns (id, redacted_text, n_redactions).  Pure column expressions —
+    replace-all regexp_replace chains JVM-side, no UDFs; a training-data
+    scrub pass this shape runs as one projection over the corpus scan."""
+    t = F.col(text_col)
+    n = F.lit(0)
+    for pat, _repl in PII_PATTERNS:
+        n = n + F.regexp_count(t, F.lit(pat))
+    red = t
+    for pat, repl in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, repl)
+    return df.select(F.col(id_col), red.alias("redacted_text"),
+                     n.cast("long").alias("n_redactions"))

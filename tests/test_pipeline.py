@@ -254,3 +254,31 @@ def test_ivf_kmeans_recall_vs_brute_force(spark):
     # probing 3 of 8 learned cells on near-random vectors: expect most of
     # the true top-10 back (recall floor chosen loose for determinism)
     assert len(a & e) >= 0.5 * len(e)
+
+
+def test_pii_redact_planted(spark):
+    from kstream_spark.operators.text import pii_redact
+    df = spark.createDataFrame(
+        [(0, "mail me at jo.doe+x@ex-ample.co or call 555-123-4567"),
+         (1, "ssn 123-45-6789 stays private"),
+         (2, "nothing sensitive here")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in pii_redact(df, "doc_id", "text").collect()}
+    assert out[0].redacted_text == "mail me at <EMAIL> or call <PHONE>"
+    assert out[0].n_redactions == 2
+    assert out[1].redacted_text == "ssn <SSN> stays private"
+    assert out[2].n_redactions == 0
+
+
+def test_stratified_cap_balances_and_is_deterministic(spark):
+    from kstream_spark.operators.sampling import stratified_cap
+    df = spark.createDataFrame(
+        [(i, "big" if i < 90 else "small") for i in range(100)],
+        "doc_id long, stratum string")
+    got = stratified_cap(df, "doc_id", "stratum", cap=5)
+    counts = {r.stratum: r.n for r in
+              got.groupBy("stratum").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"big": 5, "small": 5}
+    again = {r.doc_id for r in stratified_cap(df, "doc_id", "stratum",
+                                              cap=5).collect()}
+    assert again == {r.doc_id for r in got.collect()}
