@@ -241,18 +241,49 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
             .filter(F.col("hamming") <= max_hamming))
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def connected_components(pairs: DataFrame, max_iter: int = 20,
+                         collect_threshold: int = 1_000_000) -> DataFrame:
     """Connected components over a near-dup pair list -> (doc_id, cluster_id),
     cluster_id = min doc id in the component.
 
     One-pass survivor selection (dedup_survivors) misses transitive chains
     (A~B, B~C keeps C if only (A,B),(B,C) paired); clustering to fixpoint is
-    the correct semantics.  Iterative label propagation: each round every
-    node takes the min label among itself and its neighbors — a driver-side
-    loop of distributed joins (label propagation is the standard
+    the correct semantics.
+
+    Hybrid execution: the near-dup EDGE list is tiny relative to the corpus
+    (it is the output of a similarity threshold, not the corpus itself), so
+    when it fits comfortably on the driver (< ``collect_threshold`` edges)
+    an exact union-find finishes in milliseconds instead of a BSP round-trip
+    per diameter step.  Above the threshold, iterative min-label
+    propagation: each round every node takes the min label among itself and
+    its neighbors — a driver-side loop of distributed joins (the standard
     BSP-on-DataFrames formulation; rounds needed = graph diameter, checked
     via a convergence count so typical corpora stop after a handful).
     """
+    # one action: pulls at most threshold+1 edges; spilling past the limit
+    # routes to the distributed path without ever materializing the full set
+    rows = pairs.select("doc_a", "doc_b").take(collect_threshold + 1)
+    if len(rows) <= collect_threshold:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for r in rows:
+            ra, rb = find(r["doc_a"]), find(r["doc_b"])
+            if ra != rb:
+                # union by min so the root IS the min id of the component
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        nodes = {x for r in rows for x in (r["doc_a"], r["doc_b"])}
+        out = [(n, find(n)) for n in sorted(nodes)]
+        return pairs.sparkSession.createDataFrame(
+            out, "doc_id long, cluster_id long")
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     sym = edges.union(edges.select(F.col("dst").alias("src"),
                                    F.col("src").alias("dst")))
