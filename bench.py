@@ -36,6 +36,9 @@ HEADLINE = [
     "text_tfidf",
     "tpch_q4_priority_exists",
     "tpch_q14_promo_revenue",
+    "tpch_q9_product_profit",
+    "tpch_q21_waiting_supplier",
+    "pipeline_training_set",
     "agg_pivot",
     "wf_running_sum",
     "sample_train_val_split",
