@@ -48,3 +48,37 @@ def salted_agg(df: DataFrame, key: str, aggs: dict, buckets: int = 16) -> DataFr
     finals = [final_fns[fin](F.col(f"__p_{name}")).alias(name)
               for name, (_expr, fin) in aggs.items()]
     return partial.groupBy(key).agg(*finals)
+
+
+def skew_join(left: DataFrame, right: DataFrame, key: str,
+              how: str = "inner", hot_keys: list | None = None,
+              hot_threshold: int = 100_000,
+              sample_fraction: float = 0.01) -> DataFrame:
+    """Hot-key-split join for skewed fact/fact joins.
+
+    AQE's skew-join only splits oversized partitions of a sort-merge join
+    AFTER a full skewed shuffle of both sides; when a handful of keys carry
+    a large share of the rows, splitting the RELATION beats splitting the
+    partition: rows with hot keys join via broadcast (no shuffle of the hot
+    mass at all), the long tail joins via the normal shuffle path, and the
+    two unions back.  ``hot_keys`` pins the split explicitly; otherwise hot
+    keys are estimated from a ``sample_fraction`` sample of the left side
+    (sampled count / fraction > hot_threshold).
+
+    The right side must be filter-small on the hot keys (dimension-or-less
+    per key) — that subset is broadcast.
+    """
+    from pyspark.sql import functions as F
+    if hot_keys is None:
+        est = (left.sample(fraction=sample_fraction, seed=42)
+               .groupBy(key).count()
+               .filter(F.col("count") > hot_threshold * sample_fraction)
+               .select(key).collect())
+        hot_keys = [r[key] for r in est]
+    if not hot_keys:
+        return left.join(right, key, how)
+    is_hot = F.col(key).isin(hot_keys)
+    hot = left.filter(is_hot).join(
+        F.broadcast(right.filter(is_hot)), key, how)
+    cold = left.filter(~is_hot).join(right.filter(~is_hot), key, how)
+    return hot.unionByName(cold)

@@ -86,3 +86,35 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bdb.bt_left")
         spark.sql("DROP TABLE IF EXISTS bdb.bt_right")
         spark.sql("DROP DATABASE IF EXISTS bdb")
+
+
+def test_skew_join_splits_hot_keys(spark):
+    from kstream_spark.util import skew_join
+    from kstream_spark.plans import inspect as P
+    left = spark.createDataFrame(
+        [(0, i) for i in range(5000)] + [(k, 0) for k in range(1, 50)],
+        "k long, v long")
+    right = spark.createDataFrame([(k, f"r{k}") for k in range(50)],
+                                  "k long, r string")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = skew_join(left, right, "k", hot_keys=[0])
+        # hot key 0 joins via explicit broadcast even with auto-broadcast off
+        P.assert_broadcast(out, 1)
+        assert out.count() == 5000 + 49
+        # parity with the plain join
+        plain = left.join(right, "k").count()
+        assert out.count() == plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_skew_join_samples_hot_keys(spark):
+    from kstream_spark.util import skew_join
+    left = spark.createDataFrame([(0, i) for i in range(2000)]
+                                 + [(1, 0), (2, 0)], "k long, v long")
+    right = spark.createDataFrame([(k, f"r{k}") for k in range(3)],
+                                  "k long, r string")
+    out = skew_join(left, right, "k", hot_threshold=100, sample_fraction=0.5)
+    assert out.count() == 2002
