@@ -44,15 +44,23 @@ def read_stream_parquet(spark: SparkSession, path: str, schema=None,
 
 
 def dedup_stream(df: DataFrame, uuid_cols: Sequence[str], ts_col: str,
-                 watermark_delay: str = "10 minutes") -> DataFrame:
+                 watermark_delay: str = "10 minutes",
+                 within_watermark: bool = False) -> DataFrame:
     """Exactly-once-style source dedup on a record UUID.
 
     Ref: consumer/consumer.go:16-41 (per-record UUID extraction) + the
     changelog replay dedup (changelog/state_changelog.go:285-305).  The
     watermark bounds dedup state — the reference's equivalent structure (the
-    changelog buffer) is also bounded, by flush interval."""
-    return df.withWatermark(ts_col, watermark_delay) \
-             .dropDuplicates([*uuid_cols, ts_col])
+    changelog buffer) is also bounded, by flush interval.
+
+    ``within_watermark=True`` switches to ``dropDuplicatesWithinWatermark``:
+    duplicates match on the UUID alone even when retries carry a DIFFERENT
+    event time (the reference's redelivery case — same UUID, later receive
+    ts); state is still bounded by the watermark delay."""
+    wm = df.withWatermark(ts_col, watermark_delay)
+    if within_watermark:
+        return wm.dropDuplicatesWithinWatermark(list(uuid_cols))
+    return wm.dropDuplicates([*uuid_cols, ts_col])
 
 
 def materialize_stream(df: DataFrame, registry, store_name: str,

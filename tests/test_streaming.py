@@ -390,3 +390,64 @@ def test_encode_records_timestamp_default(spark):
         .withColumn("ts", F.col("ts").cast("timestamp"))
     out2 = encode_records(with_col, timestamp_col="ts").collect()[0]
     assert str(out2.timestamp).startswith("2024-01-01")
+
+
+def test_dedup_stream_within_watermark_redelivery(spark, tmp_path):
+    """Redelivered record: same uuid, LATER event time — classic dedup on
+    (uuid, ts) keeps both; dropDuplicatesWithinWatermark keeps one."""
+    d = tmp_path / "src"
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1.0), (1, "2024-01-01 00:00:07", 1.0),
+         (2, "2024-01-01 00:01:00", 2.0)],
+        "uuid long, ts string, v double") \
+        .withColumn("ts", F.col("ts").cast("timestamp")) \
+        .coalesce(1).write.parquet(str(d))
+    src = SC.read_stream_parquet(spark, str(d))
+    deduped = SC.dedup_stream(src, ["uuid"], "ts", within_watermark=True)
+    q = (deduped.writeStream.format("memory").queryName("dedup_wm_out")
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    _run(q)
+    out = spark.sql("SELECT * FROM dedup_wm_out").collect()
+    assert sorted(r.uuid for r in out) == [1, 2]
+
+
+def test_streaming_stream_stream_left_outer_join(spark, tmp_path):
+    """Watermarked LEFT OUTER stream-stream join: unmatched left rows emit
+    with nulls once the watermark passes the join window."""
+    left_d, right_d = tmp_path / "l", tmp_path / "r"
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (2, "2024-01-01 00:10:00")],
+        "k long, ts string").withColumn("ts", F.col("ts").cast("timestamp")) \
+        .coalesce(1).write.parquet(str(left_d))
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:05:00")],
+        "k long, ts string").withColumn("ts", F.col("ts").cast("timestamp")) \
+        .coalesce(1).write.parquet(str(right_d))
+
+    l = SC.read_stream_parquet(spark, str(left_d)).withWatermark("ts", "1 hour")
+    r = SC.read_stream_parquet(spark, str(right_d)) \
+        .withColumnRenamed("ts", "rts").withColumnRenamed("k", "rk") \
+        .withWatermark("rts", "1 hour")
+    joined = l.join(
+        r, F.expr("k = rk AND rts BETWEEN ts AND ts + INTERVAL 30 MINUTES"),
+        "left_outer").select("k", "ts", "rk")
+    q = (joined.writeStream.format("memory").queryName("ssj_outer_out")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    q.processAllAvailable()
+    # null emission for expired left rows needs a LATER micro-batch after the
+    # GLOBAL watermark (min across both streams) has advanced past the join
+    # window — push both sides forward, twice (advance, then evict+emit)
+    for push_ts in ("2024-01-01 09:00:00", "2024-01-01 18:00:00"):
+        spark.createDataFrame([(9, push_ts)], "k long, ts string") \
+            .withColumn("ts", F.col("ts").cast("timestamp")) \
+            .coalesce(1).write.mode("append").parquet(str(left_d))
+        spark.createDataFrame([(99, push_ts)], "rk long, rts string") \
+            .withColumn("rts", F.col("rts").cast("timestamp")) \
+            .withColumnRenamed("rk", "k").withColumnRenamed("rts", "ts") \
+            .coalesce(1).write.mode("append").parquet(str(right_d))
+        q.processAllAvailable()
+    q.stop(); q.awaitTermination(10)
+    out = {r.k: r.rk for r in spark.sql("SELECT * FROM ssj_outer_out").collect()}
+    assert out.get(1) == 1          # matched
+    assert 2 in out and out[2] is None   # unmatched left row emitted with null
