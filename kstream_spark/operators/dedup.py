@@ -97,20 +97,24 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
     intermediate distinct-pairs relation (that would re-shuffle the largest
     relation twice for nothing; the LSH path needs the candidate step, the
     exact path does not)."""
-    sh = shingle_sets(df, id_col, text_col, n, max_shingle_df).persist()
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    sh = shingle_sets(df, id_col, text_col, n, max_shingle_df)
+    # set size is a per-doc constant: window it onto the inverted index once
+    # and CARRY it through the self-join (constant within each group, so it
+    # rides in the groupBy key) — no separate sizes aggregation and no
+    # post-aggregation re-joins (those were 1 shuffle + 2 joins for nothing)
+    from pyspark.sql import Window as W
+    sized = sh.withColumn("n", F.count("*").over(W.partitionBy(id_col))) \
+        .persist()
     inter = (
-        sh.select(F.col(id_col).alias("doc_a"), "s")
-        .join(sh.select(F.col(id_col).alias("doc_b"), "s"), "s")
+        sized.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"), "s")
+        .join(sized.select(F.col(id_col).alias("doc_b"),
+                           F.col("n").alias("nb"), "s"), "s")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b").agg(F.count("*").alias("i"))
+        .groupBy("doc_a", "doc_b", "na", "nb").agg(F.count("*").alias("i"))
     )
-    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
     j = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
     return (
-        inter.join(na, "doc_a").join(nb, "doc_b")
-        .filter(j >= threshold)
+        inter.filter(j >= threshold)
         .select("doc_a", "doc_b", F.round(j, 6).alias("jaccard"))
     )
 
