@@ -105,10 +105,11 @@ def tf_idf_top_terms(df: DataFrame, id_col: str, text_col: str,
 
     toks = ensure_parallelism(df).select(
         F.col(id_col), F.explode(words(F.col(text_col))).alias("w"))
-    tf = toks.groupBy(id_col, "w").agg(F.count("*").alias("tf"))
+    # tf already holds exactly one row per (doc, term): doc frequency falls
+    # out of IT with one more aggregation — no second explode, no distinct
+    tf = toks.groupBy(id_col, "w").agg(F.count("*").alias("tf")).persist()
     n_docs = df.count()
-    doc_freq = (toks.select(id_col, "w").distinct()
-                .groupBy("w").agg(F.count("*").alias("df")))
+    doc_freq = tf.groupBy("w").agg(F.count("*").alias("df"))
     scored = (tf.join(F.broadcast(doc_freq), "w")
               .select(id_col, "w",
                       F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6)
