@@ -440,3 +440,16 @@ PIPELINE_INVENTORY["text_pii_redact"] = (q_text_pii_redact, SQL_TEXT_PII_REDACT)
 PIPELINE_INVENTORY["sample_stratified"] = (q_sample_stratified, SQL_SAMPLE_STRATIFIED)
 PIPELINE_INVENTORY["pipeline_training_set"] = (q_pipeline_training_set,
                                                _training_set_sql())
+
+
+def q_mm_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Video-frame sampling plumbing: one row per sampled frame with
+    (frame_idx, byte_offset, sha) — codec stubbed (deterministic byte-slice
+    frames), Spark-side fan-out real; rows-only driver check."""
+    docs = _docs(StreamBuilder(spark), sf)
+    with_bin = M.attach_binary(docs, "text", modality="video")
+    return M.sample_frames(with_bin, id_col="doc_id", payload_col="payload",
+                           fake=True)
+
+
+PIPELINE_INVENTORY["mm_frame_sample"] = (q_mm_frame_sample, None)

@@ -243,3 +243,34 @@ SQL_INVENTORY.update({
     "fn_scalar_subquery": (q_scalar_subquery, SQL_SCALAR_SUBQUERY),
     "fn_null_handling": (q_null_handling, SQL_NULL_HANDLING),
 })
+
+
+def q_wf_rolling_7d(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-RANGE rolling window: per-user 7-day trailing event sum+count.
+    rangeBetween over epoch seconds (Spark range frames are numeric; Spark
+    unix_timestamp TRUNCATES subseconds, so the oracle floors epoch()).
+    Sum+count rather than avg: values carry 2 decimals, so the rolling sum
+    is an exact 2dp decimal and round(.,2) never sits on a half-way
+    boundary — avg of 2 values does on half of all odd-hundredth sums,
+    where Spark HALF_UP and DuckDB binary rounding disagree."""
+    sec = F.unix_timestamp("ts")
+    w = (W.partitionBy("user_id").orderBy(sec)
+         .rangeBetween(-7 * 86400, 0))
+    return _ev(spark, sf).select(
+        "event_id", "user_id",
+        F.round(F.sum("value").over(w), 2).alias("sum_7d"),
+        F.count("*").over(w).alias("n_7d"))
+
+
+SQL_WF_ROLLING_7D = """
+SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                              RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW), 2)
+         AS sum_7d,
+       count(*) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                      RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS n_7d
+FROM events
+"""
+
+
+SQL_INVENTORY["wf_rolling_7d"] = (q_wf_rolling_7d, SQL_WF_ROLLING_7D)
