@@ -231,3 +231,100 @@ GROUP BY band
 
 
 OLAP_INVENTORY["j_range_join_bands"] = (q_range_join_bands, SQL_RANGE_JOIN_BANDS)
+
+
+# Explicit GROUPING SETS (beyond rollup/cube): chosen slices only, with
+# grouping_id so consumers can tell which slice a row belongs to.
+def q_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    b = StreamBuilder(spark)
+    li = b.stream(f"{sf}/lineitem.parquet").to_df()
+    li.createOrReplaceTempView("li_gs")
+    return li.sparkSession.sql("""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        FROM li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """)
+
+
+SQL_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+       CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+# Higher-order array functions over the embedding column: transform/filter/
+# aggregate lambdas stay inside whole-stage codegen (no UDF).
+def q_fn_higher_order(spark: SparkSession, sf: str) -> DataFrame:
+    b = StreamBuilder(spark)
+    emb = b.table(f"{sf}/embeddings.parquet", name="embeddings").to_df()
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size(F.filter(v, lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.round(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x), 6)
+            .alias("sq_norm"),
+        F.round(F.array_max(v), 6).alias("vmax"))
+
+
+SQL_FN_HIGHER_ORDER = """
+SELECT vec_id,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+       round(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)), 6)
+         AS sq_norm,
+       round(list_max(embedding::DOUBLE[]), 6) AS vmax
+FROM embeddings
+"""
+
+
+# Time-series gap fill + forward fill: day spine per user from min to max
+# activity, missing days carry the last seen cumulative value forward.
+# The spine explodes from per-user bounds (sequence()), the fill is
+# last(ignorenulls) over an unbounded-preceding window — no UDFs, one
+# window shuffle; the standard warehouse gap-fill shape.
+def q_ts_gap_fill(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    b = StreamBuilder(spark)
+    ev = b.stream(f"{sf}/events.parquet").to_df() \
+        .filter(F.col("user_id") < 10)
+    daily = (ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+             .agg(F.round(F.sum("value"), 2).alias("day_value")))
+    bounds = daily.groupBy("user_id").agg(F.min("day").alias("lo"),
+                                          F.max("day").alias("hi"))
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi",
+                             F.expr("INTERVAL 1 DAY"))).alias("day"))
+    w = (W.partitionBy("user_id").orderBy("day")
+         .rowsBetween(W.unboundedPreceding, 0))
+    return (spine.join(daily, ["user_id", "day"], "left")
+            .select("user_id", "day",
+                    F.coalesce("day_value", F.lit(0.0)).alias("day_value"),
+                    F.last("day_value", ignorenulls=True).over(w)
+                     .alias("filled_value")))
+
+
+SQL_TS_GAP_FILL = """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         round(sum(value), 2) AS day_value
+  FROM events WHERE user_id < 10 GROUP BY 1, 2),
+bounds AS (SELECT user_id, min(day) AS lo, max(day) AS hi
+           FROM daily GROUP BY user_id),
+spine AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+          FROM bounds)
+SELECT s.user_id, s.day,
+       coalesce(d.day_value, 0.0) AS day_value,
+       last_value(d.day_value IGNORE NULLS)
+         OVER (PARTITION BY s.user_id ORDER BY s.day
+               ROWS UNBOUNDED PRECEDING) AS filled_value
+FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+"""
+
+
+OLAP_INVENTORY["agg_grouping_sets"] = (q_grouping_sets, SQL_GROUPING_SETS)
+OLAP_INVENTORY["fn_higher_order"] = (q_fn_higher_order, SQL_FN_HIGHER_ORDER)
+OLAP_INVENTORY["ts_gap_fill"] = (q_ts_gap_fill, SQL_TS_GAP_FILL)
