@@ -127,6 +127,47 @@ def minhash_signatures(sh: DataFrame, id_col: str,
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def _doc_local_minhash(df: DataFrame, id_col: str, text_col: str, n: int,
+                       num_hashes: int) -> DataFrame:
+    """Per-doc (signature columns h0..h{k-1}, sorted shingle array, set
+    size) in ONE shuffle-free mapInPandas pass.
+
+    MinHash signatures and shingle sets are doc-local functions, so neither
+    needs the exploded (doc, shingle) relation or its groupBy shuffle; the
+    md5 family here is hashlib == JVM md5 == DuckDB md5, so the SQL oracle
+    reproduces signatures bit-for-bit (verified by the driver compare).
+    """
+    import hashlib
+    import re
+
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            out = {"__id": [], "ss": [], "n": [],
+                   **{f"h{i}": [] for i in range(num_hashes)}}
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                ws = re.split(r"\s+", text.lower())
+                sh = sorted({" ".join(ws[i:i + n])
+                             for i in range(len(ws) - (n - 1))}) \
+                    if len(ws) >= n else []
+                out["__id"].append(did)
+                out["ss"].append(sh)
+                out["n"].append(len(sh))
+                for i in range(num_hashes):
+                    pre = f"{i}:".encode()
+                    out[f"h{i}"].append(min(
+                        (hashlib.md5(pre + s.encode()).hexdigest()
+                         for s in sh), default=None))
+            yield pd.DataFrame(out)
+
+    id_type = dict(df.dtypes)[id_col]
+    hcols = ", ".join(f"h{i} string" for i in range(num_hashes))
+    return df.select(F.col(id_col), F.col(text_col)) \
+        .mapInPandas(run, f"__id {id_type}, ss array<string>, n long, {hcols}") \
+        .withColumnRenamed("__id", id_col)
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
                       threshold: float = 0.8, num_hashes: int = NUM_HASHES,
                       bands: int = BANDS,
@@ -135,11 +176,47 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
 
     shingle -> minhash -> band -> bucket-join -> verify.  Returns
     (doc_a, doc_b, jaccard) for verified pairs.
+
+    Default path (no ``max_shingle_df``): signatures AND shingle sets come
+    from one doc-local mapInPandas pass (no inverted-index shuffle at all);
+    candidates bucket-join on band hashes; verification intersects the
+    per-doc sorted arrays.  With ``max_shingle_df`` the stop-shingle cap
+    needs corpus-wide doc frequencies, so the exploded-relation path runs
+    instead (one extra shuffle).
     """
     rows = num_hashes // bands
-    # the inverted index feeds signature building, candidate generation AND
-    # verification — materialize it once instead of recomputing the
-    # scan+explode three times (at corpus scale this is the dominant cost)
+    if max_shingle_df is None:
+        from kstream_spark.util import ensure_parallelism
+        doc = _doc_local_minhash(ensure_parallelism(df), id_col, text_col,
+                                 n, num_hashes).persist()
+        band_cols = [
+            F.md5(F.encode(F.concat_ws(
+                "", *[F.col(f"h{b * rows + r}") for r in range(rows)]),
+                "UTF-8")).alias(f"b{b}")
+            for b in range(bands)
+        ]
+        sig_b = doc.filter(F.col("n") > 0).select(id_col, *band_cols)
+        stack = ", ".join(f"{b}, b{b}" for b in range(bands))
+        band_long = sig_b.selectExpr(
+            id_col, f"stack({bands}, {stack}) AS (band, bh)")
+        cand = (
+            band_long.select(F.col(id_col).alias("doc_a"), "band", "bh")
+            .join(band_long.select(F.col(id_col).alias("doc_b"), "band", "bh"),
+                  ["band", "bh"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b").distinct()
+        )
+        a = doc.select(F.col(id_col).alias("doc_a"),
+                       F.col("ss").alias("ssa"), F.col("n").alias("na"))
+        b = doc.select(F.col(id_col).alias("doc_b"),
+                       F.col("ss").alias("ssb"), F.col("n").alias("nb"))
+        i = F.size(F.array_intersect("ssa", "ssb")).cast("long")
+        j = i / (F.col("na") + F.col("nb") - i)
+        return (cand.join(a, "doc_a").join(b, "doc_b")
+                .filter(j >= threshold)
+                .select("doc_a", "doc_b", F.round(j, 6).alias("jaccard")))
+
+    # stop-shingle-capped path: needs corpus-wide doc frequencies
     sh = shingle_sets(df, id_col, text_col, n, max_shingle_df).persist()
     sig = minhash_signatures(sh, id_col, num_hashes)
     band_cols = [
