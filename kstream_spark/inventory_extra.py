@@ -153,3 +153,40 @@ FROM scored QUALIFY rnk <= 3
 """
 
 EXTRA_INVENTORY["text_tfidf"] = (q_text_tfidf, SQL_TEXT_TFIDF)
+
+
+def q_udtf_chunk_text(spark: SparkSession, sf: str) -> DataFrame:
+    """Python UDTF (SURVEY §2.6 table-function surface): context-window
+    chunking for LLM training corpora — each doc fans out to 32-word
+    chunks at stride 24, via a LATERAL table-function join."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx bigint, chunk_text string, n_words bigint")
+    class ChunkText:
+        def eval(self, text: str):
+            import re
+            ws = re.split(r"\s+", text)
+            for start in range(0, len(ws), 24):
+                chunk = ws[start:start + 32]
+                yield start // 24, " ".join(chunk), len(chunk)
+
+    spark.udtf.register("chunk_text_udtf", ChunkText)
+    docs = StreamBuilder(spark).table(f"{sf}/documents.parquet").to_df()
+    docs.createOrReplaceTempView("documents_for_chunking")
+    return spark.sql("""
+        SELECT d.doc_id, c.chunk_idx, c.chunk_text, c.n_words
+        FROM documents_for_chunking d, LATERAL chunk_text_udtf(d.text) c
+    """)
+
+
+SQL_UDTF_CHUNK_TEXT = r"""
+WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+idx AS (SELECT doc_id, ws, unnest(range(0, len(ws), 24)) AS start FROM w)
+SELECT doc_id, CAST(start // 24 AS BIGINT) AS chunk_idx,
+       array_to_string(ws[start + 1 : start + 32], ' ') AS chunk_text,
+       CAST(len(ws[start + 1 : start + 32]) AS BIGINT) AS n_words
+FROM idx
+"""
+
+
+EXTRA_INVENTORY["udtf_chunk_text"] = (q_udtf_chunk_text, SQL_UDTF_CHUNK_TEXT)
