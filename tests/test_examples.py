@@ -88,3 +88,11 @@ def test_example_2_three_way_stream_join(spark):
         [("k1", "a-one", "b-one", "c-one")]
     # AB sees k1 and k2 (both have A and B)
     assert {r.key for r in ab.to_df().collect()} == {"k1", "k2"}
+
+
+def test_example_3_corpus_pipeline(capsys):
+    import examples.corpus_pipeline as ex3
+    ex3.main()
+    out = capsys.readouterr().out
+    assert "corpus funnel" in out
+    assert "near_dedup" in out
