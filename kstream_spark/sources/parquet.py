@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import glob
 import os
+from collections.abc import Sequence
 
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
@@ -48,3 +49,37 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     for c in _nanos_timestamp_cols(path):
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
     return df
+
+
+def write_partitioned(df, path: str, partition_cols: Sequence[str],
+                      files_per_partition: int = 1,
+                      sort_within: Sequence[str] = (),
+                      mode: str = "overwrite") -> None:
+    """Layout-aware batch sink: hive-style partition directories with
+    controlled file counts and within-file clustering.
+
+    At 100 TB the output LAYOUT is the query plan of every downstream
+    reader: partition dirs give partition pruning, ``files_per_partition``
+    bounds small-file explosion (one shuffle task per (dir, salt) bucket
+    writes one file), and ``sort_within`` clusters rows inside each file so
+    parquet min/max stats prune row groups on the sort keys.
+
+    The repartition keys are (partition_cols + salt): every output task
+    holds exactly one partition-dir/salt bucket, so each dir gets at most
+    ``files_per_partition`` files regardless of input parallelism.
+    """
+    from pyspark.sql import functions as F
+
+    out = df
+    if files_per_partition > 1:
+        salt = F.pmod(F.monotonically_increasing_id(),
+                      F.lit(files_per_partition)).alias("__file_salt")
+        out = out.withColumn("__file_salt", salt)
+        keys = [*partition_cols, "__file_salt"]
+    else:
+        keys = list(partition_cols)
+    out = out.repartition(*[F.col(c) for c in keys])
+    if sort_within:
+        out = out.sortWithinPartitions(*sort_within)
+    out = out.drop("__file_salt")
+    out.write.mode(mode).partitionBy(*partition_cols).parquet(path)

@@ -114,3 +114,22 @@ def test_filter_strict_routes_null_predicates_to_dlq(spark):
     out = s.filter_strict(F.expr("try_cast(raw AS INT) > 10"), dlq).to_df()
     assert [r.id for r in out.collect()] == [3]
     assert [r.id for r in dlq.df().collect()] == [2]
+
+
+def test_write_partitioned_layout(spark, tmp_path):
+    import glob
+    from kstream_spark.sources.parquet import write_partitioned
+    from kstream_spark import StreamBuilder
+    ev = StreamBuilder(spark).stream(
+        "/root/testdata/sf0.001/events.parquet").to_df()
+    out = str(tmp_path / "part_out")
+    write_partitioned(ev, out, ["event_type"], files_per_partition=2,
+                      sort_within=["user_id", "ts"])
+    dirs = sorted(p.split("=")[-1] for p in glob.glob(f"{out}/event_type=*"))
+    assert len(dirs) >= 3                      # hive-style dirs per type
+    for d in glob.glob(f"{out}/event_type=*"):
+        files = glob.glob(f"{d}/*.parquet")
+        assert 1 <= len(files) <= 2            # bounded file count per dir
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()          # lossless roundtrip
+    assert set(back.columns) == set(ev.columns)
