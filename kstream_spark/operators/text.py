@@ -106,7 +106,11 @@ def tf_idf_top_terms(df: DataFrame, id_col: str, text_col: str,
     toks = ensure_parallelism(df).select(
         F.col(id_col), F.explode(words(F.col(text_col))).alias("w"))
     # tf already holds exactly one row per (doc, term): doc frequency falls
-    # out of IT with one more aggregation — no second explode, no distinct
+    # out of IT with one more aggregation — no second explode, no distinct.
+    # (A doc-local mapInPandas tf pass measured SLOWER than this: plain
+    # token explode + hash agg is already cheap in codegen, and the Arrow
+    # round-trip dominates — the mapInPandas fusion only pays off when it
+    # removes expression-heavy aggregation like the minhash/simhash sigs.)
     tf = toks.groupBy(id_col, "w").agg(F.count("*").alias("tf")).persist()
     n_docs = df.count()
     doc_freq = tf.groupBy("w").agg(F.count("*").alias("df"))
