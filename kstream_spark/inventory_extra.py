@@ -190,3 +190,24 @@ FROM idx
 
 
 EXTRA_INVENTORY["udtf_chunk_text"] = (q_udtf_chunk_text, SQL_UDTF_CHUNK_TEXT)
+
+
+def q_sketch_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """HLL++ distinct users per event type (approximate by design ->
+    rows-only driver check; error bounds are asserted in
+    tests/test_sketches.py against exact counts)."""
+    from kstream_spark.operators.sketches import hll_distinct
+    ev = StreamBuilder(spark).stream(f"{sf}/events.parquet").to_df()
+    return hll_distinct(ev, ["event_type"], "user_id")
+
+
+def q_sketch_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """GK approximate value quantiles per event type (rows-only check;
+    rank-error bounds asserted in tests/test_sketches.py)."""
+    from kstream_spark.operators.sketches import approx_quantiles
+    ev = StreamBuilder(spark).stream(f"{sf}/events.parquet").to_df()
+    return approx_quantiles(ev, ["event_type"], "value")
+
+
+EXTRA_INVENTORY["sketch_hll_distinct"] = (q_sketch_hll_distinct, None)
+EXTRA_INVENTORY["sketch_quantiles"] = (q_sketch_quantiles, None)
