@@ -115,3 +115,85 @@ def test_branch_partitions_exactly(rows, cutoffs):
     for st_ in out.values():
         seen.extend(r.id for r in st_.to_df().collect())
     assert sorted(seen) == sorted(r[0] for r in rows)   # partition, no dup/loss
+
+
+EDGES = st.lists(st.tuples(st.integers(0, 20), st.integers(0, 20)),
+                 min_size=0, max_size=40).map(
+    lambda es: [(a, b) for a, b in es if a < b])
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(EDGES)
+def test_connected_components_matches_networkx_style_reference(edges):
+    """Hybrid CC (union-find path) == a straightforward reference
+    fixpoint computed in plain Python."""
+    from kstream_spark.operators.dedup import connected_components
+    spark = _spark()
+    if not edges:
+        return
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r.doc_id: r.cluster_id
+           for r in connected_components(pairs).collect()}
+    # reference fixpoint
+    nodes = {x for e in edges for x in e}
+    label = {n: n for n in nodes}
+    changed = True
+    while changed:
+        changed = False
+        for a, b in edges:
+            m = min(label[a], label[b])
+            if label[a] != m or label[b] != m:
+                label[a] = label[b] = m
+                changed = True
+    # propagate to roots
+    for n in nodes:
+        while label[n] != label[label[n]]:
+            label[n] = label[label[n]]
+    assert got == label
+
+
+KV = st.lists(st.tuples(st.integers(0, 8), st.integers(0, 1000)),
+              min_size=1, max_size=60)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(KV)
+def test_skew_join_equals_plain_join(rows):
+    """skew_join output == plain join output for every hot-key choice."""
+    from kstream_spark.util import skew_join
+    spark = _spark()
+    left = spark.createDataFrame(rows, "k long, v long")
+    right = spark.createDataFrame([(k, k * 10) for k in range(9)],
+                                  "k long, r long")
+    plain = sorted((r.k, r.v, r.r)
+                   for r in left.join(right, "k").collect())
+    skewed = sorted((r.k, r.v, r.r)
+                    for r in skew_join(left, right, "k",
+                                       hot_keys=[0, 3]).collect())
+    assert skewed == plain
+
+
+TEXTS = st.lists(
+    st.tuples(st.integers(0, 30),
+              st.text(alphabet="abc d.e@f-0123456789", min_size=0,
+                      max_size=40)),
+    min_size=1, max_size=12, unique_by=lambda t: t[0])
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(TEXTS)
+def test_pii_redact_idempotent(rows):
+    """Redacting already-redacted text changes nothing (the replacement
+    tokens never match the PII patterns)."""
+    from kstream_spark.operators.text import pii_redact
+    spark = _spark()
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    once = pii_redact(df, "doc_id", "text")
+    twice = pii_redact(once.withColumnRenamed("redacted_text", "text"),
+                       "doc_id", "text")
+    a = {r.doc_id: r.redacted_text for r in once.collect()}
+    b = {r.doc_id: r.redacted_text for r in twice.collect()}
+    assert a == b
