@@ -420,3 +420,67 @@ def dedup_survivors_cc(pairs: DataFrame, df: DataFrame, id_col: str,
     losers = comp.filter(F.col("doc_id") != F.col("cluster_id")) \
         .select(F.col("doc_id").alias(id_col))
     return df.join(losers, id_col, "left_anti")
+
+
+def incremental_dedup(new_docs: DataFrame, corpus: DataFrame, id_col: str,
+                      text_col: str, n: int = 3,
+                      threshold: float = 0.8) -> DataFrame:
+    """Admit only NEW documents that duplicate nothing in the existing
+    corpus and nothing earlier in their own batch — the production shape
+    for growing corpora (dedup the daily increment, never re-scan the
+    accumulated corpus pairwise).
+
+    Two gates:
+      1. exact: content-hash anti-join against the corpus hashes — the
+         corpus side is a 1-column relation, shuffled (or broadcast) once;
+      2. near-dup: MinHash band buckets of the increment join the CORPUS
+         buckets (increment-vs-corpus only — never corpus-vs-corpus, so
+         cost scales with |increment| x bucket density, not |corpus|^2),
+         then exact-Jaccard verification, plus the increment's own
+         internal pairs.
+
+    Returns the admitted subset of ``new_docs``.
+    """
+    from pyspark.sql import Window as W
+
+    # gate 1: exact content hash vs corpus and batch-internal
+    h = content_hash(F.col(text_col))
+    seen = corpus.select(h.alias("__ch")).distinct()
+    fresh = new_docs.withColumn("__ch", h) \
+        .join(seen, "__ch", "left_anti")
+    fresh = fresh.withColumn(
+        "__first", F.min(id_col).over(W.partitionBy("__ch"))) \
+        .filter(F.col(id_col) == F.col("__first")) \
+        .drop("__ch", "__first")
+
+    # gate 2: near-dup vs corpus (increment bands join corpus bands only)
+    rows = NUM_HASHES // BANDS
+    inc = _doc_local_minhash(fresh, id_col, text_col, n, NUM_HASHES)
+    cor = _doc_local_minhash(corpus, id_col, text_col, n, NUM_HASHES)
+
+    def bands_of(doc, side):
+        cols = [F.md5(F.encode(F.concat_ws(
+            "", *[F.col(f"h{b * rows + r}") for r in range(rows)]),
+            "UTF-8")).alias(f"b{b}") for b in range(BANDS)]
+        stack = ", ".join(f"{b}, b{b}" for b in range(BANDS))
+        return doc.filter(F.col("n") > 0).select(id_col, *cols) \
+            .selectExpr(id_col, f"stack({BANDS}, {stack}) AS (band, bh)") \
+            .withColumnRenamed(id_col, side)
+
+    cand = (bands_of(inc, "new_id")
+            .join(bands_of(cor, "old_id"), ["band", "bh"])
+            .select("new_id", "old_id").distinct())
+    a = inc.select(F.col(id_col).alias("new_id"),
+                   F.col("ss").alias("ssa"), F.col("n").alias("na"))
+    b = cor.select(F.col(id_col).alias("old_id"),
+                   F.col("ss").alias("ssb"), F.col("n").alias("nb"))
+    i = F.size(F.array_intersect("ssa", "ssb")).cast("long")
+    j = i / (F.col("na") + F.col("nb") - i)
+    dup_new = (cand.join(a, "new_id").join(b, "old_id")
+               .filter(j >= threshold)
+               .select(F.col("new_id").alias(id_col)).distinct())
+    admitted = fresh.join(dup_new, id_col, "left_anti")
+
+    # batch-internal near-dups: lower id wins within the increment
+    internal = minhash_lsh_pairs(admitted, id_col, text_col, n, threshold)
+    return dedup_survivors(internal, admitted, id_col)

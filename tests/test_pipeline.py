@@ -282,3 +282,22 @@ def test_stratified_cap_balances_and_is_deterministic(spark):
     again = {r.doc_id for r in stratified_cap(df, "doc_id", "stratum",
                                               cap=5).collect()}
     assert again == {r.doc_id for r in got.collect()}
+
+
+def test_incremental_dedup_gates(spark):
+    """Exact dup of corpus, near-dup of corpus, batch-internal dup, and a
+    genuinely new doc — only the new doc and one batch-dup survivor admit."""
+    corpus = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog today"),
+         (1, "completely different corpus text about spark engines here")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog today"),   # exact
+         (11, "the quick brown fox jumps over the lazy dog tonight"), # near
+         (12, "fresh unseen document with its own words entirely sir"),
+         (13, "fresh unseen document with its own words entirely sir"),# batch dup
+         (14, "another novel unrelated piece of writing goes here now")],
+        "doc_id long, text string")
+    got = {r.doc_id for r in D.incremental_dedup(
+        new, corpus, "doc_id", "text", threshold=0.5).collect()}
+    assert got == {12, 14}
