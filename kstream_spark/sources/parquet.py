@@ -83,3 +83,25 @@ def write_partitioned(df, path: str, partition_cols: Sequence[str],
         out = out.sortWithinPartitions(*sort_within)
     out = out.drop("__file_salt")
     out.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def compact_parquet(spark: SparkSession, src: str, dst: str,
+                    target_file_bytes: int = 128 * 1024 * 1024) -> int:
+    """Small-file compaction: rewrite a parquet directory into files of
+    ~``target_file_bytes`` (the reader-side cure for high-parallelism
+    writes and streaming micro-batch sinks).
+
+    File count is sized from the ACTUAL on-disk bytes (not row counts —
+    compression ratios vary wildly across columns/corpora).  Writes to
+    ``dst``; callers swap directories atomically (rename) to avoid reading
+    a half-written output.  Returns the number of output files.
+    """
+    import math
+
+    total = sum(os.path.getsize(p)
+                for p in glob.glob(os.path.join(src, "**", "*.parquet"),
+                                   recursive=True))
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(src)
+    df.repartition(n_files).write.mode("overwrite").parquet(dst)
+    return n_files

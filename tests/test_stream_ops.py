@@ -133,3 +133,18 @@ def test_write_partitioned_layout(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == ev.count()          # lossless roundtrip
     assert set(back.columns) == set(ev.columns)
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    import glob
+    from kstream_spark.sources.parquet import compact_parquet
+    from kstream_spark import StreamBuilder
+    ev = StreamBuilder(spark).stream(
+        "/root/testdata/sf0.001/events.parquet").to_df()
+    src = str(tmp_path / "many"); dst = str(tmp_path / "compacted")
+    ev.repartition(40).write.parquet(src)          # small-file explosion
+    assert len(glob.glob(f"{src}/*.parquet")) == 40
+    n = compact_parquet(spark, src, dst, target_file_bytes=64 * 1024 * 1024)
+    files = glob.glob(f"{dst}/*.parquet")
+    assert len(files) == n <= 2
+    assert spark.read.parquet(dst).count() == ev.count()
