@@ -61,7 +61,8 @@ def main():
     print("\n== split x lang ==")
     final.groupBy("split", "lang").count() \
         .orderBy("split", "lang").show(20, truncate=False)
-    spark.stop()
+    # no spark.stop(): get_spark() is getOrCreate — callers (tests, REPLs)
+    # may share the session
 
 
 if __name__ == "__main__":
