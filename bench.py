@@ -56,7 +56,7 @@ def main():
     # warm-up: JVM/JIT + file-listing so the first timed query isn't charged
     # for session startup (steady-state throughput is the comparison point)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
-    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
+    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
     timings = {}
     for name in HEADLINE:
         if name not in INVENTORY:
