@@ -109,10 +109,11 @@ FROM events GROUP BY CUBE (event_type, user_id % 10)
 """
 
 
-# IVF approximate top-k (scale path for similarity search).  Deterministic
-# but its SQL transliteration would be hundreds of lines — driver records a
-# rows-only check; equivalence to brute force (full probe) is covered by
-# tests/test_pipeline.py::test_ivf_topk_high_recall_on_probed_cells.
+# IVF approximate top-k (scale path for similarity search).  Approximate
+# w.r.t. brute force but fully DETERMINISTIC (lowest-id centroids, rounded
+# cosines, id tie-breaks) — so the SQL oracle reproduces the whole
+# quantize->probe->rank pipeline exactly; recall vs brute force is covered
+# by tests/test_pipeline.py.
 def q_sim_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     from kstream_spark.operators.similarity import ivf_topk
     emb = StreamBuilder(spark).table(f"{sf}/embeddings.parquet").to_df()
@@ -120,12 +121,50 @@ def q_sim_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
                     k=10, n_cells=16, n_probe=4)
 
 
+_COS = ("round(list_sum(list_transform(range(1, len({a})+1), i -> {a}[i] * {b}[i]))"
+        " / (sqrt(list_sum(list_transform({a}, x -> x*x)))"
+        " * sqrt(list_sum(list_transform({b}, x -> x*x)))), 6)")
+
+SQL_SIM_IVF_TOPK = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS cell_id, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+cos_ac AS (
+  SELECT e.vec_id AS neighbor_id, e.v AS nv, c.cell_id,
+         {_COS.format(a='e.v', b='c.cv')} AS cell_cos
+  FROM e, cents c),
+assigned AS (
+  SELECT neighbor_id, nv, cell_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY neighbor_id
+                                 ORDER BY cell_cos DESC, cell_id) AS rn
+    FROM cos_ac) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0,1,2,3,4)),
+cos_qc AS (
+  SELECT q.query_id, q.qv, c.cell_id,
+         {_COS.format(a='q.qv', b='c.cv')} AS cell_cos
+  FROM q, cents c),
+probes AS (
+  SELECT query_id, qv, cell_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cell_cos DESC, cell_id) AS rn
+    FROM cos_qc) WHERE rn <= 4),
+scored AS (
+  SELECT p.query_id, a.neighbor_id,
+         {_COS.format(a='p.qv', b='a.nv')} AS cos
+  FROM probes p JOIN assigned a USING (cell_id)
+  WHERE p.query_id <> a.neighbor_id)
+SELECT query_id, neighbor_id, cos,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+FROM scored QUALIFY rank <= 10
+"""
+
+
 EXTRA_INVENTORY: dict[str, tuple] = {
     "dedup_simhash": (q_dedup_simhash, _simhash_sql()),
     "udaf_pandas_zscore": (q_udaf_zscore, SQL_UDAF_ZSCORE),
     "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
     "agg_cube": (q_cube, SQL_CUBE),
-    "sim_ivf_topk": (q_sim_ivf_topk, None),
+    "sim_ivf_topk": (q_sim_ivf_topk, SQL_SIM_IVF_TOPK),
 }
 
 
