@@ -445,11 +445,26 @@ PIPELINE_INVENTORY["pipeline_training_set"] = (q_pipeline_training_set,
 def q_mm_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Video-frame sampling plumbing: one row per sampled frame with
     (frame_idx, byte_offset, sha) — codec stubbed (deterministic byte-slice
-    frames), Spark-side fan-out real; rows-only driver check."""
+    frames), Spark-side fan-out real.  The byte-slice stub is exactly
+    reproducible in SQL (sha256 over substrings; this corpus is pure ASCII,
+    so char offsets == byte offsets — verified octet_length == length for
+    every doc), so even the multimodal plumbing is oracle-checked."""
     docs = _docs(StreamBuilder(spark), sf)
     with_bin = M.attach_binary(docs, "text", modality="video")
     return M.sample_frames(with_bin, id_col="doc_id", payload_col="payload",
                            fake=True)
 
 
-PIPELINE_INVENTORY["mm_frame_sample"] = (q_mm_frame_sample, None)
+SQL_MM_FRAME_SAMPLE = """
+WITH f AS (SELECT doc_id, text,
+             unnest(range(0, least(8, greatest(1, length(text) // 32)))) AS frame_idx
+           FROM documents)
+SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(frame_idx * 32 AS INT) AS byte_offset,
+       lower(sha256(substring(text, frame_idx * 32 + 1, 32))) AS frame_sha
+FROM f
+"""
+
+
+PIPELINE_INVENTORY["mm_frame_sample"] = (q_mm_frame_sample,
+                                         SQL_MM_FRAME_SAMPLE)
