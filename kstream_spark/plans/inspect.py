@@ -66,3 +66,35 @@ def assert_max_shuffles(df: DataFrame, n: int) -> None:
 def assert_column_pruned(df: DataFrame, unwanted_col: str) -> None:
     assert not any(unwanted_col in s for s in read_schemas(df)), \
         f"column '{unwanted_col}' not pruned from scan: {read_schemas(df)}"
+
+
+def plan_dot(df: DataFrame, optimized: bool = True) -> str:
+    """Graphviz DOT of the query plan tree — the reference renders its
+    hand-built topology graph with gographviz (kstream/graph/graph.go);
+    here the topology IS the Catalyst plan, so the export walks the
+    (optimized) logical plan via py4j.  Paste into any dot viewer.
+    """
+    qe = df._jdf.queryExecution()
+    root = qe.optimizedPlan() if optimized else qe.logical()
+    lines = ["digraph plan {", "  rankdir=TB;",
+             '  node [shape=box, fontname="monospace"];']
+    counter = [0]
+
+    def esc(s: str) -> str:
+        return s.replace("\\", "\\\\").replace('"', '\\"')
+
+    def walk(node) -> int:
+        my_id = counter[0]
+        counter[0] += 1
+        label = esc(node.nodeName() + "\\n"
+                    + node.simpleString(60)[:120])
+        lines.append(f'  n{my_id} [label="{label}"];')
+        for i in range(node.children().size()):
+            child = node.children().apply(i)
+            cid = walk(child)
+            lines.append(f"  n{my_id} -> n{cid};")
+        return my_id
+
+    walk(root)
+    lines.append("}")
+    return "\n".join(lines)

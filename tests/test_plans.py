@@ -118,3 +118,13 @@ def test_skew_join_samples_hot_keys(spark):
                                   "k long, r string")
     out = skew_join(left, right, "k", hot_threshold=100, sample_fraction=0.5)
     assert out.count() == 2002
+
+
+def test_plan_dot_exports_graphviz(spark):
+    from kstream_spark import StreamBuilder
+    from kstream_spark.plans.inspect import plan_dot
+    df = StreamBuilder(spark).stream(f"{SF}/events.parquet") \
+        .filter(F.col("event_type") == "purchase").to_df()
+    dot = plan_dot(df)
+    assert dot.startswith("digraph plan {") and dot.endswith("}")
+    assert "Filter" in dot and "->" in dot

@@ -451,3 +451,24 @@ def test_streaming_stream_stream_left_outer_join(spark, tmp_path):
     out = {r.k: r.rk for r in spark.sql("SELECT * FROM ssj_outer_out").collect()}
     assert out.get(1) == 1          # matched
     assert 2 in out and out[2] is None   # unmatched left row emitted with null
+
+
+def test_streaming_metrics_reporter(spark, stream_dir, tmp_path):
+    """Reporter parity: streaming progress feeds counters/observers with
+    the reference's metric shapes (throughput, batch latency, input rate)."""
+    from kstream_spark.metrics import InMemoryReporter, attach_streaming_metrics
+    rep = InMemoryReporter()
+    listener = attach_streaming_metrics(spark, rep)
+    try:
+        src = SC.read_stream_parquet(spark, stream_dir)
+        q = (src.writeStream.format("memory").queryName("metrics_out")
+             .option("checkpointLocation", str(tmp_path / "ck")).start())
+        _run(q)
+        import time
+        deadline = time.time() + 15
+        while time.time() < deadline and not rep.series("stream_processed_count"):
+            time.sleep(0.5)
+        assert sum(rep.series("stream_processed_count")) >= 4   # rows sank
+        assert all(v >= 0 for v in rep.series("stream_batch_latency_ms"))
+    finally:
+        spark.streams.removeListener(listener)
