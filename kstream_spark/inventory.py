@@ -470,3 +470,8 @@ from kstream_spark.inventory_tpch_full import TPCH_FULL_INVENTORY  # noqa: E402
 
 INVENTORY.update(TPCH_INVENTORY)
 INVENTORY.update(TPCH_FULL_INVENTORY)
+
+# -- corpus assembly (repetition / decontamination / shuffle / packing) ------
+from kstream_spark.inventory_corpus import CORPUS_INVENTORY  # noqa: E402
+
+INVENTORY.update(CORPUS_INVENTORY)

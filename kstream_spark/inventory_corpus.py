@@ -1,0 +1,153 @@
+"""Corpus-assembly inventory: repetition signals, decontamination,
+shard shuffle, sequence packing, composition stats (operators/corpus.py).
+
+Parity notes (see inventory_pipeline.py for the general rules):
+  * shard/bucket ids come from md5 hex prefixes (engine-portable), cast to
+    BIGINT on both sides;
+  * length buckets use bit length (integer space), not log2 (libm);
+  * fractions divide two integers once and round 6 — a single IEEE division
+    of identical integers is bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kstream_spark.builder import StreamBuilder
+from kstream_spark.operators import corpus as C
+
+# clean words: whitespace split with empty tokens dropped (both engines)
+_CW = ("cw AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
+       "'\\s+'), x -> x <> '') AS ws FROM documents)")
+
+
+def _docs(spark: SparkSession, sf: str) -> DataFrame:
+    return StreamBuilder(spark).table(f"{sf}/documents.parquet",
+                                      name="documents").to_df()
+
+
+# -- repetition signals -----------------------------------------------------
+def q_text_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    return C.repetition_stats(_docs(spark, sf), "doc_id", "text")
+
+
+SQL_TEXT_REPETITION = f"""
+WITH {_CW},
+g AS (SELECT doc_id, ws,
+        CASE WHEN len(ws) >= 2 THEN list_transform(range(1, len(ws)),
+               i -> array_to_string(ws[i:i+1], ' ')) ELSE [] END AS g2,
+        CASE WHEN len(ws) >= 3 THEN list_transform(range(1, len(ws) - 1),
+               i -> array_to_string(ws[i:i+2], ' ')) ELSE [] END AS g3
+      FROM cw),
+wc AS (SELECT doc_id, wd, count(*) AS c
+       FROM (SELECT doc_id, unnest(ws) AS wd FROM cw) u GROUP BY 1, 2),
+top AS (SELECT doc_id, max(c) AS topc FROM wc GROUP BY doc_id)
+SELECT g.doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+       round(coalesce(topc, 0) / greatest(len(ws), 1), 6) AS top_word_frac,
+       CASE WHEN len(g2) > 0
+            THEN round(1.0 - len(list_distinct(g2)) / len(g2), 6)
+            ELSE 0.0 END AS dup_2gram_frac,
+       CASE WHEN len(g3) > 0
+            THEN round(1.0 - len(list_distinct(g3)) / len(g3), 6)
+            ELSE 0.0 END AS dup_3gram_frac
+FROM g LEFT JOIN top ON g.doc_id = top.doc_id
+"""
+
+
+# -- benchmark decontamination ----------------------------------------------
+def q_text_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Contamination report vs a held-out 'benchmark' slice (every 50th doc
+    stands in for the eval set — benchmarks are small and broadcastable)."""
+    docs = _docs(spark, sf)
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    return C.decontaminate(train, "doc_id", "text", ev, "doc_id", "text", n=3)
+
+
+SQL_TEXT_DECONTAMINATE = """
+WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS words
+           FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+         md5('decon:' || unnest(list_transform(
+             range(1, greatest(len(words) - 2, 0) + 1),
+             i -> array_to_string(words[i:i+2], ' ')))) AS h
+       FROM w),
+ev AS (SELECT DISTINCT doc_id AS eval_id, h FROM sh WHERE doc_id % 50 = 0),
+tr AS (SELECT doc_id, h FROM sh WHERE doc_id % 50 <> 0)
+SELECT tr.doc_id,
+       count(DISTINCT tr.h) AS n_shared,
+       count(DISTINCT ev.eval_id) AS n_eval_docs
+FROM tr JOIN ev ON tr.h = ev.h
+GROUP BY tr.doc_id
+"""
+
+
+# -- deterministic shard shuffle --------------------------------------------
+def q_corpus_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    return C.shuffle_shards(_docs(spark, sf), "doc_id", n_shards=8,
+                            seed="42").select("doc_id", "shard", "pos")
+
+
+SQL_CORPUS_SHUFFLE = """
+WITH h AS (SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS hx
+           FROM documents),
+s AS (SELECT doc_id, hx,
+        CAST(CAST(('0x' || substr(hx, 1, 8)) AS UBIGINT) % 8 AS BIGINT)
+          AS shard
+      FROM h)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id)
+            AS BIGINT) AS pos
+FROM s
+"""
+
+
+# -- sequence packing --------------------------------------------------------
+def q_corpus_pack(spark: SparkSession, sf: str) -> DataFrame:
+    return C.pack_chunks(_docs(spark, sf), "doc_id", "text",
+                         capacity=256, n_shards=8)
+
+
+SQL_CORPUS_PACK = f"""
+WITH {_CW},
+t AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS tokens,
+        CAST(CAST(('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)),
+                                  1, 8)) AS UBIGINT) % 8 AS BIGINT) AS shard
+      FROM cw),
+c AS (SELECT doc_id, shard, tokens,
+        CAST(sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+             AS BIGINT) AS cum
+      FROM t)
+SELECT doc_id, shard, tokens,
+       CAST(floor((cum - tokens) / 256.0) AS BIGINT) AS chunk_first,
+       CAST(floor(greatest(cum - 1, cum - tokens) / 256.0) AS BIGINT)
+         AS chunk_last
+FROM c
+"""
+
+
+# -- composition stats -------------------------------------------------------
+def q_corpus_stats(spark: SparkSession, sf: str) -> DataFrame:
+    return C.corpus_stats(_docs(spark, sf), "text", "lang", "n_chars")
+
+
+SQL_CORPUS_STATS = f"""
+WITH {_CW},
+d AS (SELECT doc_id, lang, n_chars FROM documents)
+SELECT lang, CAST(length(bin(n_chars)) - 1 AS BIGINT) AS len_bucket,
+       count(*) AS n_docs,
+       CAST(sum(len(ws)) AS BIGINT) AS total_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM d JOIN cw USING (doc_id)
+GROUP BY 1, 2
+"""
+
+
+CORPUS_INVENTORY: dict[str, tuple] = {
+    "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
+    "text_decontaminate": (q_text_decontaminate, SQL_TEXT_DECONTAMINATE),
+    "corpus_shuffle": (q_corpus_shuffle, SQL_CORPUS_SHUFFLE),
+    "corpus_pack": (q_corpus_pack, SQL_CORPUS_PACK),
+    "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
+}

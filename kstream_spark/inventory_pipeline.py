@@ -219,15 +219,56 @@ SELECT * FROM (
 
 
 def q_sim_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """LSH-bucketed near-dup (scale path) — exact-verified candidates; recall
-    depends on LSH parameters, so no SQL oracle (driver rows-only check);
-    parity with brute force is covered by tests/test_pipeline.py.
+    """LSH-bucketed near-dup (scale path) — exact-verified candidates, full
+    SQL oracle: hyperplanes are md5-derived dyadic rationals
+    (similarity.md5_plane_matrix), so DuckDB re-derives the identical
+    signature bits and the whole bucket->verify pipeline hash-matches.
 
     planes/tables tuned for the 0.4 threshold (test embeddings carry no
     planted near-dups; max pairwise cos ~0.51): 6 planes x 12 tables gives
     ~54% recall at cos=0.4 — nonzero, deterministic output at every SF."""
     return S.lsh_cosine_pairs(_embs(StreamBuilder(spark), sf), "vec_id",
-                              "embedding", threshold=0.4, planes=6, tables=12)
+                              "embedding", threshold=0.4, planes=6, tables=12,
+                              plane_source="md5")
+
+
+def _lsh_sql(dim: int = 64, planes: int = 6, tables: int = 12,
+             seed: int = 42, threshold: float = 0.4) -> str:
+    """DuckDB replica of lsh_cosine_pairs(plane_source='md5'): derive the
+    same plane matrix from md5, rebuild per-table signatures, bucket-join,
+    exact-verify.  Dots are rounded to 6 dp before the sign test on both
+    sides, so summation-order noise cannot flip a bit."""
+    nbits = planes * tables
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pl AS (SELECT dd.d AS d, jj.j AS j,
+         CAST(('0x' || substr(md5('{seed}:' || CAST(dd.d AS VARCHAR) || ':'
+                                  || CAST(jj.j AS VARCHAR)), 1, 8))
+              AS UBIGINT) / 4294967296.0 - 0.5 AS p
+       FROM range(0, {dim}) dd(d) CROSS JOIN range(0, {nbits}) jj(j)),
+comp AS (SELECT vec_id, dd.d AS d, v[dd.d + 1] AS x
+         FROM e CROSS JOIN range(0, {dim}) dd(d)),
+dot AS (SELECT vec_id, j, round(sum(x * p), 6) AS s
+        FROM comp JOIN pl USING (d) GROUP BY vec_id, j),
+bits AS (SELECT vec_id, j // {planes} AS t,
+           string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, ''
+                      ORDER BY j) AS sig
+         FROM dot GROUP BY vec_id, j // {planes}),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM bits a JOIN bits b
+           ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id)
+SELECT * FROM (
+  SELECT c.id_a, c.id_b,
+         round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                 i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+               / (sqrt(list_sum(list_transform(a.embedding::DOUBLE[],
+                                               x -> x * x)))
+                  * sqrt(list_sum(list_transform(b.embedding::DOUBLE[],
+                                                 x -> x * x)))), 6) AS cos
+  FROM cand c JOIN embeddings a ON a.vec_id = c.id_a
+  JOIN embeddings b ON b.vec_id = c.id_b
+) WHERE cos >= {threshold}
+"""
 
 
 def q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
@@ -297,7 +338,7 @@ PIPELINE_INVENTORY: dict[str, tuple] = {
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     "sim_cosine_topk": (q_sim_cosine_topk, SQL_SIM_COSINE_TOPK),
     "sim_cosine_pairs": (q_sim_cosine_pairs, SQL_SIM_COSINE_PAIRS),
-    "sim_lsh_pairs": (q_sim_lsh_pairs, None),
+    "sim_lsh_pairs": (q_sim_lsh_pairs, _lsh_sql()),
     "sim_ivf_kmeans_topk": (q_sim_ivf_kmeans_topk, None),
     "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "mm_binary_meta": (q_mm_binary_meta, SQL_MM_BINARY_META),

@@ -1,0 +1,193 @@
+"""Corpus-assembly operators for LLM training-data pipelines.
+
+The missing layer between "a pile of deduped documents" and "a training run":
+repetition-quality signals (Gopher-style repeated n-gram fractions),
+benchmark decontamination, deterministic global shuffle into shards,
+concat-and-chunk sequence packing, and corpus composition stats.
+
+Scale stance (100 TB):
+  * everything here is shuffle-minimal — per-document signals stay inside
+    whole-stage codegen (higher-order array functions, no explode where a
+    `transform`/`array_distinct` pair suffices);
+  * the one deliberate shuffle per operator is keyed on a column that the
+    downstream consumer needs anyway (shard id, shingle hash);
+  * the eval/benchmark side of decontamination is small by construction
+    (benchmarks are MBs, corpora are TBs) and is broadcast;
+  * packing never concatenates text — it assigns chunk spans arithmetically
+    from a per-shard running token total, so the 100 TB corpus is packed
+    with one window function over (shard, doc order), no driver state.
+
+No reference analog: tryfix/kstream has no corpus tooling (its user-code
+transform callbacks would have to do all of this by hand, kstream/processors/
+value_transformer.go:9-80); this module is part of the capability superset
+SURVEY.md §7 item 8 calls for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from kstream_spark.functions.text import hash_str, word_shingles, words
+
+
+def _clean_words(text: Column) -> Column:
+    """Whitespace tokens with empties dropped (leading/trailing runs)."""
+    return F.filter(words(text), lambda w: w != F.lit(""))
+
+
+def _hash_mod(col: Column, n: int, seed: str = "") -> Column:
+    """Portable (Spark == DuckDB == anything) bucket id in [0, n): first 8
+    md5 hex chars as an integer, mod n.  Unlike F.hash/xxhash64 the result
+    is engine-independent, so shard layouts survive an engine swap."""
+    return (F.conv(F.substring(hash_str(col.cast("string"), seed), 1, 8), 16, 10)
+            .cast("long") % n)
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition signals per document.
+
+    Returns (id, n_words, top_word_frac, dup_2gram_frac, dup_3gram_frac):
+    the fraction of tokens taken by the single most frequent word, and the
+    fraction of 2-/3-grams that are repeats of an earlier n-gram.  High
+    values flag boilerplate / keyword-stuffed / degenerate documents that
+    survive exact and near dedup (they are unique, just internally
+    repetitive).
+
+    The n-gram fractions are computed entirely inside codegen
+    (transform + array_distinct on the words array — no explode, no
+    shuffle); only top_word_frac needs a (doc_id, word) aggregation, and
+    that shuffle is combiner-friendly (partial counts map-side).
+    """
+    w = _clean_words(F.col(text_col))
+    d = df.select(F.col(id_col), w.alias("_w"))
+
+    def dup_frac(n: int) -> Column:
+        arr = F.col("_w")
+        idx = F.sequence(F.lit(1), F.size(arr) - (n - 1))
+        built = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(arr, i, n)))
+        # sequence(1, stop) runs DESCENDING when stop < 1 — guard short docs
+        grams = F.when(F.size(arr) >= n, built) \
+            .otherwise(F.array().cast("array<string>"))
+        total = F.size(grams)
+        return F.when(total > 0,
+                      F.round(1.0 - F.size(F.array_distinct(grams)) / total, 6)
+                      ).otherwise(F.lit(0.0))
+
+    per_doc = d.select(
+        id_col,
+        F.size("_w").cast("long").alias("n_words"),
+        dup_frac(2).alias("dup_2gram_frac"),
+        dup_frac(3).alias("dup_3gram_frac"),
+    )
+    top = (d.select(id_col, F.explode("_w").alias("_word"))
+           .groupBy(id_col, "_word").count()
+           .groupBy(id_col).agg(F.max("count").alias("_top")))
+    return (per_doc.join(top, id_col, "left")
+            .select(id_col, "n_words",
+                    F.round(F.coalesce(F.col("_top"), F.lit(0)) /
+                            F.greatest(F.col("n_words"), F.lit(1)), 6)
+                    .alias("top_word_frac"),
+                    "dup_2gram_frac", "dup_3gram_frac"))
+
+
+def decontaminate(df: DataFrame, id_col: str, text_col: str,
+                  eval_df: DataFrame, eval_id_col: str,
+                  eval_text_col: str, n: int = 3) -> DataFrame:
+    """Benchmark-contamination report: training documents sharing any
+    n-word shingle with an evaluation/benchmark document.
+
+    Returns (train id, n_shared — distinct shingles shared, n_eval_docs —
+    distinct benchmark docs hit).  Anti-join the result against the corpus
+    to drop contaminated docs.
+
+    Benchmarks are small (MBs) next to the corpus (TBs), so the eval
+    shingle set is broadcast — the corpus side is a single scan + hash
+    probe, no corpus shuffle.  Shingles travel as md5 strings, not text,
+    to keep the broadcast table narrow.
+    """
+    def shingled(frame: DataFrame, idc: str, txt: str, alias: str) -> DataFrame:
+        sh = F.explode(F.array_distinct(word_shingles(F.col(txt), n)))
+        return (frame.select(F.col(idc).alias(alias), sh.alias("_s"))
+                .select(alias, hash_str(F.col("_s"), "decon").alias("_h")))
+
+    train = shingled(df, id_col, text_col, id_col)
+    ev = F.broadcast(shingled(eval_df, eval_id_col, eval_text_col, "_eval_id")
+                     .distinct())
+    return (train.join(ev, "_h")
+            .groupBy(id_col)
+            .agg(F.count_distinct("_h").alias("n_shared"),
+                 F.count_distinct("_eval_id").alias("n_eval_docs")))
+
+
+def shuffle_shards(df: DataFrame, id_col: str, n_shards: int = 8,
+                   seed: str = "42") -> DataFrame:
+    """Deterministic global shuffle into training shards.
+
+    shard = md5(seed:id) mod n_shards; position = rank of the md5 within
+    the shard.  The ordering is pseudo-random but fully reproducible from
+    (seed, id) — rerunning the pipeline yields byte-identical shard files,
+    and changing the seed gives an independent permutation (new data
+    order per training run without rewriting the corpus).
+
+    Scale: one hash-partition exchange on shard + an in-partition sort —
+    never a global sort.  Writing with partitionBy(shard) +
+    sortWithinPartitions(pos) streams each shard out in order.
+    """
+    h = hash_str(F.col(id_col).cast("string"), seed)
+    win = W.partitionBy("shard").orderBy("_h", id_col)
+    return (df.withColumn("_h", h)
+            .withColumn("shard", _hash_mod(F.col(id_col), n_shards, seed))
+            .withColumn("pos", F.row_number().over(win).cast("long"))
+            .drop("_h"))
+
+
+def pack_chunks(df: DataFrame, id_col: str, text_col: str,
+                capacity: int = 256, n_shards: int = 8) -> DataFrame:
+    """Concat-and-chunk sequence packing (the GPT-style training layout):
+    documents are laid end-to-end per shard and cut every ``capacity``
+    tokens; each document is annotated with the chunk span it lands in.
+
+    Returns (id, shard, tokens, chunk_first, chunk_last): chunk ids are
+    per-shard; a document with chunk_first < chunk_last straddles a cut.
+
+    No text is ever concatenated — the layout is pure arithmetic over a
+    per-shard running token total (one window function after a shard
+    exchange), so packing 100 TB costs one shuffle keyed on the shard id
+    the writer needs anyway.
+    """
+    tokens = F.size(_clean_words(F.col(text_col))).cast("long")
+    win = W.partitionBy("shard").orderBy(id_col)
+    cum = F.sum("tokens").over(win)
+    start = cum - F.col("tokens")
+    return (df.select(F.col(id_col),
+                      _hash_mod(F.col(id_col), n_shards, "pack").alias("shard"),
+                      tokens.alias("tokens"))
+            .select(id_col, "shard", "tokens",
+                    F.floor(start / capacity).cast("long").alias("chunk_first"),
+                    F.floor(F.greatest(cum - 1, start) / capacity).cast("long")
+                    .alias("chunk_last")))
+
+
+def corpus_stats(df: DataFrame, text_col: str, lang_col: str,
+                 chars_col: str) -> DataFrame:
+    """Corpus composition: documents / tokens / average length per
+    (language, power-of-two length bucket).  The bucket is the bit length
+    of the char count minus one (== floor(log2) computed in integer space,
+    so every engine agrees at bucket boundaries — no libm dependence).
+
+    Emits integer sums (total_tokens/total_chars), not averages — integer
+    aggregates are engine-exact where a rounded average sits on a rounding
+    boundary.  One combiner-friendly aggregation; the natural first report
+    before sampling weights are chosen.
+    """
+    bucket = (F.length(F.bin(F.col(chars_col))) - 1).cast("long")
+    tokens = F.size(_clean_words(F.col(text_col))).cast("long")
+    return (df.select(F.col(lang_col).alias("lang"),
+                      bucket.alias("len_bucket"),
+                      tokens.alias("_t"),
+                      F.col(chars_col).alias("_c"))
+            .groupBy("lang", "len_bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("_t").alias("total_tokens"),
+                 F.sum("_c").alias("total_chars")))

@@ -62,9 +62,29 @@ def cosine_pairs(emb: DataFrame, id_col: str, vec_col: str,
     )
 
 
+def md5_plane_matrix(dim: int, nbits: int, seed: int = 42):
+    """Engine-portable pseudo-random hyperplanes: component (d, j) is
+    md5("seed:d:j") first-8-hex-chars scaled to [-0.5, 0.5).  Every value
+    is an exact dyadic rational, so Spark, DuckDB, or any engine derives
+    the IDENTICAL matrix — signatures become oracle-checkable.  Uniform
+    (not Gaussian) components are fine for sign-LSH: only the direction
+    distribution changes slightly, and candidate precision is unaffected
+    because survivors are exact-verified."""
+    import hashlib
+
+    import numpy as np
+
+    def u(d: int, j: int) -> float:
+        h = hashlib.md5(f"{seed}:{d}:{j}".encode()).hexdigest()[:8]
+        return int(h, 16) / 4294967296.0 - 0.5
+
+    return np.array([[u(d, j) for j in range(nbits)] for d in range(dim)])
+
+
 def lsh_cosine_pairs(emb: DataFrame, id_col: str, vec_col: str,
                      threshold: float = 0.9, planes: int = 16,
-                     tables: int = 4, seed: int = 42) -> DataFrame:
+                     tables: int = 4, seed: int = 42,
+                     plane_source: str = "gaussian") -> DataFrame:
     """Random-hyperplane LSH near-dup pairs, exactly verified.
 
     Signature bit b = sign(v · r_b) for deterministic pseudo-random planes
@@ -93,14 +113,21 @@ def lsh_cosine_pairs(emb: DataFrame, id_col: str, vec_col: str,
     dim = dim_probe["d"]
     nbits = tables * planes
     # deterministic plane matrix: every worker derives the same planes
-    rng = np.random.default_rng(seed)
-    plane_mat = rng.standard_normal((dim, nbits))
-    plane_mat /= np.linalg.norm(plane_mat, axis=0, keepdims=True)
+    if plane_source == "md5":
+        # engine-portable planes (see md5_plane_matrix) — the SQL oracle
+        # reproduces the signatures; no normalization (sign-invariant)
+        plane_mat = md5_plane_matrix(dim, nbits, seed)
+    else:
+        rng = np.random.default_rng(seed)
+        plane_mat = rng.standard_normal((dim, nbits))
+        plane_mat /= np.linalg.norm(plane_mat, axis=0, keepdims=True)
 
     @pandas_udf(T.ArrayType(T.StringType()))
     def signatures(vecs: pd.Series) -> pd.Series:
         mat = np.vstack(vecs.to_numpy()).astype(np.float64)
-        bits = (mat @ plane_mat >= 0).astype(np.uint8)
+        # round before the sign test: kills float-summation-order noise so
+        # an engine summing in a different order derives the same bit
+        bits = (np.round(mat @ plane_mat, 6) >= 0).astype(np.uint8)
         out = []
         for row in bits:
             out.append(["".join("1" if b else "0"

@@ -1,0 +1,104 @@
+"""Corpus-assembly operators: repetition signals, decontamination, shard
+shuffle, sequence packing, composition stats (operators/corpus.py)."""
+
+from pyspark.sql import functions as F
+
+from kstream_spark.operators import corpus as C
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_repetition_stats_known_values(spark):
+    df = _docs(spark, [(1, "a a a b"), (2, "x y z w")])
+    out = {r["doc_id"]: r for r in
+           C.repetition_stats(df, "doc_id", "text").collect()}
+    r1 = out[1]
+    assert r1["n_words"] == 4
+    assert r1["top_word_frac"] == 0.75
+    # 2-grams: [a a, a a, a b] -> 2 distinct of 3
+    assert r1["dup_2gram_frac"] == round(1 - 2 / 3, 6)
+    # 3-grams: [a a a, a a b] -> all distinct
+    assert r1["dup_3gram_frac"] == 0.0
+    r2 = out[2]
+    assert r2["top_word_frac"] == 0.25
+    assert r2["dup_2gram_frac"] == 0.0
+
+
+def test_repetition_stats_short_doc_no_grams(spark):
+    df = _docs(spark, [(1, "solo")])
+    r = C.repetition_stats(df, "doc_id", "text").collect()[0]
+    assert (r["n_words"], r["dup_2gram_frac"], r["dup_3gram_frac"]) == (1, 0.0, 0.0)
+
+
+def test_decontaminate_flags_shared_shingles(spark):
+    ev = _docs(spark, [(100, "the quick brown fox jumps")])
+    train = _docs(spark, [
+        (1, "lazy dogs avoid the quick brown fox entirely"),  # shares 2 shingles
+        (2, "completely unrelated words only here"),
+    ])
+    out = C.decontaminate(train, "doc_id", "text", ev, "doc_id", "text", n=3)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1}
+    assert rows[1]["n_shared"] == 2  # "the quick brown", "quick brown fox"
+    assert rows[1]["n_eval_docs"] == 1
+
+
+def test_pack_chunks_spans_are_contiguous(spark):
+    df = _docs(spark, [(1, "a b c"), (2, "d e f g"), (3, "h i")])
+    out = C.pack_chunks(df, "doc_id", "text", capacity=5, n_shards=1)
+    rows = sorted(out.collect(), key=lambda r: r["doc_id"])
+    # cum = 3, 7, 9 -> spans [0,0], [0,1], [1,1]
+    assert [(r["chunk_first"], r["chunk_last"]) for r in rows] == \
+        [(0, 0), (0, 1), (1, 1)]
+    assert all(r["shard"] == 0 for r in rows)
+
+
+def test_pack_chunks_no_gaps_per_shard(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = C.pack_chunks(docs, "doc_id", "text", capacity=256, n_shards=4)
+    # every chunk id in [0, max] is touched by some document (end-to-end layout)
+    per_shard = (out.groupBy("shard")
+                 .agg(F.max("chunk_last").alias("mx"),
+                      F.count_distinct("chunk_first").alias("starts"))
+                 .collect())
+    for r in per_shard:
+        assert r["starts"] >= 1
+    spans = out.select("shard", "chunk_first", "chunk_last").collect()
+    covered = {}
+    for r in spans:
+        for c in range(r["chunk_first"], r["chunk_last"] + 1):
+            covered.setdefault(r["shard"], set()).add(c)
+    for r in per_shard:
+        assert covered[r["shard"]] == set(range(r["mx"] + 1))
+
+
+def test_shuffle_shards_deterministic_and_dense(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = C.shuffle_shards(docs, "doc_id", n_shards=4, seed="s1") \
+        .select("doc_id", "shard", "pos")
+    b = C.shuffle_shards(docs, "doc_id", n_shards=4, seed="s1") \
+        .select("doc_id", "shard", "pos")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # positions are 1..n dense per shard
+    dense = (a.groupBy("shard")
+             .agg(F.count(F.lit(1)).alias("n"), F.max("pos").alias("mx"),
+                  F.min("pos").alias("mn")).collect())
+    for r in dense:
+        assert (r["mn"], r["mx"]) == (1, r["n"])
+    # a different seed permutes
+    c = C.shuffle_shards(docs, "doc_id", n_shards=4, seed="s2") \
+        .select("doc_id", "shard", "pos")
+    assert sorted(map(tuple, a.collect())) != sorted(map(tuple, c.collect()))
+
+
+def test_corpus_stats_bucket_is_bit_length(spark):
+    df = spark.createDataFrame(
+        [(1, "one two", "en", 7), (2, "three", "en", 8)],
+        "doc_id long, text string, lang string, n_chars long")
+    rows = sorted(C.corpus_stats(df, "text", "lang", "n_chars").collect(),
+                  key=lambda r: r["len_bucket"])
+    # 7 = 0b111 -> bucket 2; 8 = 0b1000 -> bucket 3
+    assert [(r["len_bucket"], r["n_docs"], r["total_tokens"], r["total_chars"])
+            for r in rows] == [(2, 1, 2, 7), (3, 1, 1, 8)]
