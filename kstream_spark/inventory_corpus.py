@@ -144,10 +144,63 @@ GROUP BY 1, 2
 """
 
 
+# -- temperature domain mixing ----------------------------------------------
+def q_corpus_domain_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """sqrt-temperature rebalance over languages (operators/sampling.domain_mix):
+    rarest language keeps 100%, others keep sqrt(n_min/n_d) by id-hash."""
+    from kstream_spark.operators.sampling import domain_mix
+    return domain_mix(_docs(spark, sf), "doc_id", "lang") \
+        .select("doc_id", "lang", "n_domain", "keep_frac")
+
+
+SQL_CORPUS_DOMAIN_MIX = """
+WITH c AS (SELECT lang, count(*) AS n_domain FROM documents GROUP BY lang),
+w AS (SELECT lang, n_domain,
+        round(sqrt((SELECT min(n_domain) FROM c) * 1.0 / n_domain), 6)
+          AS keep_frac
+      FROM c)
+SELECT d.doc_id, d.lang, w.n_domain, w.keep_frac
+FROM documents d JOIN w USING (lang)
+WHERE CAST(CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                AS UBIGINT) % 1000000 AS BIGINT)
+      < CAST(floor(keep_frac * 1000000) AS BIGINT)
+"""
+
+
+# -- per-domain token budgets -------------------------------------------------
+def q_corpus_token_budget(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy deterministic fill: keep docs per language in md5 order until
+    2000 cumulative tokens (operators/sampling.token_budget)."""
+    from kstream_spark.operators.sampling import token_budget
+    docs = _docs(spark, sf).select(
+        "doc_id", "lang",
+        F.size(F.filter(F.split(F.lower(F.col("text")), r"\s+"),
+                        lambda w: w != F.lit(""))).cast("long").alias("tokens"))
+    return token_budget(docs, "doc_id", "lang", "tokens", budget=2000) \
+        .select("doc_id", "lang", "tokens", "cum_tokens")
+
+
+SQL_CORPUS_TOKEN_BUDGET = f"""
+WITH {_CW},
+t AS (SELECT d.doc_id, d.lang, CAST(len(cw.ws) AS BIGINT) AS tokens,
+        md5('budget:' || CAST(d.doc_id AS VARCHAR)) AS h
+      FROM documents d JOIN cw ON d.doc_id = cw.doc_id),
+c AS (SELECT doc_id, lang, tokens,
+        CAST(sum(tokens) OVER (PARTITION BY lang ORDER BY h, doc_id)
+             AS BIGINT) AS cum_tokens,
+        row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+      FROM t)
+SELECT doc_id, lang, tokens, cum_tokens FROM c
+WHERE cum_tokens <= 2000 OR rn = 1
+"""
+
+
 CORPUS_INVENTORY: dict[str, tuple] = {
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "text_decontaminate": (q_text_decontaminate, SQL_TEXT_DECONTAMINATE),
     "corpus_shuffle": (q_corpus_shuffle, SQL_CORPUS_SHUFFLE),
     "corpus_pack": (q_corpus_pack, SQL_CORPUS_PACK),
     "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
+    "corpus_domain_mix": (q_corpus_domain_mix, SQL_CORPUS_DOMAIN_MIX),
+    "corpus_token_budget": (q_corpus_token_budget, SQL_CORPUS_TOKEN_BUDGET),
 }

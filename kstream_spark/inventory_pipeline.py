@@ -509,3 +509,46 @@ FROM f
 
 PIPELINE_INVENTORY["mm_frame_sample"] = (q_mm_frame_sample,
                                          SQL_MM_FRAME_SAMPLE)
+
+
+def q_vec_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """L2 norm + unit vector, codegen-only (operators/vectors.l2_normalize)."""
+    from kstream_spark.operators.vectors import l2_normalize
+    return l2_normalize(_embs(StreamBuilder(spark), sf), "embedding") \
+        .select("vec_id", "norm", "unit")
+
+
+SQL_VEC_NORMALIZE = """
+WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+             round(sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                                x -> x * x))), 6) AS norm
+           FROM embeddings)
+SELECT vec_id, norm,
+       CASE WHEN norm > 0 THEN list_transform(v, x -> round(x / norm, 6))
+            ELSE list_transform(v, x -> 0.0) END AS unit
+FROM s
+"""
+
+
+def q_vec_quantize(spark: SparkSession, sf: str) -> DataFrame:
+    """Symmetric int8 quantization (operators/vectors.quantize_int8)."""
+    from kstream_spark.operators.vectors import quantize_int8
+    return quantize_int8(_embs(StreamBuilder(spark), sf), "embedding") \
+        .select("vec_id", "scale", "qvec")
+
+
+SQL_VEC_QUANTIZE = """
+WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+             round(list_max(list_transform(embedding::DOUBLE[],
+                                           x -> abs(x))) / 127.0, 9) AS scale
+           FROM embeddings)
+SELECT vec_id, scale,
+       CASE WHEN scale > 0
+            THEN list_transform(v, x -> CAST(round(x / scale, 0) AS BIGINT))
+            ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS qvec
+FROM s
+"""
+
+
+PIPELINE_INVENTORY["vec_normalize"] = (q_vec_normalize, SQL_VEC_NORMALIZE)
+PIPELINE_INVENTORY["vec_quantize_int8"] = (q_vec_quantize, SQL_VEC_QUANTIZE)

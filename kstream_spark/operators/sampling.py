@@ -40,6 +40,66 @@ def deterministic_sample(df: DataFrame, id_col: str, pct: int,
     return df.filter(hash_bucket(F.col(id_col), 100, seed) < pct)
 
 
+def domain_mix(df: DataFrame, id_col: str, domain_col: str,
+               seed: str = "mix") -> DataFrame:
+    """Temperature-based domain rebalancing (the multilingual-corpus
+    standard: sample domain d with probability ∝ p_d^α, here α = 1/2).
+
+    Down-samples over-represented domains: the rarest domain keeps every
+    document and domain d keeps a deterministic ``sqrt(n_min / n_d)``
+    fraction, chosen by id-hash bucket — stable under reruns, incremental
+    appends, and engine swaps.  α is fixed at 1/2 because IEEE ``sqrt`` is
+    correctly rounded (bit-identical in every engine) while ``pow`` is not;
+    other temperatures would trade oracle-exactness for flexibility.
+
+    Returns the kept rows with (keep_frac, n_domain) attached.
+
+    Scale: domain counts are one combiner-friendly aggregation on a
+    low-cardinality key; the resulting tiny weight table broadcast-joins
+    back, so the corpus itself is filtered in the scan stage — no corpus
+    shuffle at 100 TB.
+    """
+    from pyspark.sql import Window as W
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n_domain"))
+    weights = counts.withColumn(
+        "_n_min", F.min("n_domain").over(W.partitionBy()))
+    weights = weights.select(
+        domain_col, "n_domain",
+        F.round(F.sqrt(F.col("_n_min") / F.col("n_domain")), 6)
+        .alias("keep_frac"))
+    thresh = F.floor(F.col("keep_frac") * 1000000).cast("long")
+    b = hash_bucket(F.col(id_col), 1000000, seed)
+    return (df.join(F.broadcast(weights), domain_col)
+            .filter(b < thresh))
+
+
+def token_budget(df: DataFrame, id_col: str, domain_col: str,
+                 tokens_col: str, budget: int, seed: str = "budget"
+                 ) -> DataFrame:
+    """Keep documents per domain, in deterministic hash order, until the
+    domain's cumulative token count reaches ``budget`` — the "N tokens per
+    source" corpus recipe, reproducible across reruns and engines.
+
+    A document is kept if the running total INCLUDING it is ≤ budget, plus
+    the first document of every domain (so a budget smaller than the first
+    doc still yields data — standard greedy fill).
+
+    Scale: one shuffle keyed on the domain (low cardinality → salt jumbo
+    domains upstream if needed) + an in-partition running sum; the corpus
+    is never globally sorted.
+    """
+    from pyspark.sql import Window as W
+    h = F.md5(F.encode(F.concat(F.lit(f"{seed}:"),
+                                F.col(id_col).cast("string")), "UTF-8"))
+    w = W.partitionBy(domain_col).orderBy(h.asc(), F.col(id_col).asc())
+    cum = F.sum(tokens_col).over(w).cast("long")
+    rn = F.row_number().over(w)
+    return (df.withColumn("cum_tokens", cum)
+            .withColumn("_rn", rn)
+            .filter((F.col("cum_tokens") <= budget) | (F.col("_rn") == 1))
+            .drop("_rn"))
+
+
 def stratified_cap(df: DataFrame, id_col: str, strat_col: str,
                    cap: int = 10, seed: str = "strat") -> DataFrame:
     """Keep at most ``cap`` rows per stratum, chosen by deterministic hash

@@ -1,0 +1,84 @@
+"""Vector transforms (operators/vectors.py) and corpus rebalancing
+(sampling.domain_mix / token_budget)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from kstream_spark.operators import vectors as V
+from kstream_spark.operators.sampling import domain_mix, token_budget
+
+
+def _vecs(spark):
+    return spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, [-1.0, 1.0])],
+        "vec_id long, embedding array<double>")
+
+
+def test_l2_normalize_known_values(spark):
+    out = {r["vec_id"]: r for r in
+           V.l2_normalize(_vecs(spark), "embedding").collect()}
+    assert out[1]["norm"] == 5.0
+    assert out[1]["unit"] == [0.6, 0.8]
+    # zero vector: zero norm, zero unit (no NaN)
+    assert out[2]["norm"] == 0.0
+    assert out[2]["unit"] == [0.0, 0.0]
+    assert out[3]["norm"] == round(math.sqrt(2), 6)
+
+
+def test_quantize_int8_roundtrip_error_bound(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = V.quantize_int8(emb, "embedding")
+    deq = q.select(
+        "vec_id", "embedding",
+        V.dequantize(F.col("qvec"), F.col("scale")).alias("approx"))
+    err = deq.select(F.array_max(F.zip_with(
+        F.col("embedding").cast("array<double>"), F.col("approx"),
+        lambda a, b: F.abs(a - b))).alias("maxerr"))
+    worst = err.agg(F.max("maxerr")).first()[0]
+    # symmetric int8: per-component error <= scale/2 = max|x|/254 < 0.005
+    # for unit-ish embeddings
+    assert worst < 0.01
+    # codes stay in int8 range
+    rng = q.select(F.array_max(F.transform("qvec", F.abs)).alias("m")) \
+        .agg(F.max("m")).first()[0]
+    assert rng <= 127
+
+
+def test_quantize_int8_zero_vector(spark):
+    out = {r["vec_id"]: r for r in
+           V.quantize_int8(_vecs(spark), "embedding").collect()}
+    assert out[2]["scale"] == 0.0
+    assert out[2]["qvec"] == [0, 0]
+    assert out[1]["qvec"] == [95, 127]  # 3/4*127 rounded, 127
+
+
+def test_domain_mix_rebalances(spark):
+    rows = [(i, "big") for i in range(400)] + \
+        [(1000 + i, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = domain_mix(df, "doc_id", "lang")
+    kept = {r["lang"]: r["cnt"] for r in
+            out.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    # small keeps everything, big keeps ~sqrt(100/400)=50%
+    assert kept["small"] == 100
+    assert 150 <= kept["big"] <= 250
+    # deterministic
+    again = domain_mix(df, "doc_id", "lang")
+    assert sorted(r["doc_id"] for r in out.collect()) == \
+        sorted(r["doc_id"] for r in again.collect())
+
+
+def test_token_budget_greedy_fill(spark):
+    df = spark.createDataFrame(
+        [(i, "en", 40) for i in range(10)] + [(100, "de", 999)],
+        "doc_id long, lang string, tokens long")
+    out = token_budget(df, "doc_id", "lang", "tokens", budget=100)
+    by_lang = {}
+    for r in out.collect():
+        by_lang.setdefault(r["lang"], []).append(r)
+    # en: 40-token docs -> exactly 2 fit within 100
+    assert len(by_lang["en"]) == 2
+    assert max(r["cum_tokens"] for r in by_lang["en"]) <= 100
+    # de: single doc exceeds the budget but the first doc is always kept
+    assert len(by_lang["de"]) == 1
