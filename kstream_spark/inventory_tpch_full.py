@@ -478,21 +478,36 @@ WHERE s_suppkey IN (SELECT l_suppkey
 # finalized order.  EXISTS/NOT EXISTS become per-order aggregates: distinct
 # supplier count > 1 and distinct late-supplier count == 1.
 def q21_waiting_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """Single-scan shape: instead of two lineitem passes (countDistinct
+    supplier + late-pair distinct), reduce the fact table once to distinct
+    (orderkey, suppkey, max_shipdate) pairs, join orders onto the already
+    ~4x-smaller pair set, then cascade to per-order totals.  At 100 TB this
+    halves fact-table scan volume, drops the two-phase countDistinct, and
+    the orders join touches pairs, not raw lineitem rows."""
     li = _t(spark, sf, "lineitem")
-    orders = _t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
-    per_order = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"))
-    late = (li.join(orders, li.l_orderkey == orders.o_orderkey)
-            .filter(F.col("l_shipdate")
-                    > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
-            .select("l_orderkey", "l_suppkey").distinct())
-    late_counts = late.groupBy(F.col("l_orderkey").alias("lc_key")).agg(
-        F.count("*").alias("n_late"))
+    orders = _t(spark, sf, "orders") \
+        .select("o_orderkey", "o_orderdate", "o_orderstatus")
+    # reduce the fact table BEFORE any join: distinct (order, supplier)
+    # pairs with max shipdate — map-side combine makes this shuffle narrow;
+    # a pair is late iff its LATEST shipment is late
+    pair = li.groupBy("l_orderkey", "l_suppkey") \
+        .agg(F.max("l_shipdate").alias("_max_ship"))
+    pair_late = (
+        pair.join(orders, pair.l_orderkey == orders.o_orderkey)
+        .select("l_orderkey", "l_suppkey",
+                F.when((F.col("o_orderstatus") == "F")
+                       & (F.col("_max_ship")
+                          > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+                       1).otherwise(0).alias("is_late")))
+    per_order = pair_late.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("is_late").alias("n_late"))
     supp = _t(spark, sf, "supplier")
-    return (late.join(per_order.filter(F.col("n_supp") > 1), "l_orderkey")
-            .join(late_counts.filter(F.col("n_late") == 1),
-                  late.l_orderkey == F.col("lc_key"))
-            .join(F.broadcast(supp), late.l_suppkey == supp.s_suppkey)
+    return (pair_late.filter(F.col("is_late") == 1)
+            .join(per_order.filter((F.col("n_supp") > 1)
+                                   & (F.col("n_late") == 1)), "l_orderkey")
+            .join(F.broadcast(supp),
+                  pair_late.l_suppkey == supp.s_suppkey)
             .groupBy("s_name").agg(F.count("*").alias("numwait"))
             .orderBy(F.desc("numwait"), F.asc("s_name"))
             .limit(10))
