@@ -475,3 +475,8 @@ INVENTORY.update(TPCH_FULL_INVENTORY)
 from kstream_spark.inventory_corpus import CORPUS_INVENTORY  # noqa: E402
 
 INVENTORY.update(CORPUS_INVENTORY)
+
+# -- behavioral analytics (funnels / cohort retention) -----------------------
+from kstream_spark.inventory_behavior import BEHAVIOR_INVENTORY  # noqa: E402
+
+INVENTORY.update(BEHAVIOR_INVENTORY)

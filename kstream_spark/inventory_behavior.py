@@ -1,0 +1,90 @@
+"""Behavioral-analytics inventory: ordered funnels + weekly cohort
+retention over the events table (operators/behavior.py).
+
+Parity notes: stages/counts are integer-only (no float boundaries);
+timestamps are compared raw (both engines truncate parquet nanos to
+micros); week arithmetic is integer day-diff // 7, never engine week
+counting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kstream_spark.builder import StreamBuilder
+from kstream_spark.operators import behavior as B
+
+STEPS = ["view", "click", "purchase"]
+
+
+def _events(spark: SparkSession, sf: str) -> DataFrame:
+    return StreamBuilder(spark).table(f"{sf}/events.parquet",
+                                      name="events").to_df()
+
+
+def q_funnel_stages(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user ordered funnel view->click->purchase (earliest-first)."""
+    return B.funnel(_events(spark, sf), "user_id", "event_type", "ts",
+                    STEPS).select("user_id", "stage", "t_1", "t_2", "t_3")
+
+
+_FUNNEL_CTES = """
+u AS (SELECT DISTINCT user_id FROM events),
+s1 AS (SELECT user_id, min(ts) AS t_1 FROM events
+       WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(e.ts) AS t_2
+       FROM events e JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type = 'click' AND e.ts > s1.t_1 GROUP BY 1),
+s3 AS (SELECT e.user_id, min(e.ts) AS t_3
+       FROM events e JOIN s2 ON e.user_id = s2.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t_2 GROUP BY 1),
+staged AS (
+  SELECT u.user_id, t_1, t_2, t_3,
+         CAST(CASE WHEN t_3 IS NOT NULL THEN 3
+                   WHEN t_2 IS NOT NULL THEN 2
+                   WHEN t_1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage
+  FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+         LEFT JOIN s3 USING (user_id))
+"""
+
+SQL_FUNNEL_STAGES = f"""
+WITH {_FUNNEL_CTES}
+SELECT user_id, stage, t_1, t_2, t_3 FROM staged
+"""
+
+
+def q_funnel_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """Conversion table: users reaching each funnel stage."""
+    return B.funnel_summary(_events(spark, sf), "user_id", "event_type",
+                            "ts", STEPS)
+
+
+SQL_FUNNEL_SUMMARY = f"""
+WITH {_FUNNEL_CTES}
+SELECT stage, count(*) AS n_users FROM staged GROUP BY 1
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly cohort x week-offset active-user grid."""
+    return B.cohort_retention(_events(spark, sf), "user_id", "ts")
+
+
+SQL_COHORT_RETENTION = """
+WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1),
+d AS (SELECT e.user_id,
+        CAST(date_trunc('week', f.first_ts) AS TIMESTAMP) AS cohort_week,
+        CAST(floor(date_diff('day',
+                             CAST(date_trunc('week', f.first_ts) AS DATE),
+                             CAST(e.ts AS DATE)) / 7.0) AS BIGINT) AS week_n
+      FROM events e JOIN f ON e.user_id = f.user_id)
+SELECT cohort_week, week_n, CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+FROM d GROUP BY 1, 2
+"""
+
+
+BEHAVIOR_INVENTORY: dict[str, tuple] = {
+    "funnel_stages": (q_funnel_stages, SQL_FUNNEL_STAGES),
+    "funnel_summary": (q_funnel_summary, SQL_FUNNEL_SUMMARY),
+    "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
+}

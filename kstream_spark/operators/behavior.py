@@ -1,0 +1,89 @@
+"""Behavioral / product analytics over event streams: ordered funnels and
+cohort retention.
+
+The reference engine has no analytics DSL at all (user callbacks only —
+kstream/processors/value_transformer.go:9-80); these are part of the
+capability superset, built shuffle-minimal:
+
+  * funnel(): ONE hash exchange on user_id; the t1→t2→t3 stage cascade is
+    three stacked Window operators over the SAME partitioning (Spark reuses
+    the exchange — no extra shuffle per stage), then a combiner-friendly
+    count per stage.  No self-joins of the fact table.
+  * cohort_retention(): ONE hash exchange on user_id for the first-event
+    window, then one aggregation exchange on the (small) cohort grid.  The
+    fact table is scanned once — the naive first-event-join shape scans it
+    twice and shuffles three times.
+
+At 100 TB both are scan-dominated single-pass plans; user_id skew is the
+only hazard (bot users) — cap per-user events upstream with
+sampling.stratified_cap if needed.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def funnel(events: DataFrame, user_col: str, type_col: str, ts_col: str,
+           steps: Sequence[str]) -> DataFrame:
+    """Strictly-ordered funnel: a user reaches step k iff an event of type
+    ``steps[k]`` happened AFTER their earliest qualifying step-(k-1) event
+    (earliest-first matching, the standard product-analytics semantics).
+
+    Returns one row per user: (user, stage, t_1..t_n) where stage is the
+    number of steps reached (0..n) and t_k the completion timestamp.
+    """
+    w = W.partitionBy(user_col)
+    df = events.select(user_col, type_col, ts_col)
+    prev = None
+    tcols = []
+    for k, step in enumerate(steps, start=1):
+        cond = F.col(type_col) == step
+        if prev is not None:
+            cond = cond & (F.col(ts_col) > F.col(prev))
+        tc = f"t_{k}"
+        df = df.withColumn(tc, F.min(F.when(cond, F.col(ts_col))).over(w))
+        prev = tc
+        tcols.append(tc)
+    # build deepest-step-first: the FINAL wrap must test t_n, so a user who
+    # completed step n gets stage n, not the first non-null shallow step
+    stage = F.lit(0)
+    for k in range(1, len(steps) + 1):
+        stage = F.when(F.col(f"t_{k}").isNotNull(), k).otherwise(stage)
+    return (df.groupBy(user_col)
+            .agg(*[F.min(c).alias(c) for c in tcols])
+            .withColumn("stage", stage.cast("long")))
+
+
+def funnel_summary(events: DataFrame, user_col: str, type_col: str,
+                   ts_col: str, steps: Sequence[str]) -> DataFrame:
+    """Funnel conversion table: (stage, n_users) for stage 0..len(steps)."""
+    per_user = funnel(events, user_col, type_col, ts_col, steps)
+    return (per_user.groupBy("stage")
+            .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+def cohort_retention(events: DataFrame, user_col: str, ts_col: str
+                     ) -> DataFrame:
+    """Weekly cohort retention: users grouped by the week of their first
+    event; n_active = distinct users of that cohort active k weeks later.
+
+    week_n is floor(days-since-cohort-week-start / 7) so engines agree at
+    boundaries (integer day arithmetic, no week-boundary counting).
+    """
+    w = W.partitionBy(user_col)
+    # cohort_week stays TIMESTAMP (engines render dates differently; raw
+    # timestamps compare exactly)
+    df = (events.select(user_col, F.col(ts_col).alias("_ts"))
+          .withColumn("_first", F.min("_ts").over(w))
+          .select(F.col(user_col),
+                  F.date_trunc("week", F.col("_first")).alias("cohort_week"),
+                  F.floor(F.datediff(
+                      F.col("_ts").cast("date"),
+                      F.date_trunc("week", F.col("_first")).cast("date"))
+                      / 7).cast("long").alias("week_n")))
+    return (df.groupBy("cohort_week", "week_n")
+            .agg(F.count_distinct(user_col).cast("long").alias("n_active")))

@@ -1,0 +1,74 @@
+"""Ordered funnel + cohort retention (operators/behavior.py)."""
+
+from datetime import datetime
+
+from kstream_spark.operators import behavior as B
+
+STEPS = ["view", "click", "purchase"]
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(u, t, datetime(2024, 1, d, h)) for u, t, d, h in rows],
+        "user_id long, event_type string, ts timestamp")
+
+
+def test_funnel_strict_ordering(spark):
+    df = _ev(spark, [
+        # u1 completes in order -> stage 3
+        (1, "view", 1, 0), (1, "click", 2, 0), (1, "purchase", 3, 0),
+        # u2: purchase BEFORE click -> stops at stage 2
+        (2, "view", 1, 0), (2, "purchase", 2, 0), (2, "click", 3, 0),
+        # u3: click before any view -> stage 1 (view exists, click unusable)
+        (3, "click", 1, 0), (3, "view", 2, 0),
+        # u4: no funnel events at all -> stage 0
+        (4, "error", 1, 0),
+    ])
+    out = {r["user_id"]: r["stage"] for r in
+           B.funnel(df, "user_id", "event_type", "ts", STEPS).collect()}
+    assert out == {1: 3, 2: 2, 3: 1, 4: 0}
+
+
+def test_funnel_earliest_first_matching(spark):
+    # view@d1, click@d2, view@d3, purchase@d4: t1 anchors at d1 so the
+    # d2 click counts and the d4 purchase completes the funnel
+    df = _ev(spark, [(1, "view", 1, 0), (1, "click", 2, 0),
+                     (1, "view", 3, 0), (1, "purchase", 4, 0)])
+    r = B.funnel(df, "user_id", "event_type", "ts", STEPS).collect()[0]
+    assert r["stage"] == 3
+    assert r["t_1"] == datetime(2024, 1, 1)
+    assert r["t_2"] == datetime(2024, 1, 2)
+    assert r["t_3"] == datetime(2024, 1, 4)
+
+
+def test_funnel_single_exchange(spark):
+    df = _ev(spark, [(1, "view", 1, 0)])
+    plan = B.funnel(df, "user_id", "event_type", "ts", STEPS) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # the 3-step window cascade + final groupBy share ONE user_id hash
+    # exchange (plus AQE reads); a join-based funnel would show several
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_funnel_summary_counts(spark):
+    df = _ev(spark, [(1, "view", 1, 0), (1, "click", 2, 0),
+                     (2, "view", 1, 0), (3, "error", 1, 0)])
+    out = {r["stage"]: r["n_users"] for r in
+           B.funnel_summary(df, "user_id", "event_type", "ts",
+                            STEPS).collect()}
+    assert out == {0: 1, 1: 1, 2: 1}
+
+
+def test_cohort_retention_week_grid(spark):
+    df = _ev(spark, [
+        # u1 first event Mon Jan 1 -> cohort 2024-01-01; active wk0 and wk2
+        (1, "view", 1, 0), (1, "view", 16, 0),
+        # u2 first event Thu Jan 4 -> same cohort week; active wk0 only
+        (2, "view", 4, 0),
+        # u3 first event Mon Jan 8 -> cohort 2024-01-08; wk0 + wk1
+        (3, "view", 8, 0), (3, "view", 15, 0),
+    ])
+    out = {(r["cohort_week"], r["week_n"]): r["n_active"] for r in
+           B.cohort_retention(df, "user_id", "ts").collect()}
+    w1, w2 = datetime(2024, 1, 1), datetime(2024, 1, 8)
+    assert out == {(w1, 0): 2, (w1, 2): 1, (w2, 0): 1, (w2, 1): 1}
