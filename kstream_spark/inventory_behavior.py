@@ -88,3 +88,52 @@ BEHAVIOR_INVENTORY: dict[str, tuple] = {
     "funnel_summary": (q_funnel_summary, SQL_FUNNEL_SUMMARY),
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
 }
+
+
+def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Row-level 30-min gap sessionization (operators/behavior.sessionize)."""
+    return B.sessionize(_events(spark, sf), "user_id", "ts",
+                        gap="30 minutes", id_col="event_id") \
+        .select("event_id", "user_id", "is_session_start", "session_n")
+
+
+SQL_SESSIONIZE = """
+WITH p AS (SELECT event_id, user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+f AS (SELECT event_id, user_id, ts,
+        CASE WHEN prev IS NULL OR ts > prev + INTERVAL 30 MINUTE
+             THEN 1 ELSE 0 END AS st
+      FROM p)
+SELECT event_id, user_id, CAST(st AS BIGINT) AS is_session_start,
+       CAST(sum(st) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_n
+FROM f
+"""
+
+
+def q_layout_zorder(spark: SparkSession, sf: str) -> DataFrame:
+    """Morton key over (user_id, day-number) — the write-side clustering
+    key for 2-D file pruning (operators/layout.zorder_key)."""
+    from pyspark.sql import functions as SF
+    from kstream_spark.operators.layout import zorder_key
+    ev = _events(spark, sf)
+    day = SF.datediff(SF.col("ts").cast("date"), SF.lit("2024-01-01"))
+    return ev.select("event_id",
+                     zorder_key(SF.col("user_id"), day, bits=16)
+                     .alias("zkey"))
+
+
+def _zorder_sql(bits: int = 16) -> str:
+    a = "(user_id & 65535)"
+    b = "(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) & 65535)"
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i})")
+    return ("SELECT event_id, CAST(" + " + ".join(terms)
+            + " AS BIGINT) AS zkey FROM events")
+
+
+BEHAVIOR_INVENTORY["sessionize_events"] = (q_sessionize, SQL_SESSIONIZE)
+BEHAVIOR_INVENTORY["layout_zorder"] = (q_layout_zorder, _zorder_sql())

@@ -66,6 +66,33 @@ def funnel_summary(events: DataFrame, user_col: str, type_col: str,
             .agg(F.count(F.lit(1)).alias("n_users")))
 
 
+def sessionize(events: DataFrame, user_col: str, ts_col: str,
+               gap: str = "30 minutes", id_col: str | None = None
+               ) -> DataFrame:
+    """Row-level gap sessionization: every event gets (session_n,
+    is_session_start) where a new session begins after ``gap`` of
+    inactivity.  Complements streaming/core.session_agg (which emits only
+    per-session aggregates via session_window) by labeling the raw rows —
+    what a training pipeline needs to group clickstreams into examples.
+
+    One hash exchange on user_col; the lag + running-sum pair shares the
+    same window ordering (single sort).  ``id_col`` breaks timestamp ties
+    deterministically.
+    """
+    order = [F.col(ts_col).asc()] + \
+        ([F.col(id_col).asc()] if id_col else [])
+    w = W.partitionBy(user_col).orderBy(*order)
+    prev = F.lag(F.col(ts_col)).over(w)
+    new_sess = F.when(
+        prev.isNull() | (F.col(ts_col) > prev + F.expr(f"INTERVAL {gap}")),
+        1).otherwise(0)
+    df = events.withColumn("is_session_start", new_sess.cast("long"))
+    run = W.partitionBy(user_col).orderBy(*order) \
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    return df.withColumn(
+        "session_n", F.sum("is_session_start").over(run).cast("long"))
+
+
 def cohort_retention(events: DataFrame, user_col: str, ts_col: str
                      ) -> DataFrame:
     """Weekly cohort retention: users grouped by the week of their first
