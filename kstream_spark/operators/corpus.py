@@ -54,41 +54,49 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     survive exact and near dedup (they are unique, just internally
     repetitive).
 
-    The n-gram fractions are computed entirely inside codegen
-    (transform + array_distinct on the words array — no explode, no
-    shuffle); only top_word_frac needs a (doc_id, word) aggregation, and
-    that shuffle is combiner-friendly (partial counts map-side).
+    Everything runs inside whole-stage codegen with ZERO shuffles: n-grams
+    are struct arrays built from shifted slices (arrays_zip — no per-gram
+    string concatenation), and the top-word count comes from run lengths of
+    the SORTED words array (boundary positions diffed pairwise) instead of
+    an explode + two aggregations.
     """
     w = _clean_words(F.col(text_col))
     d = df.select(F.col(id_col), w.alias("_w"))
 
     def dup_frac(n: int) -> Column:
         arr = F.col("_w")
-        idx = F.sequence(F.lit(1), F.size(arr) - (n - 1))
-        built = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(arr, i, n)))
-        # sequence(1, stop) runs DESCENDING when stop < 1 — guard short docs
-        grams = F.when(F.size(arr) >= n, built) \
-            .otherwise(F.array().cast("array<string>"))
-        total = F.size(grams)
-        return F.when(total > 0,
-                      F.round(1.0 - F.size(F.array_distinct(grams)) / total, 6)
+        g = F.size(arr) - (n - 1)
+        # gram i = (arr[i], arr[i+1], ...): zip n shifted views — O(words),
+        # struct equality inside array_distinct, no string building
+        grams = F.arrays_zip(*[F.slice(arr, 1 + k, g) for k in range(n)])
+        return F.when(g > 0,
+                      F.round(1.0 - F.size(F.array_distinct(grams)) / g, 6)
                       ).otherwise(F.lit(0.0))
 
-    per_doc = d.select(
+    # run-length trick: sort the words once (projected column — an
+    # expression referenced inside a lambda is re-evaluated PER ELEMENT,
+    # so the sort must be materialized first), then one O(n) fold tracks
+    # (prev word, current run, best run)
+    d = d.withColumn("_srt", F.array_sort(F.col("_w")))
+    npos = F.size(F.col("_w"))
+    state = F.struct(F.lit(None).cast("string").alias("prev"),
+                     F.lit(0).alias("run"), F.lit(0).alias("best"))
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(1)
+        return F.struct(x.alias("prev"), run.alias("run"),
+                        F.greatest(acc["best"], run).alias("best"))
+
+    top = F.aggregate(F.col("_srt"), state, step, lambda acc: acc["best"])
+
+    return d.select(
         id_col,
         F.size("_w").cast("long").alias("n_words"),
+        F.round(F.when(npos > 0, top).otherwise(0) /
+                F.greatest(npos, F.lit(1)), 6).alias("top_word_frac"),
         dup_frac(2).alias("dup_2gram_frac"),
         dup_frac(3).alias("dup_3gram_frac"),
     )
-    top = (d.select(id_col, F.explode("_w").alias("_word"))
-           .groupBy(id_col, "_word").count()
-           .groupBy(id_col).agg(F.max("count").alias("_top")))
-    return (per_doc.join(top, id_col, "left")
-            .select(id_col, "n_words",
-                    F.round(F.coalesce(F.col("_top"), F.lit(0)) /
-                            F.greatest(F.col("n_words"), F.lit(1)), 6)
-                    .alias("top_word_frac"),
-                    "dup_2gram_frac", "dup_3gram_frac"))
 
 
 def decontaminate(df: DataFrame, id_col: str, text_col: str,
