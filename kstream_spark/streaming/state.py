@@ -71,3 +71,72 @@ def latest_with_ttl(df: DataFrame, key_col: str, version_col: str,
         else GroupStateTimeout.NoTimeout
     return df.groupBy(key_col).applyInPandasWithState(
         update, out_schema, state_schema, "append", timeout)
+
+
+def session_stream(df: DataFrame, user_col: str, ts_col: str,
+                   gap: str = "30 minutes") -> DataFrame:
+    """Streaming gap sessionization with event-time timeouts: per user,
+    events closer than ``gap`` belong to one session; a session closes
+    (and emits one row) either when a later event arrives past the gap
+    (in-batch close) or when the WATERMARK passes last_ts + gap with no
+    new events (timeout close — the open session can't be re-opened by
+    anything the watermark still admits).
+
+    The streaming counterpart of operators/behavior.sessionize: batch
+    labels rows, this emits (user, session_start, session_end, n_events)
+    per closed session.  Caller must set ``withWatermark(ts_col, ...)``
+    upstream (EventTimeTimeout requires it).
+
+    State is three numbers per live user (start_ms, last_ms, n) —
+    O(active users), safe at any stream volume; the shuffle key is
+    user_col, the same key every downstream per-user consumer needs.
+    """
+    gap_ms = int(pd.Timedelta(gap).total_seconds() * 1000)
+    out_schema = T.StructType([
+        T.StructField(user_col, T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("start_ms", T.LongType()),
+        T.StructField("last_ms", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ])
+
+    def row(k, s, l, n):
+        return {user_col: k,
+                "session_start": pd.Timestamp(s, unit="ms"),
+                "session_end": pd.Timestamp(l, unit="ms"),
+                "n_events": n}
+
+    def update(key, pdfs, state: GroupState):
+        (k,) = key
+        if state.hasTimedOut:
+            s, l, n = state.get
+            state.remove()
+            yield pd.DataFrame([row(k, s, l, n)])
+            return
+        ts = sorted(int(t) for pdf in pdfs
+                    for t in pdf[ts_col].astype("int64") // 1_000_000)
+        open_sess = state.get if state.exists else None
+        closed = []
+        for t in ts:
+            if open_sess is None:
+                open_sess = (t, t, 1)
+            elif t > open_sess[1] + gap_ms:
+                closed.append(open_sess)
+                open_sess = (t, t, 1)
+            else:
+                open_sess = (open_sess[0], max(open_sess[1], t),
+                             open_sess[2] + 1)
+        state.update(open_sess)
+        # timeout must sit strictly above the current watermark
+        state.setTimeoutTimestamp(max(
+            open_sess[1] + gap_ms, state.getCurrentWatermarkMs() + 1))
+        if closed:
+            yield pd.DataFrame([row(k, s, l, n) for s, l, n in closed])
+
+    return df.groupBy(user_col).applyInPandasWithState(
+        update, out_schema, state_schema, "append",
+        GroupStateTimeout.EventTimeTimeout)

@@ -472,3 +472,55 @@ def test_streaming_metrics_reporter(spark, stream_dir, tmp_path):
         assert all(v >= 0 for v in rep.series("stream_batch_latency_ms"))
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_session_stream_in_batch_and_timeout_close(spark, tmp_path):
+    """Gap sessionization: an in-batch gap closes a session immediately;
+    a quiet user's open session closes when the watermark passes
+    last_ts + gap (event-time timeout)."""
+    from kstream_spark.streaming.state import session_stream
+
+    d = tmp_path / "sess_in"
+    d.mkdir()
+    spark.createDataFrame(
+        [(10, "2024-01-01 10:00:00"), (10, "2024-01-01 10:10:00"),
+         (10, "2024-01-01 12:00:00"),           # >30min gap -> closes A
+         (20, "2024-01-01 10:00:00")],          # quiet user
+        "user_id long, ts string") \
+        .withColumn("ts", F.col("ts").cast("timestamp")) \
+        .coalesce(1).write.mode("overwrite").parquet(str(d))
+
+    src = SC.read_stream_parquet(spark, str(d)) \
+        .withWatermark("ts", "10 seconds")
+    sess = session_stream(src, "user_id", "ts", gap="30 minutes")
+    q = (sess.writeStream.format("memory").queryName("sess_out")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck_sess")).start())
+    q.processAllAvailable()
+    got = {(r.user_id, str(r.session_start), r.n_events)
+           for r in spark.sql("SELECT * FROM sess_out").collect()}
+    # user 10's first session closed by the in-batch gap (n=2); user 20
+    # closed by timeout — the batch-1 watermark (11:59:50) already passed
+    # its 10:30 session end
+    assert got == {(10, "2024-01-01 10:00:00", 2),
+                   (20, "2024-01-01 10:00:00", 1)}
+
+    # batch 2: a late-day event pushes the watermark past user 10's open
+    # 12:00 session -> it times out; the 18:00 event opens a fresh session
+    spark.createDataFrame([(30, "2024-01-01 18:00:00")],
+                          "user_id long, ts string") \
+        .withColumn("ts", F.col("ts").cast("timestamp")) \
+        .coalesce(1).write.mode("append").parquet(str(d))
+    q.processAllAvailable()
+    # one more empty-ish batch so timeouts fire after the watermark update
+    spark.createDataFrame([(30, "2024-01-01 18:00:01")],
+                          "user_id long, ts string") \
+        .withColumn("ts", F.col("ts").cast("timestamp")) \
+        .coalesce(1).write.mode("append").parquet(str(d))
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(10)
+    got = {(r.user_id, str(r.session_start), r.n_events)
+           for r in spark.sql("SELECT * FROM sess_out").collect()}
+    assert (20, "2024-01-01 10:00:00", 1) in got
+    assert (10, "2024-01-01 12:00:00", 1) in got
