@@ -480,3 +480,8 @@ INVENTORY.update(CORPUS_INVENTORY)
 from kstream_spark.inventory_behavior import BEHAVIOR_INVENTORY  # noqa: E402
 
 INVENTORY.update(BEHAVIOR_INVENTORY)
+
+# -- data quality + SCD2 -----------------------------------------------------
+from kstream_spark.inventory_quality import QUALITY_INVENTORY  # noqa: E402
+
+INVENTORY.update(QUALITY_INVENTORY)

@@ -1,0 +1,121 @@
+"""Data-quality + SCD2 inventory (operators/quality.py, operators/scd.py).
+
+Parity notes: every metric is an integer count (no float boundaries);
+SCD2 intervals compare raw timestamps; change detection is null-safe
+equality on strings (IS DISTINCT FROM in DuckDB)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kstream_spark.builder import StreamBuilder
+from kstream_spark.operators import quality as Q
+from kstream_spark.operators.scd import scd2_history
+
+
+def _t(spark: SparkSession, sf: str, name: str) -> DataFrame:
+    return StreamBuilder(spark).table(f"{sf}/{name}.parquet",
+                                      name=name).to_df()
+
+
+PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+
+
+def q_dq_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """One-pass column profile of orders (quality.profile)."""
+    return Q.profile(_t(spark, sf, "orders"), PROFILE_COLS)
+
+
+SQL_DQ_PROFILE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name, count(*) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct FROM orders"""
+    for c in PROFILE_COLS)
+
+
+RULES_SQL = {
+    "qty_not_positive": "l_quantity <= 0",
+    "price_negative": "l_extendedprice < 0",
+    "discount_out_of_range": "l_discount < 0 OR l_discount > 1",
+    "shipdate_null": "l_shipdate IS NULL",
+    "returnflag_invalid": "l_returnflag NOT IN ('A', 'N', 'R')",
+}
+
+
+def q_dq_violations(spark: SparkSession, sf: str) -> DataFrame:
+    """Single-pass rule-violation report over lineitem (quality.check)."""
+    li = _t(spark, sf, "lineitem")
+    rules = {
+        "qty_not_positive": F.col("l_quantity") <= 0,
+        "price_negative": F.col("l_extendedprice") < 0,
+        "discount_out_of_range": (F.col("l_discount") < 0)
+        | (F.col("l_discount") > 1),
+        "shipdate_null": F.col("l_shipdate").isNull(),
+        "returnflag_invalid": ~F.col("l_returnflag").isin("A", "N", "R"),
+    }
+    return Q.check(li, rules)
+
+
+SQL_DQ_VIOLATIONS = "\nUNION ALL\n".join(
+    f"""SELECT '{name}' AS rule,
+       CAST(sum(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violations FROM lineitem"""
+    for name, cond in RULES_SQL.items())
+
+
+def q_dq_orphans(spark: SparkSession, sf: str) -> DataFrame:
+    """Referential audit: lineitem rows with no parent order + customer
+    rows with no nation (quality.orphans), as counts."""
+    li_orphans = Q.orphans(_t(spark, sf, "lineitem"), "l_orderkey",
+                           _t(spark, sf, "orders"), "o_orderkey")
+    cust_orphans = Q.orphans(_t(spark, sf, "customer"), "c_nationkey",
+                             _t(spark, sf, "nation"), "n_nationkey")
+    a = li_orphans.agg(F.count(F.lit(1)).alias("n")) \
+        .select(F.lit("lineitem_without_order").alias("relation"), "n")
+    b = cust_orphans.agg(F.count(F.lit(1)).alias("n")) \
+        .select(F.lit("customer_without_nation").alias("relation"), "n")
+    return a.unionByName(b)
+
+
+SQL_DQ_ORPHANS = """
+SELECT 'lineitem_without_order' AS relation, count(*) AS n
+FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+UNION ALL
+SELECT 'customer_without_nation' AS relation, count(*) AS n
+FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+"""
+
+
+def q_scd2_history(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD2 validity intervals of each user's event_type state
+    (operators/scd.scd2_history)."""
+    ev = _t(spark, sf, "events")
+    return scd2_history(ev, "user_id", ["event_type"], "ts",
+                        id_col="event_id")
+
+
+SQL_SCD2_HISTORY = """
+WITH o AS (SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER w AS prev_type,
+             lag(ts) OVER w AS prev_ts
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+runs AS (SELECT user_id, event_type, ts, event_id
+         FROM o
+         WHERE prev_ts IS NULL OR event_type IS DISTINCT FROM prev_type)
+SELECT user_id, event_type, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS valid_to,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         AS is_current
+FROM runs
+"""
+
+
+QUALITY_INVENTORY: dict[str, tuple] = {
+    "dq_profile": (q_dq_profile, SQL_DQ_PROFILE),
+    "dq_violations": (q_dq_violations, SQL_DQ_VIOLATIONS),
+    "dq_orphans": (q_dq_orphans, SQL_DQ_ORPHANS),
+    "scd2_history": (q_scd2_history, SQL_SCD2_HISTORY),
+}

@@ -1,0 +1,91 @@
+"""Data-quality operators: one-pass column profiling, rule checks, and
+referential-integrity audits.
+
+The validation layer a training pipeline runs before trusting a new drop
+of data.  Design for 100 TB:
+
+  * ``profile`` computes EVERY column's metrics in ONE aggregation over
+    the table (a single scan + one reduce stage — count/null-count/
+    approx- or exact-distinct per column as parallel aggregate
+    expressions), then unpivots the tiny result driver-side.  The naive
+    per-column loop would scan the table once per column.
+  * ``check`` is the same single-pass shape: each rule is a boolean
+    expression summed as violations; adding a rule adds an expression,
+    not a pass.
+  * ``orphans`` is a left-anti join — broadcast when the parent's key set
+    fits, shuffle otherwise (Spark/AQE decides from stats).
+
+No reference analog (tryfix/kstream validates nothing — bad records are
+user-callback errors routed to the DLQ, kstream/dlq/dlq.go:12-79); the
+DLQ path complements these checks and both feed the same quarantine
+pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def profile(df: DataFrame, cols: list[str] | None = None,
+            exact_distinct: bool = True) -> DataFrame:
+    """Per-column (col_name, n_rows, n_null, n_distinct) computed in ONE
+    pass.  ``exact_distinct=False`` swaps count_distinct for HLL
+    approx_count_distinct — at 100 TB exact distinct of a high-cardinality
+    column is a giant shuffle; the sketch is one fixed-size buffer per
+    column per task."""
+    cols = cols or df.columns
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    distinct = (F.count_distinct if exact_distinct
+                else F.approx_count_distinct)
+    for c in cols:
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                    .cast("long").alias(f"_null_{c}"))
+        aggs.append(distinct(F.col(c)).cast("long").alias(f"_dist_{c}"))
+    row = df.agg(*aggs)
+    # unpivot the 1-row wide result into (col_name, metrics) — tiny, local
+    pairs = []
+    for c in cols:
+        pairs.append(F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("_n").cast("long").alias("n_rows"),
+            F.col(f"_null_{c}").alias("n_null"),
+            F.col(f"_dist_{c}").alias("n_distinct")))
+    return (row.select(F.explode(F.array(*pairs)).alias("p"))
+            .select("p.col_name", "p.n_rows", "p.n_null", "p.n_distinct"))
+
+
+def check(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """Rule violations in one pass: ``rules`` maps rule name -> boolean
+    Column that is TRUE when the row VIOLATES the rule.  Returns
+    (rule, n_violations) including zero rows — a report, not a filter."""
+    aggs = [F.sum(F.when(expr, 1).otherwise(0)).cast("long").alias(name)
+            for name, expr in rules.items()]
+    row = df.agg(*aggs)
+    pairs = [F.struct(F.lit(name).alias("rule"),
+                      F.col(name).alias("n_violations"))
+             for name in rules]
+    return (row.select(F.explode(F.array(*pairs)).alias("p"))
+            .select("p.rule", "p.n_violations"))
+
+
+def quarantine(df: DataFrame, rules: dict[str, Column]
+               ) -> tuple[DataFrame, DataFrame]:
+    """Split rows into (clean, quarantined): quarantined rows carry a
+    ``violated`` array naming every failed rule — the batch analog of the
+    streaming DLQ (streaming/core.route_errors)."""
+    flags = F.array_compact(F.array(*[
+        F.when(expr, F.lit(name)).otherwise(F.lit(None))
+        for name, expr in rules.items()]))
+    tagged = df.withColumn("violated", flags)
+    clean = tagged.filter(F.size("violated") == 0).drop("violated")
+    bad = tagged.filter(F.size("violated") > 0)
+    return clean, bad
+
+
+def orphans(child: DataFrame, child_key: str, parent: DataFrame,
+            parent_key: str) -> DataFrame:
+    """Referential-integrity audit: child rows whose key has no parent
+    (left-anti join; AQE broadcasts the parent key set when small)."""
+    keys = parent.select(F.col(parent_key).alias(child_key)).distinct()
+    return child.join(keys, child_key, "left_anti")

@@ -1,0 +1,87 @@
+"""Data quality (operators/quality.py) + SCD2 (operators/scd.py)."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from kstream_spark.operators import quality as Q
+from kstream_spark.operators.scd import scd2_history, scd2_lookup
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", -5.0), (3, None, 7.0), (3, "b", None)],
+        "id long, grp string, v double")
+
+
+def test_profile_single_pass_metrics(spark):
+    out = {r["col_name"]: r for r in Q.profile(_df(spark)).collect()}
+    assert out["id"]["n_rows"] == 4
+    assert out["id"]["n_distinct"] == 3
+    assert out["grp"]["n_null"] == 1
+    assert out["grp"]["n_distinct"] == 2   # nulls not counted as a value
+    assert out["v"]["n_null"] == 1
+
+
+def test_profile_is_one_aggregation(spark):
+    plan = Q.profile(_df(spark))._jdf.queryExecution().executedPlan().toString()
+    # single-pass: exactly one aggregate subtree scanning the input, not
+    # one scan per column (explode of the packed struct adds no exchange)
+    assert plan.count("Exchange") <= 2
+
+
+def test_check_counts_violations(spark):
+    rules = {"neg_v": F.col("v") < 0, "null_grp": F.col("grp").isNull()}
+    out = {r["rule"]: r["n_violations"] for r in
+           Q.check(_df(spark), rules).collect()}
+    assert out == {"neg_v": 1, "null_grp": 1}
+
+
+def test_quarantine_splits_and_names_rules(spark):
+    rules = {"neg_v": F.col("v") < 0, "null_grp": F.col("grp").isNull()}
+    clean, bad = Q.quarantine(_df(spark), rules)
+    assert sorted(r["id"] for r in clean.collect()) == [1, 3]
+    flagged = {r["id"]: sorted(r["violated"]) for r in bad.collect()}
+    assert flagged == {2: ["neg_v"], 3: ["null_grp"]}
+    assert clean.count() + bad.count() == 4
+
+
+def test_orphans_anti_join(spark):
+    child = spark.createDataFrame([(1, 10), (2, 99)], "id long, fk long")
+    parent = spark.createDataFrame([(10,)], "pk long")
+    out = Q.orphans(child, "fk", parent, "pk").collect()
+    assert [r["id"] for r in out] == [2]
+
+
+def test_scd2_collapses_runs_and_assigns_intervals(spark):
+    rows = [
+        (1, 1, "bronze", datetime(2024, 1, 1)),
+        (2, 1, "bronze", datetime(2024, 1, 5)),   # no change -> collapsed
+        (3, 1, "gold", datetime(2024, 2, 1)),     # change
+        (4, 2, "silver", datetime(2024, 1, 2)),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long,"
+                               " tier string, ts timestamp")
+    hist = scd2_history(df, "user_id", ["tier"], "ts", id_col="event_id")
+    got = {(r["user_id"], r["tier"]):
+           (r["valid_from"], r["valid_to"], r["is_current"])
+           for r in hist.collect()}
+    assert got[(1, "bronze")] == (datetime(2024, 1, 1),
+                                  datetime(2024, 2, 1), False)
+    assert got[(1, "gold")] == (datetime(2024, 2, 1), None, True)
+    assert got[(2, "silver")] == (datetime(2024, 1, 2), None, True)
+
+    # point-in-time read between the two changes sees bronze
+    asof = scd2_lookup(hist, "user_id", "2024-01-15 00:00:00")
+    tiers = {r["user_id"]: r["tier"] for r in asof.collect()}
+    assert tiers == {1: "bronze", 2: "silver"}
+
+
+def test_scd2_null_safe_change_detection(spark):
+    rows = [(1, 1, None, datetime(2024, 1, 1)),
+            (2, 1, None, datetime(2024, 1, 2)),    # null == null: no change
+            (3, 1, "x", datetime(2024, 1, 3))]
+    df = spark.createDataFrame(rows, "event_id long, user_id long,"
+                               " tier string, ts timestamp")
+    hist = scd2_history(df, "user_id", ["tier"], "ts", id_col="event_id")
+    assert hist.count() == 2
