@@ -204,3 +204,115 @@ CORPUS_INVENTORY: dict[str, tuple] = {
     "corpus_domain_mix": (q_corpus_domain_mix, SQL_CORPUS_DOMAIN_MIX),
     "corpus_token_budget": (q_corpus_token_budget, SQL_CORPUS_TOKEN_BUDGET),
 }
+
+
+# -- composed end-to-end corpus assembly -------------------------------------
+def q_pipeline_pretraining_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """The full corpus-assembly pipeline composed end-to-end: repetition
+    quality gate -> benchmark decontamination (anti-join) -> sqrt-
+    temperature domain mixing -> per-language token budget -> deterministic
+    shard shuffle -> sequence packing along the shuffled order.  Every
+    stage is the already-oracle-checked operator; this query checks their
+    COMPOSITION (and that packing reuses the shuffle's (shard, pos) layout
+    instead of re-hashing)."""
+    from kstream_spark.operators.sampling import domain_mix, token_budget
+    docs = _docs(spark, sf)
+    rep = C.repetition_stats(docs, "doc_id", "text")
+    good = docs.join(
+        rep.filter((F.col("dup_2gram_frac") < 0.2)
+                   & (F.col("top_word_frac") < 0.3)).select("doc_id"),
+        "doc_id")
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    train = good.filter(F.col("doc_id") % 50 != 0)
+    contaminated = C.decontaminate(train, "doc_id", "text",
+                                   ev, "doc_id", "text", n=3) \
+        .select("doc_id")
+    clean = train.join(contaminated, "doc_id", "left_anti")
+    mixed = domain_mix(clean, "doc_id", "lang") \
+        .select("doc_id", "lang", "text")
+    toks = mixed.withColumn(
+        "tokens",
+        F.size(F.filter(F.split(F.lower(F.col("text")), r"\s+"),
+                        lambda w: w != F.lit(""))).cast("long"))
+    budgeted = token_budget(toks, "doc_id", "lang", "tokens", budget=2000) \
+        .select("doc_id", "lang", "text", "tokens")
+    sharded = C.shuffle_shards(budgeted, "doc_id", n_shards=4, seed="42")
+    packed = C.pack_chunks(sharded, "doc_id", "text", capacity=256,
+                           shard_col="shard", order_col="pos")
+    return (packed.join(sharded.select("doc_id", "lang", "pos"), "doc_id")
+            .select("doc_id", "lang", "shard", "pos", "tokens",
+                    "chunk_first", "chunk_last"))
+
+
+SQL_PIPELINE_PRETRAINING_CORPUS = f"""
+WITH {_CW},
+g AS (SELECT doc_id, ws,
+        CASE WHEN len(ws) >= 2 THEN list_transform(range(1, len(ws)),
+               i -> array_to_string(ws[i:i+1], ' ')) ELSE [] END AS g2
+      FROM cw),
+wc AS (SELECT doc_id, wd, count(*) AS c
+       FROM (SELECT doc_id, unnest(ws) AS wd FROM cw) u GROUP BY 1, 2),
+top AS (SELECT doc_id, max(c) AS topc FROM wc GROUP BY doc_id),
+rep AS (SELECT g.doc_id,
+          round(coalesce(topc, 0) / greatest(len(ws), 1), 6) AS twf,
+          CASE WHEN len(g2) > 0
+               THEN round(1.0 - len(list_distinct(g2)) / len(g2), 6)
+               ELSE 0.0 END AS dup2
+        FROM g LEFT JOIN top ON g.doc_id = top.doc_id),
+good AS (SELECT d.doc_id, d.lang FROM documents d JOIN rep USING (doc_id)
+         WHERE rep.dup2 < 0.2 AND rep.twf < 0.3),
+w3 AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS words
+       FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+         md5('decon:' || unnest(list_transform(
+             range(1, greatest(len(words) - 2, 0) + 1),
+             i -> array_to_string(words[i:i+2], ' ')))) AS h
+       FROM w3),
+evh AS (SELECT DISTINCT h FROM sh WHERE doc_id % 50 = 0),
+contaminated AS (SELECT DISTINCT sh.doc_id FROM sh JOIN evh USING (h)
+                 WHERE sh.doc_id % 50 <> 0),
+clean AS (SELECT * FROM good
+          WHERE doc_id % 50 <> 0
+            AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+counts AS (SELECT lang, count(*) AS n_domain FROM clean GROUP BY lang),
+wts AS (SELECT lang, round(sqrt((SELECT min(n_domain) FROM counts) * 1.0
+                               / n_domain), 6) AS keep_frac
+        FROM counts),
+mixed AS (SELECT c.doc_id, c.lang FROM clean c JOIN wts USING (lang)
+          WHERE CAST(CAST(('0x' || substr(md5('mix:' ||
+                     CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                     % 1000000 AS BIGINT)
+                < CAST(floor(keep_frac * 1000000) AS BIGINT)),
+tok AS (SELECT m.doc_id, m.lang, CAST(len(cw.ws) AS BIGINT) AS tokens,
+          md5('budget:' || CAST(m.doc_id AS VARCHAR)) AS bh
+        FROM mixed m JOIN cw ON m.doc_id = cw.doc_id),
+bud AS (SELECT doc_id, lang, tokens,
+          CAST(sum(tokens) OVER (PARTITION BY lang ORDER BY bh, doc_id)
+               AS BIGINT) AS cum,
+          row_number() OVER (PARTITION BY lang ORDER BY bh, doc_id) AS rn
+        FROM tok),
+kept AS (SELECT doc_id, lang, tokens FROM bud WHERE cum <= 2000 OR rn = 1),
+sharded AS (SELECT doc_id, lang, tokens,
+              md5('42:' || CAST(doc_id AS VARCHAR)) AS hx,
+              CAST(CAST(('0x' || substr(md5('42:' ||
+                   CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                   % 4 AS BIGINT) AS shard
+            FROM kept),
+pos AS (SELECT doc_id, lang, tokens, shard,
+          CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id)
+               AS BIGINT) AS pos
+        FROM sharded),
+packed AS (SELECT doc_id, lang, shard, pos, tokens,
+             CAST(sum(tokens) OVER (PARTITION BY shard ORDER BY pos)
+                  AS BIGINT) AS cum
+           FROM pos)
+SELECT doc_id, lang, shard, pos, tokens,
+       CAST(floor((cum - tokens) / 256.0) AS BIGINT) AS chunk_first,
+       CAST(floor(greatest(cum - 1, cum - tokens) / 256.0) AS BIGINT)
+         AS chunk_last
+FROM packed
+"""
+
+
+CORPUS_INVENTORY["pipeline_pretraining_corpus"] = (
+    q_pipeline_pretraining_corpus, SQL_PIPELINE_PRETRAINING_CORPUS)

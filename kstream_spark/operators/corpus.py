@@ -151,7 +151,9 @@ def shuffle_shards(df: DataFrame, id_col: str, n_shards: int = 8,
 
 
 def pack_chunks(df: DataFrame, id_col: str, text_col: str,
-                capacity: int = 256, n_shards: int = 8) -> DataFrame:
+                capacity: int = 256, n_shards: int = 8,
+                shard_col: str | None = None,
+                order_col: str | None = None) -> DataFrame:
     """Concat-and-chunk sequence packing (the GPT-style training layout):
     documents are laid end-to-end per shard and cut every ``capacity``
     tokens; each document is annotated with the chunk span it lands in.
@@ -163,14 +165,21 @@ def pack_chunks(df: DataFrame, id_col: str, text_col: str,
     per-shard running token total (one window function after a shard
     exchange), so packing 100 TB costs one shuffle keyed on the shard id
     the writer needs anyway.
+
+    Pass ``shard_col``/``order_col`` to pack along an EXISTING layout
+    (e.g. shuffle_shards' (shard, pos)) instead of deriving a fresh hash
+    shard — composition then reuses the upstream exchange.
     """
     tokens = F.size(_clean_words(F.col(text_col))).cast("long")
-    win = W.partitionBy("shard").orderBy(id_col)
+    order = order_col or id_col
+    shard = (F.col(shard_col) if shard_col
+             else _hash_mod(F.col(id_col), n_shards, "pack"))
+    win = W.partitionBy("shard").orderBy(order)
     cum = F.sum("tokens").over(win)
     start = cum - F.col("tokens")
-    return (df.select(F.col(id_col),
-                      _hash_mod(F.col(id_col), n_shards, "pack").alias("shard"),
-                      tokens.alias("tokens"))
+    return (df.select(F.col(id_col), shard.alias("shard"),
+                      tokens.alias("tokens"),
+                      *([F.col(order)] if order != id_col else []))
             .select(id_col, "shard", "tokens",
                     F.floor(start / capacity).cast("long").alias("chunk_first"),
                     F.floor(F.greatest(cum - 1, start) / capacity).cast("long")
