@@ -524,3 +524,46 @@ def test_session_stream_in_batch_and_timeout_close(spark, tmp_path):
            for r in spark.sql("SELECT * FROM sess_out").collect()}
     assert (20, "2024-01-01 10:00:00", 1) in got
     assert (10, "2024-01-01 12:00:00", 1) in got
+
+
+def test_funnel_stream_stage_advances_across_batches(spark, tmp_path):
+    """Streaming funnel: stages advance in strict order, state carries
+    across micro-batches, and an out-of-order shallow event can't re-fire
+    a completed stage."""
+    from kstream_spark.streaming.state import funnel_stream
+
+    d = tmp_path / "fun_in"
+    d.mkdir()
+
+    def feed(rows, mode="append"):
+        spark.createDataFrame(rows, "user_id long, event_type string, ts string") \
+            .withColumn("ts", F.col("ts").cast("timestamp")) \
+            .coalesce(1).write.mode(mode).parquet(str(d))
+
+    feed([(1, "view", "2024-01-01 10:00:00"),
+          (1, "click", "2024-01-01 10:05:00"),
+          (2, "click", "2024-01-01 10:00:00")], mode="overwrite")  # u2: no view yet
+
+    src = SC.read_stream_parquet(spark, str(d))
+    out = funnel_stream(src, "user_id", "event_type", "ts",
+                        ["view", "click", "purchase"])
+    q = (out.writeStream.format("memory").queryName("funnel_out")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck_fun")).start())
+    q.processAllAvailable()
+    got = {(r.user_id, r.stage, r.step)
+           for r in spark.sql("SELECT * FROM funnel_out").collect()}
+    assert got == {(1, 1, "view"), (1, 2, "click")}   # u2 blocked at 0
+
+    # batch 2: u1 purchases (stage 3); u2's view arrives -> stage 1, but
+    # the earlier click stays consumed-less (strict order, no re-fire)
+    feed([(1, "purchase", "2024-01-01 11:00:00"),
+          (2, "view", "2024-01-01 10:30:00")])
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(10)
+    got = {(r.user_id, r.stage, r.step)
+           for r in spark.sql("SELECT * FROM funnel_out").collect()}
+    assert (1, 3, "purchase") in got
+    assert (2, 1, "view") in got
+    assert (2, 2, "click") not in got
