@@ -42,6 +42,13 @@ HEADLINE = [
     "agg_pivot",
     "wf_running_sum",
     "sample_train_val_split",
+    "corpus_pack",
+    "corpus_domain_mix",
+    "text_repetition",
+    "vec_quantize_int8",
+    "funnel_stages",
+    "sessionize_events",
+    "layout_zorder",
 ]
 
 

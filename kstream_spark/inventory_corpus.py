@@ -120,9 +120,11 @@ c AS (SELECT doc_id, shard, tokens,
              AS BIGINT) AS cum
       FROM t)
 SELECT doc_id, shard, tokens,
-       CAST(floor((cum - tokens) / 256.0) AS BIGINT) AS chunk_first,
-       CAST(floor(greatest(cum - 1, cum - tokens) / 256.0) AS BIGINT)
-         AS chunk_last
+       CAST(floor(CASE WHEN tokens = 0 THEN greatest(cum - 1, 0)
+                       ELSE cum - tokens END / 256.0) AS BIGINT)
+         AS chunk_first,
+       CAST(floor(CASE WHEN tokens = 0 THEN greatest(cum - 1, 0)
+                       ELSE cum - 1 END / 256.0) AS BIGINT) AS chunk_last
 FROM c
 """
 
@@ -307,9 +309,11 @@ packed AS (SELECT doc_id, lang, shard, pos, tokens,
                   AS BIGINT) AS cum
            FROM pos)
 SELECT doc_id, lang, shard, pos, tokens,
-       CAST(floor((cum - tokens) / 256.0) AS BIGINT) AS chunk_first,
-       CAST(floor(greatest(cum - 1, cum - tokens) / 256.0) AS BIGINT)
-         AS chunk_last
+       CAST(floor(CASE WHEN tokens = 0 THEN greatest(cum - 1, 0)
+                       ELSE cum - tokens END / 256.0) AS BIGINT)
+         AS chunk_first,
+       CAST(floor(CASE WHEN tokens = 0 THEN greatest(cum - 1, 0)
+                       ELSE cum - 1 END / 256.0) AS BIGINT) AS chunk_last
 FROM packed
 """
 

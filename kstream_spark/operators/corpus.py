@@ -177,13 +177,18 @@ def pack_chunks(df: DataFrame, id_col: str, text_col: str,
     win = W.partitionBy("shard").orderBy(order)
     cum = F.sum("tokens").over(win)
     start = cum - F.col("tokens")
+    # zero-token documents attach to the chunk ENDING at their position
+    # (greatest(cum-1, 0)); using their start position would mint a
+    # phantom chunk when they trail the shard (start == shard total)
+    empty_pos = F.greatest(cum - 1, F.lit(0))
+    first = F.when(F.col("tokens") == 0, empty_pos).otherwise(start)
+    last = F.when(F.col("tokens") == 0, empty_pos).otherwise(cum - 1)
     return (df.select(F.col(id_col), shard.alias("shard"),
                       tokens.alias("tokens"),
                       *([F.col(order)] if order != id_col else []))
             .select(id_col, "shard", "tokens",
-                    F.floor(start / capacity).cast("long").alias("chunk_first"),
-                    F.floor(F.greatest(cum - 1, start) / capacity).cast("long")
-                    .alias("chunk_last")))
+                    F.floor(first / capacity).cast("long").alias("chunk_first"),
+                    F.floor(last / capacity).cast("long").alias("chunk_last")))
 
 
 def corpus_stats(df: DataFrame, text_col: str, lang_col: str,

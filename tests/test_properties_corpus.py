@@ -1,0 +1,144 @@
+"""Property-based tests (hypothesis) for corpus/sampling/behavior
+invariants: packing covers every chunk with no gaps, domain mixing never
+upsamples and keeps the rarest domain whole, sessionization matches a
+sequential reference fold, SCD2 history reconstructs the latest state."""
+
+from datetime import datetime, timedelta
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from kstream_spark.operators import behavior as B
+from kstream_spark.operators import corpus as C
+from kstream_spark.operators.sampling import domain_mix
+from kstream_spark.operators.scd import scd2_history
+
+SET = settings(max_examples=10, deadline=None,
+               suppress_health_check=list(HealthCheck))
+
+
+def _spark():
+    from kstream_spark import get_spark
+    return get_spark(shuffle_partitions=4)
+
+
+DOCS = st.lists(
+    st.tuples(st.integers(0, 500),                      # doc_id (deduped below)
+              st.text(alphabet="ab ", min_size=0, max_size=40)),
+    min_size=1, max_size=25, unique_by=lambda t: t[0])
+
+
+@SET
+@given(DOCS, st.integers(1, 7))
+def test_pack_chunks_dense_cover(docs, capacity):
+    """Chunks are a gapless 0..max cover per shard and token counts match
+    a driver-side recount."""
+    spark = _spark()
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = C.pack_chunks(df, "doc_id", "text", capacity=capacity,
+                         n_shards=2).collect()
+    by_shard: dict = {}
+    for r in rows:
+        assert r["tokens"] == len([w for w in
+                                   dict(docs)[r["doc_id"]].lower().split()
+                                   if w])
+        assert r["chunk_first"] <= r["chunk_last"]
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rs in by_shard.items():
+        covered = set()
+        for r in rs:
+            covered |= set(range(r["chunk_first"], r["chunk_last"] + 1))
+        total = sum(r["tokens"] for r in rs)
+        expect_last = max(0, (total - 1)) // capacity
+        assert covered == set(range(expect_last + 1))
+
+
+DOMAINS = st.lists(
+    st.tuples(st.integers(0, 300), st.sampled_from(["a", "b", "c"])),
+    min_size=2, max_size=40, unique_by=lambda t: t[0])
+
+
+@SET
+@given(DOMAINS)
+def test_domain_mix_never_upsamples_and_keeps_rarest(domains):
+    spark = _spark()
+    df = spark.createDataFrame(domains, "doc_id long, lang string")
+    kept = domain_mix(df, "doc_id", "lang").collect()
+    from collections import Counter
+    before = Counter(l for _, l in domains)
+    after = Counter(r["lang"] for r in kept)
+    rare = min(before, key=lambda l: (before[l], l))
+    rare_n = before[rare]
+    for lang, n in after.items():
+        assert n <= before[lang]
+    # every language with the minimum count is kept in full (keep_frac 1)
+    for lang, n in before.items():
+        if n == rare_n:
+            assert after[lang] == n
+    # kept ids are a subset of input ids
+    assert {r["doc_id"] for r in kept} <= {d for d, _ in domains}
+
+
+EVENTS = st.lists(
+    st.tuples(st.integers(0, 3),                 # user
+              st.integers(0, 300)),              # minutes offset
+    min_size=1, max_size=40)
+
+
+@SET
+@given(EVENTS, st.integers(5, 60))
+def test_sessionize_matches_sequential_fold(events, gap_min):
+    spark = _spark()
+    base = datetime(2024, 1, 1)
+    rows = [(i, u, base + timedelta(minutes=m))
+            for i, (u, m) in enumerate(events)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {r["event_id"]: r["session_n"] for r in
+           B.sessionize(df, "user_id", "ts", f"{gap_min} minutes",
+                        id_col="event_id").collect()}
+    # sequential reference: per user, ordered by (ts, id), bump on gap
+    want = {}
+    per_user: dict = {}
+    for i, u, ts in sorted(rows, key=lambda r: (r[1], r[2], r[0])):
+        last, n = per_user.get(u, (None, 0))
+        if last is None or (ts - last) > timedelta(minutes=gap_min):
+            n += 1
+        per_user[u] = (ts, n)
+        want[i] = n
+    assert got == want
+
+
+CHANGES = st.lists(
+    st.tuples(st.integers(0, 3),                 # key
+              st.sampled_from(["x", "y", None]),  # attr
+              st.integers(0, 100)),              # minutes
+    min_size=1, max_size=30)
+
+
+@SET
+@given(CHANGES)
+def test_scd2_current_state_matches_last_value(changes):
+    """The is_current row of every key equals the key's attribute at max
+    timestamp (ties broken by event id), and intervals chain without
+    overlap."""
+    spark = _spark()
+    base = datetime(2024, 1, 1)
+    rows = [(i, k, a, base + timedelta(minutes=m))
+            for i, (k, a, m) in enumerate(changes)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long,"
+                               " tier string, ts timestamp")
+    hist = scd2_history(df, "user_id", ["tier"], "ts",
+                        id_col="event_id").collect()
+    last = {}
+    for i, k, a, ts in sorted(rows, key=lambda r: (r[3], r[0])):
+        last[k] = a
+    cur = {r["user_id"]: r["tier"] for r in hist if r["is_current"]}
+    assert cur == last
+    by_key: dict = {}
+    for r in hist:
+        by_key.setdefault(r["user_id"], []).append(r)
+    for k, rs in by_key.items():
+        rs.sort(key=lambda r: r["valid_from"])
+        assert sum(r["is_current"] for r in rs) == 1
+        for a, b in zip(rs, rs[1:]):
+            assert a["valid_to"] == b["valid_from"]
