@@ -485,3 +485,53 @@ INVENTORY.update(BEHAVIOR_INVENTORY)
 from kstream_spark.inventory_quality import QUALITY_INVENTORY  # noqa: E402
 
 INVENTORY.update(QUALITY_INVENTORY)
+
+
+# ---------------------------------------------------------------------------
+# Driver-check ordering.  The verification driver samples queries in
+# REGISTRATION order with a ~50-query budget per round, so queries that do
+# not yet have a driver CORRECTNESS row (plus anything fixed or added this
+# round) must register FIRST.  Families with green r1/r2 rows ride in back —
+# their evidence is already on file.  Keep this list in sync round-over-round:
+# move newly-verified names out, put never-checked / changed names in front.
+_CHECK_FIRST = [
+    # fixed this round (r2 harness FAIL -> exploded output)
+    "vec_normalize", "vec_quantize_int8",
+    # fixed/new this round (deterministic k-means oracle, LSH dedup path,
+    # sketch accuracy gates)
+    "sim_ivf_kmeans_topk", "dedup_embedding_lsh",
+    "sketch_hll_distinct", "sketch_quantiles",
+    # TPC-H full — never driver-checked (registered last in r2)
+    "tpch_q2_min_cost_part", "tpch_q3_shipping_priority",
+    "tpch_q4_priority_exists", "tpch_q5_local_supplier_volume",
+    "tpch_q7_volume_shipping", "tpch_q8_market_share",
+    "tpch_q9_product_profit", "tpch_q10_returned_items",
+    "tpch_q11_important_stock", "tpch_q12_late_shipments",
+    "tpch_q13_customer_distribution", "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier", "tpch_q16_parts_supplier",
+    "tpch_q17_small_quantity", "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_revenue", "tpch_q20_promo_suppliers",
+    "tpch_q21_waiting_supplier", "tpch_q22_dormant_customers",
+    # corpus assembly — never driver-checked
+    "text_repetition", "text_decontaminate", "corpus_shuffle", "corpus_pack",
+    "corpus_stats", "corpus_domain_mix", "corpus_token_budget",
+    "pipeline_pretraining_corpus",
+    # behavioral analytics — never driver-checked
+    "funnel_stages", "funnel_summary", "cohort_retention", "sessionize_events",
+    # data quality / SCD2 / layout — never driver-checked
+    "dq_profile", "dq_violations", "dq_orphans", "scd2_history",
+    "layout_zorder",
+    # window/scalar function surface — never driver-checked
+    "fn_higher_order", "ts_gap_fill", "udtf_chunk_text", "agg_percentiles",
+    "fn_string", "fn_date", "agg_revenue_delta", "agg_pivot", "fn_unpivot",
+    "fn_scalar_subquery", "fn_null_handling", "wf_rolling_7d",
+]
+
+
+def _reorder(inv: dict[str, tuple], front: list[str]) -> dict[str, tuple]:
+    head = {n: inv[n] for n in front if n in inv}
+    head.update({n: v for n, v in inv.items() if n not in head})
+    return head
+
+
+INVENTORY = _reorder(INVENTORY, _CHECK_FIRST)

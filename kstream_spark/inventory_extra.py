@@ -232,21 +232,61 @@ EXTRA_INVENTORY["udtf_chunk_text"] = (q_udtf_chunk_text, SQL_UDTF_CHUNK_TEXT)
 
 
 def q_sketch_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
-    """HLL++ distinct users per event type (approximate by design ->
-    rows-only driver check; error bounds are asserted in
-    tests/test_sketches.py against exact counts)."""
-    from kstream_spark.operators.sketches import hll_distinct
+    """HLL++ distinct users per event type, ACCURACY-GATED so the driver can
+    hash-match it: an approximate estimate can't equal a SQL oracle, but the
+    claim "the sketch lands within its error bound of the exact answer" can
+    — the query emits (exact_distinct, n_rows, within_bound) and the oracle
+    emits the exact values with within_bound=true.  A sketch drifting out of
+    bound turns the row red.  (The raw-estimate operator is
+    sketches.hll_distinct; tests/test_sketches.py asserts bounds too.)"""
     ev = StreamBuilder(spark).stream(f"{sf}/events.parquet").to_df()
-    return hll_distinct(ev, ["event_type"], "user_id")
+    est = F.approx_count_distinct("user_id", 0.02)
+    exact = F.countDistinct("user_id")
+    return (ev.groupBy("event_type")
+            .agg(est.alias("est"), exact.alias("exact_distinct"),
+                 F.count("*").alias("n_rows"))
+            .select("event_type", "exact_distinct", "n_rows",
+                    (F.abs(F.col("est") - F.col("exact_distinct"))
+                     <= F.greatest(F.round(F.col("exact_distinct") * 0.05),
+                                   F.lit(2))).alias("within_bound")))
+
+
+SQL_SKETCH_HLL = """
+SELECT event_type, count(DISTINCT user_id) AS exact_distinct,
+       count(*) AS n_rows, true AS within_bound
+FROM events GROUP BY event_type
+"""
 
 
 def q_sketch_quantiles(spark: SparkSession, sf: str) -> DataFrame:
-    """GK approximate value quantiles per event type (rows-only check;
-    rank-error bounds asserted in tests/test_sketches.py)."""
+    """GK approximate quantiles per event type, ACCURACY-GATED like
+    sketch_hll_distinct: for each probed percentile the query checks the
+    returned element's actual rank sits within the GK rank-error bound
+    (1/accuracy, plus a 2-row convention slack) of the target rank, and
+    emits booleans the exact-SQL oracle asserts are all true."""
     from kstream_spark.operators.sketches import approx_quantiles
-    ev = StreamBuilder(spark).stream(f"{sf}/events.parquet").to_df()
-    return approx_quantiles(ev, ["event_type"], "value")
+    ev = StreamBuilder(spark).stream(f"{sf}/events.parquet").to_df() \
+        .select("event_type", "value")
+    ap = approx_quantiles(ev, ["event_type"], "value")  # q50, q95, q99
+    j = ev.join(F.broadcast(ap), "event_type")
+    n = F.count("*")
+    tol = F.greatest(F.round(n * 0.01), F.lit(2))
+
+    def rank_ok(p: int):
+        at_most = F.sum((F.col("value") <= F.col(f"q{p}")).cast("long"))
+        target = F.round(n * (p / 100.0))
+        return (F.abs(at_most - target) <= tol).alias(f"q{p}_ok")
+
+    return (j.groupBy("event_type")
+            .agg(n.alias("n_rows"), rank_ok(50), rank_ok(95), rank_ok(99)))
 
 
-EXTRA_INVENTORY["sketch_hll_distinct"] = (q_sketch_hll_distinct, None)
-EXTRA_INVENTORY["sketch_quantiles"] = (q_sketch_quantiles, None)
+SQL_SKETCH_QUANTILES = """
+SELECT event_type, count(*) AS n_rows,
+       true AS q50_ok, true AS q95_ok, true AS q99_ok
+FROM events GROUP BY event_type
+"""
+
+
+EXTRA_INVENTORY["sketch_hll_distinct"] = (q_sketch_hll_distinct, SQL_SKETCH_HLL)
+EXTRA_INVENTORY["sketch_quantiles"] = (q_sketch_quantiles, SQL_SKETCH_QUANTILES)

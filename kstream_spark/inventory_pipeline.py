@@ -299,13 +299,116 @@ WHERE vec_id NOT IN (SELECT id_b FROM pairs)
 def q_sim_ivf_kmeans_topk(spark: SparkSession, sf: str) -> DataFrame:
     """IVF with LEARNED centroids: 3 Lloyd's iterations (distributed
     assignment, driver only ever sees the k x dim centroid matrix), then
-    cell-probed top-k.  Approximate by design -> rows-only driver check;
-    recall vs brute force is asserted in tests/test_pipeline.py."""
+    cell-probed top-k.  Approximate w.r.t. brute force but fully
+    DETERMINISTIC (id-ordered seeds, round-6 parity at every k-means step —
+    see kmeans_centroids), so the SQL oracle replays the identical
+    train -> quantize -> probe -> rank pipeline; recall vs brute force is
+    asserted in tests/test_pipeline.py."""
     emb = _embs(StreamBuilder(spark), sf)
-    cents = S.kmeans_centroids(emb, "embedding", k=8, iters=3)
+    cents = S.kmeans_centroids(emb, "embedding", k=8, iters=3,
+                               id_col="vec_id")
     return S.ivf_topk(emb, "vec_id", "embedding",
                       query_ids=list(range(5)), k=10, n_probe=3,
                       centroids=cents)
+
+
+def _kmeans_ivf_sql(k: int = 8, iters: int = 3, dim: int = 64,
+                    n_probe: int = 3, topk: int = 10,
+                    query_ids: str = "0, 1, 2, 3, 4") -> str:
+    """DuckDB replay of kmeans_centroids + ivf_topk: Lloyd's unrolled
+    ``iters`` times over component-exploded vectors, with the same round-6
+    discipline at every step (seed normalize, assignment score, cell mean,
+    centroid re-normalize), then the IVF assign/probe/rank phase.  Empty or
+    degenerate cells keep the previous centroid, exactly like the Spark
+    update loop."""
+    its = []
+    for t in range(iters):
+        its.append(f"""
+dot{t} AS (SELECT cm.vec_id, c.cell,
+             round(sum((cm.x / cm.nrm) * c.c), 6) AS s
+           FROM comp cm JOIN c{t} c USING (d)
+           GROUP BY cm.vec_id, c.cell),
+asg{t} AS (SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY s DESC, cell) AS rn
+             FROM dot{t}) WHERE rn = 1),
+mean{t} AS (SELECT a.cell, cm.d, round(avg(cm.x), 6) AS m
+            FROM asg{t} a JOIN comp cm USING (vec_id)
+            GROUP BY a.cell, cm.d),
+mnorm{t} AS (SELECT cell, sqrt(sum(m * m)) AS mn FROM mean{t} GROUP BY cell),
+c{t + 1} AS (SELECT p.cell, p.d,
+               CASE WHEN mn.mn > 1e-12 THEN round(me.m / mn.mn, 6)
+                    ELSE p.c END AS c
+             FROM c{t} p
+             LEFT JOIN mean{t} me ON me.cell = p.cell AND me.d = p.d
+             LEFT JOIN mnorm{t} mn ON mn.cell = p.cell)""")
+    lloyd = ",".join(its)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+nv AS (SELECT vec_id, v,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+comp AS (SELECT vec_id, dd.d AS d, v[dd.d + 1] AS x, nrm
+         FROM nv CROSS JOIN range(0, {dim}) dd(d)),
+seeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+          FROM e ORDER BY vec_id LIMIT {k}),
+c0 AS (SELECT s.cell, cm.d, round(cm.x / cm.nrm, 6) AS c
+       FROM seeds s JOIN comp cm USING (vec_id)),{lloyd},
+cent AS (SELECT cell AS cell_id, d, c FROM c{iters}),
+cnorm AS (SELECT cell_id, sqrt(sum(c * c)) AS cn FROM cent GROUP BY cell_id),
+cos_ac AS (SELECT cm.vec_id, ct.cell_id,
+             round(sum(cm.x * ct.c) / (max(cm.nrm) * max(cn.cn)), 6) AS cell_cos
+           FROM comp cm JOIN cent ct USING (d)
+           JOIN cnorm cn ON cn.cell_id = ct.cell_id
+           GROUP BY cm.vec_id, ct.cell_id),
+assigned AS (SELECT vec_id AS neighbor_id, cell_id FROM (
+               SELECT vec_id, cell_id,
+                      row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY cell_cos DESC, cell_id) AS rn
+               FROM cos_ac) WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, cell_id FROM (
+             SELECT vec_id, cell_id,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY cell_cos DESC, cell_id) AS rn
+             FROM cos_ac WHERE vec_id IN ({query_ids}))
+           WHERE rn <= {n_probe}),
+scored AS (SELECT p.query_id, a.neighbor_id,
+             round(sum(cq.x * cb.x) / (max(cq.nrm) * max(cb.nrm)), 6) AS cos
+           FROM probes p JOIN assigned a USING (cell_id)
+           JOIN comp cq ON cq.vec_id = p.query_id
+           JOIN comp cb ON cb.vec_id = a.neighbor_id AND cb.d = cq.d
+           WHERE p.query_id <> a.neighbor_id
+           GROUP BY p.query_id, a.neighbor_id)
+SELECT query_id, neighbor_id, cos,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+FROM scored QUALIFY rank <= {topk}
+"""
+
+
+def q_dedup_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding near-dup dedup on the SCALE path: LSH-bucketed candidate
+    pairs (md5-derived hyperplanes -> oracle reproduces the signatures),
+    exact-cosine verify, then the same lower-id-survives rule as
+    dedup_embedding.  Registering this separately makes the 100 TB ANN-dedup
+    shape itself a driver-proven path, not just the O(n^2) baseline."""
+    emb = _embs(StreamBuilder(spark), sf)
+
+    def lsh_pairs(e, id_col, vec_col, threshold):
+        return S.lsh_cosine_pairs(e, id_col, vec_col, threshold=threshold,
+                                  planes=6, tables=12, plane_source="md5")
+
+    return S.embedding_dedup_survivors(emb, "vec_id", "embedding",
+                                       threshold=0.4, pair_fn=lsh_pairs) \
+        .select("vec_id", "label")
+
+
+def _dedup_embedding_lsh_sql() -> str:
+    return (
+        "WITH pairs AS (" + _lsh_sql() + ")\n"
+        "SELECT vec_id, label FROM embeddings\n"
+        "WHERE vec_id NOT IN (SELECT id_b FROM pairs)"
+    )
 
 
 # -- multimodal -------------------------------------------------------------
@@ -339,8 +442,9 @@ PIPELINE_INVENTORY: dict[str, tuple] = {
     "sim_cosine_topk": (q_sim_cosine_topk, SQL_SIM_COSINE_TOPK),
     "sim_cosine_pairs": (q_sim_cosine_pairs, SQL_SIM_COSINE_PAIRS),
     "sim_lsh_pairs": (q_sim_lsh_pairs, _lsh_sql()),
-    "sim_ivf_kmeans_topk": (q_sim_ivf_kmeans_topk, None),
+    "sim_ivf_kmeans_topk": (q_sim_ivf_kmeans_topk, _kmeans_ivf_sql()),
     "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
+    "dedup_embedding_lsh": (q_dedup_embedding_lsh, _dedup_embedding_lsh_sql()),
     "mm_binary_meta": (q_mm_binary_meta, SQL_MM_BINARY_META),
 }
 
@@ -512,41 +616,53 @@ PIPELINE_INVENTORY["mm_frame_sample"] = (q_mm_frame_sample,
 
 
 def q_vec_normalize(spark: SparkSession, sf: str) -> DataFrame:
-    """L2 norm + unit vector, codegen-only (operators/vectors.l2_normalize)."""
+    """L2 norm + unit vector, codegen-only (operators/vectors.l2_normalize).
+
+    Output is EXPLODED to (vec_id, norm, idx, u) — one row per component —
+    because the driver's canonicalizer hashes scalar cells and cannot sort
+    raw array<double> columns (r2 harness fail)."""
     from kstream_spark.operators.vectors import l2_normalize
-    return l2_normalize(_embs(StreamBuilder(spark), sf), "embedding") \
-        .select("vec_id", "norm", "unit")
+    return (l2_normalize(_embs(StreamBuilder(spark), sf), "embedding")
+            .select("vec_id", "norm", F.posexplode("unit").alias("idx", "u"))
+            .withColumn("idx", F.col("idx").cast("long")))
 
 
+# dim fixed at 64 across all SFs (same convention as _lsh_sql)
 SQL_VEC_NORMALIZE = """
 WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v,
              round(sqrt(list_sum(list_transform(embedding::DOUBLE[],
                                                 x -> x * x))), 6) AS norm
-           FROM embeddings)
-SELECT vec_id, norm,
-       CASE WHEN norm > 0 THEN list_transform(v, x -> round(x / norm, 6))
-            ELSE list_transform(v, x -> 0.0) END AS unit
-FROM s
+           FROM embeddings),
+u AS (SELECT vec_id, norm,
+        CASE WHEN norm > 0 THEN list_transform(v, x -> round(x / norm, 6))
+             ELSE list_transform(v, x -> 0.0) END AS unit
+      FROM s)
+SELECT vec_id, norm, CAST(ii.i AS BIGINT) AS idx, unit[ii.i + 1] AS u
+FROM u CROSS JOIN range(0, 64) ii(i)
 """
 
 
 def q_vec_quantize(spark: SparkSession, sf: str) -> DataFrame:
-    """Symmetric int8 quantization (operators/vectors.quantize_int8)."""
+    """Symmetric int8 quantization (operators/vectors.quantize_int8).
+    Exploded to (vec_id, scale, idx, q) for driver hashability."""
     from kstream_spark.operators.vectors import quantize_int8
-    return quantize_int8(_embs(StreamBuilder(spark), sf), "embedding") \
-        .select("vec_id", "scale", "qvec")
+    return (quantize_int8(_embs(StreamBuilder(spark), sf), "embedding")
+            .select("vec_id", "scale", F.posexplode("qvec").alias("idx", "q"))
+            .withColumn("idx", F.col("idx").cast("long")))
 
 
 SQL_VEC_QUANTIZE = """
 WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v,
              round(list_max(list_transform(embedding::DOUBLE[],
                                            x -> abs(x))) / 127.0, 9) AS scale
-           FROM embeddings)
-SELECT vec_id, scale,
-       CASE WHEN scale > 0
-            THEN list_transform(v, x -> CAST(round(x / scale, 0) AS BIGINT))
-            ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS qvec
-FROM s
+           FROM embeddings),
+qv AS (SELECT vec_id, scale,
+         CASE WHEN scale > 0
+              THEN list_transform(v, x -> CAST(round(x / scale, 0) AS BIGINT))
+              ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS qs
+       FROM s)
+SELECT vec_id, scale, CAST(ii.i AS BIGINT) AS idx, qs[ii.i + 1] AS q
+FROM qv CROSS JOIN range(0, 64) ii(i)
 """
 
 

@@ -54,7 +54,7 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3,
     no global distinct (that would be a full shuffle of the largest relation
     for nothing)."""
     from kstream_spark.util import ensure_parallelism
-    sh = ensure_parallelism(df).select(F.col(id_col), F.explode(
+    sh = ensure_parallelism(df, min_bytes=256 << 10).select(F.col(id_col), F.explode(
         F.array_distinct(word_shingles(F.col(text_col), n))).alias("s"))
     if max_shingle_df is not None:
         keep = sh.groupBy("s").agg(F.count("*").alias("df")) \
@@ -187,7 +187,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
     rows = num_hashes // bands
     if max_shingle_df is None:
         from kstream_spark.util import ensure_parallelism
-        doc = _doc_local_minhash(ensure_parallelism(df), id_col, text_col,
+        doc = _doc_local_minhash(ensure_parallelism(df, min_bytes=256 << 10),
+                                 id_col, text_col,
                                  n, num_hashes).persist()
         band_cols = [
             F.md5(F.encode(F.concat_ws(
@@ -311,7 +312,8 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     id_type = dict(df.dtypes)[id_col]
     chunk_schema = ", ".join(f"c{c} long" for c in range(SIMHASH_CHUNKS))
-    return ensure_parallelism(df).select(F.col(id_col), F.col(text_col)) \
+    return ensure_parallelism(df, min_bytes=256 << 10) \
+        .select(F.col(id_col), F.col(text_col)) \
         .mapInPandas(run, f"__id {id_type}, {chunk_schema}") \
         .withColumnRenamed("__id", id_col)
 

@@ -35,17 +35,39 @@ from pyspark.sql import functions as F
 class DLQ:
     """Dead-letter queue collecting records that failed an operator.
 
-    Ref: kstream/dlq/dlq.go:12-79 — failed records produce to a DLQ topic
-    (global or per-topic).  Batch mapping: failed rows accumulate as DataFrame
-    lineage; ``df()`` unions them, a streaming sink writes them per batch.
+    Ref: kstream/dlq/dlq.go:12-79 — failed records produce to a DLQ topic,
+    either one global topic or PER-SOURCE-TOPIC via a ``%s`` format string
+    (dlg.go:29-45).  ``topic_format`` mirrors that: '{}' is replaced with the
+    failing record's source name, so each source routes to its own DLQ
+    topic; with no placeholder every failure lands on the one named topic.
+
+    Batch mapping: failed rows accumulate as DataFrame lineage tagged with
+    (dlq_reason, dlq_topic); ``df()`` unions them, a streaming sink writes
+    each ``dlq_topic`` partition to its topic per batch.
     """
 
-    def __init__(self, name: str = "dlq"):
+    def __init__(self, name: str = "dlq", topic_format: str | None = None):
         self.name = name
+        self.topic_format = topic_format
         self._parts: list[DataFrame] = []
 
-    def add(self, df: DataFrame, reason: str) -> None:
-        self._parts.append(df.withColumn("dlq_reason", F.lit(reason)))
+    def topic_for(self, source: str | None) -> str:
+        """Resolve the destination topic for a failing source (dlq.go:29-45)."""
+        if self.topic_format is None:
+            return self.name
+        return self.topic_format.format(source or self.name)
+
+    def add(self, df: DataFrame, reason: str, source: str | None = None) -> None:
+        self._parts.append(
+            df.withColumn("dlq_reason", F.lit(reason))
+              .withColumn("dlq_topic", F.lit(self.topic_for(source))))
+
+    def topics(self) -> list[str]:
+        """Distinct destination topics across accumulated failures."""
+        d = self.df()
+        if d is None:
+            return []
+        return sorted(r["dlq_topic"] for r in d.select("dlq_topic").distinct().collect())
 
     def df(self) -> DataFrame | None:
         if not self._parts:
@@ -94,7 +116,7 @@ def join_global_table(stream, table, on, how: str = "inner", dlq: DLQ | None = N
         probed = probed.drop(marked[right_key])
     matched = probed.filter(F.col("__rk_matched").isNotNull()).drop("__rk_matched")
     missed = probed.filter(F.col("__rk_matched").isNull()).select(*stream.df.columns)
-    dlq.add(missed, reason=f"inner lookup miss: {table.name}")
+    dlq.add(missed, reason=f"inner lookup miss: {table.name}", source=stream.name)
     if select is not None:
         matched = matched.select(*select)
     return stream._derive(matched, name=f"{stream.name}⋈{table.name}")

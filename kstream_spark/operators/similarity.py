@@ -172,7 +172,8 @@ def embedding_dedup_survivors(emb: DataFrame, id_col: str, vec_col: str,
 
 
 def kmeans_centroids(emb: DataFrame, vec_col: str, k: int = 16,
-                     iters: int = 5, seed: int = 7) -> list:
+                     iters: int = 5, seed: int = 7,
+                     id_col: str | None = None) -> list:
     """Lloyd's k-means over the embedding column, cosine-style (vectors and
     centroids L2-normalized each round).
 
@@ -181,12 +182,25 @@ def kmeans_centroids(emb: DataFrame, vec_col: str, k: int = 16,
     centroid matrix ever reaches the driver (per-cell sums reduced with a
     groupBy, so the pattern survives any corpus size).  Returns the centroid
     matrix as a list of lists (broadcastable literal).
+
+    DETERMINISM / ORACLE PARITY: seeds are the k lowest rows by ``id_col``
+    (falling back to ordering by the vector column itself — never an
+    unordered limit, which is partition-order-dependent), and every derived
+    quantity (seed components, assignment scores, cell means, re-normalized
+    centroids) is rounded to 6 dp, so any engine replaying the same recipe
+    — including the DuckDB SQL oracle — derives bit-identical centroids.
+    Ties in assignment break toward the lowest cell id (np.argmax picks the
+    first maximum), matching ORDER BY score DESC, cell ASC.
     """
     import numpy as np
 
-    first = emb.select(as_double(F.col(vec_col)).alias("v")).limit(k).collect()
+    sort_key = id_col if id_col is not None else vec_col
+    first = (emb.orderBy(sort_key).limit(k)
+             .select(as_double(F.col(vec_col)).alias("v")).collect())
     cents = np.array([r["v"] for r in first], dtype=np.float64)
-    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    cents = np.round(
+        cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12),
+        6)
     dim = cents.shape[1]
 
     vecs = emb.select(as_double(F.col(vec_col)).alias("v")).persist()
@@ -203,7 +217,10 @@ def kmeans_centroids(emb: DataFrame, vec_col: str, k: int = 16,
                 mat = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
                 normed = mat / np.maximum(
                     np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-                cells = np.argmax(normed @ c.T, axis=1)
+                # round before argmax: any engine summing the dot product in
+                # a different order assigns the identical cell (ties -> the
+                # first/lowest cell, matching ORDER BY score DESC, cell ASC)
+                cells = np.argmax(np.round(normed @ c.T, 6), axis=1)
                 out = {"cell": [], "n": [], "s": []}
                 for cell in np.unique(cells):
                     sel = mat[cells == cell]
@@ -220,10 +237,10 @@ def kmeans_centroids(emb: DataFrame, vec_col: str, k: int = 16,
             counts[r["cell"]] = counts.get(r["cell"], 0) + r["n"]
         new = cents.copy()
         for cell, s in sums.items():
-            m = s / counts[cell]
+            m = np.round(s / counts[cell], 6)
             norm = np.linalg.norm(m)
             if norm > 1e-12:
-                new[cell] = m / norm
+                new[cell] = np.round(m / norm, 6)
         if np.allclose(new, cents, atol=1e-9):
             cents = new
             break

@@ -97,28 +97,48 @@ def decode_records(df: DataFrame, value_schema: T.StructType | None,
 
 def encode_records(df: DataFrame, key_col: str = "key", value_col: str = "value",
                    tombstone: F.Column | str | None = None,
-                   headers_col: str | None = None,
+                   headers_col: str | F.Column | None = None,
                    timestamp_col: str | None = None,
-                   include_timestamp: bool = False) -> DataFrame:
+                   include_timestamp: bool = False,
+                   transformer=None) -> DataFrame:
     """Typed columns -> Kafka wire record for the sink.
 
     Ref: k_sink.go:195-248 — encode key/value, optional tombstone predicate
     (rows matching it produce null value = delete marker, k_sink.go:230-240),
     optional headers; the record timestamp defaults to now when no column is
-    given (k_sink.go:198)."""
+    given (k_sink.go:198).
+
+    ``headers_col`` names an existing headers column OR is a Column
+    expression building headers from the row — the sink's header-extractor
+    hook (k_sink.go:33-35).
+
+    ``transformer`` is the sink's per-record transformer hook
+    (k_sink.go:195-248): either a dict of wire-column -> Column expression
+    (applied over the encoded record, e.g. {"value": F.upper("value")}) or a
+    callable (DataFrame -> DataFrame) over the encoded wire frame.  It runs
+    AFTER encoding, exactly where the reference applies it (on the producer
+    record, not the typed row)."""
     value = F.to_json(F.col(value_col)) if \
         dict(df.dtypes)[value_col].startswith("struct") else F.col(value_col).cast("string")
     if tombstone is not None:
         t = tombstone if isinstance(tombstone, F.Column) else F.expr(tombstone)
         value = F.when(t, F.lit(None).cast("string")).otherwise(value)
     cols = [F.col(key_col).cast("string").alias("key"), value.alias("value")]
-    if headers_col:
-        cols.append(F.col(headers_col).alias("headers"))
+    if headers_col is not None:
+        h = headers_col if isinstance(headers_col, F.Column) else F.col(headers_col)
+        cols.append(h.alias("headers"))
     if timestamp_col:
         cols.append(F.col(timestamp_col).alias("timestamp"))
     elif include_timestamp:
         cols.append(F.current_timestamp().alias("timestamp"))
-    return df.select(*cols)
+    out = df.select(*cols)
+    if transformer is not None:
+        if callable(transformer):
+            out = transformer(out)
+        else:
+            for name, expr in transformer.items():
+                out = out.withColumn(name, expr)
+    return out
 
 
 def write_stream(df: DataFrame, topic: str, bootstrap_servers: str,

@@ -5,14 +5,32 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Repartition iff the input is under-partitioned.
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None,
+                       min_bytes: int = 8 << 20) -> DataFrame:
+    """Repartition iff the input is both under-partitioned AND big enough
+    for the shuffle to pay for itself.
 
     Single small files scan as ONE partition, serializing CPU-heavy per-row
-    operators (shingling, hashing, vector math) onto one core.  At real scale
-    inputs arrive in many splits and this is a no-op — the check costs one
-    partitioning lookup, no job."""
+    operators (shingling, hashing, vector math) onto one core — that's what
+    the repartition fixes.  But at toy scale the round-trip shuffle costs
+    more than the serialization it removes (r2 bench: sim_cosine_topk and
+    text_quality both ~1.9x slower purely from this repartition), so inputs
+    whose optimizer-estimated size is under ``min_bytes`` are left alone.
+    The size comes from Catalyst plan statistics (file sizes for scans) —
+    no job, no rdd conversion on the skip path.  At real scale inputs
+    arrive in many splits and the partition check is a no-op anyway.
+
+    ``min_bytes`` is per-operator: CPU-heavy fan-out operators (shingling
+    explodes text ~10-50x) pass a lower floor; plain codegen passes keep
+    the default."""
     spark = df.sparkSession
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats()
+                   .sizeInBytes())
+        if size < min_bytes:
+            return df
+    except Exception:
+        pass  # stats unavailable -> fall through to the partition check
     target = min_partitions or spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

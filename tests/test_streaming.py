@@ -567,3 +567,67 @@ def test_funnel_stream_stage_advances_across_batches(spark, tmp_path):
     assert (1, 3, "purchase") in got
     assert (2, 1, "view") in got
     assert (2, 2, "click") not in got
+
+
+def test_encode_records_transformer_hook(spark):
+    """Sink record-transformer (k_sink.go:195-248): runs over the ENCODED
+    wire record — both the Column-expr-dict form and the callable form."""
+    from kstream_spark.sources.kafka import encode_records
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "key long, value string")
+    out = {r.key: r.value for r in encode_records(
+        df, transformer={"value": F.upper(F.col("value"))}).collect()}
+    assert out == {"1": "X", "2": "Y"}
+
+    def drop_evens(wire):
+        return wire.filter(F.col("key").cast("long") % 2 == 1)
+
+    out2 = [r.key for r in encode_records(df, transformer=drop_evens).collect()]
+    assert out2 == ["1"]
+
+
+def test_encode_records_header_extractor(spark):
+    """Header-extractor hook (k_sink.go:33-35): headers built from a Column
+    expression over the row, in the wire array<struct<key,value>> shape."""
+    from kstream_spark.sources.kafka import encode_records
+    df = spark.createDataFrame([(1, "x", "svc-a")], "key long, value string, origin string")
+    hdr = F.array(F.struct(F.lit("origin").alias("key"),
+                           F.encode(F.col("origin"), "UTF-8").alias("value")))
+    row = encode_records(df, headers_col=hdr).collect()[0]
+    assert row.headers[0].key == "origin"
+    assert bytes(row.headers[0].value) == b"svc-a"
+
+
+def test_dlq_per_topic_routing(spark):
+    """Per-source-topic DLQ routing via the %s-style format (dlq.go:29-45):
+    failures from different sources land on their own dlq topics; with no
+    format every failure lands on the single named topic."""
+    from kstream_spark.operators.joins import DLQ
+    routed = DLQ(topic_format="{}-dlq")
+    a = spark.createDataFrame([(1,)], "id long")
+    b = spark.createDataFrame([(2,)], "id long")
+    routed.add(a, reason="decode error", source="orders")
+    routed.add(b, reason="lookup miss", source="events")
+    assert routed.topics() == ["events-dlq", "orders-dlq"]
+    by_topic = {r.dlq_topic: r.id for r in routed.df().collect()}
+    assert by_topic == {"orders-dlq": 1, "events-dlq": 2}
+
+    single = DLQ(name="dead-letters")
+    single.add(a, reason="x", source="orders")
+    assert single.topics() == ["dead-letters"]
+
+
+def test_lookup_join_dlq_tags_source(spark):
+    """Inner-miss records carry their source stream's routed topic
+    (global_table_joiner_test.go:68-130 error-path analog)."""
+    from kstream_spark import StreamBuilder
+    from kstream_spark.operators.joins import DLQ
+    b = StreamBuilder(spark)
+    s = b.from_df(spark.createDataFrame([(1, 10), (2, 99)], "id long, fk long"),
+                  name="facts")
+    dim = b.global_table(spark.createDataFrame([(10, "d")], "k long, name string"),
+                         key="k", name="dim", sync=False, snapshot=True)
+    dlq = DLQ(topic_format="{}.dlq")
+    s.join_global_table(dim, on="fk", how="inner", dlq=dlq)
+    rows = dlq.df().collect()
+    assert len(rows) == 1 and rows[0].id == 2
+    assert rows[0].dlq_topic == "facts.dlq"
