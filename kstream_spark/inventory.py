@@ -499,8 +499,8 @@ _CHECK_FIRST = [
     "vec_normalize", "vec_quantize_int8",
     # fixed/new this round (deterministic k-means oracle, LSH dedup path,
     # sketch accuracy gates)
-    "sim_ivf_kmeans_topk", "dedup_embedding_lsh",
-    "sketch_hll_distinct", "sketch_quantiles",
+    "sim_ivf_kmeans_topk", "dedup_embedding_lsh", "dedup_incremental",
+    "sketch_hll_distinct", "sketch_quantiles", "sketch_freq_items",
     # TPC-H full — never driver-checked (registered last in r2)
     "tpch_q2_min_cost_part", "tpch_q3_shipping_priority",
     "tpch_q4_priority_exists", "tpch_q5_local_supplier_volume",

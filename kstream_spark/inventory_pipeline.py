@@ -668,3 +668,73 @@ FROM qv CROSS JOIN range(0, 64) ii(i)
 
 PIPELINE_INVENTORY["vec_normalize"] = (q_vec_normalize, SQL_VEC_NORMALIZE)
 PIPELINE_INVENTORY["vec_quantize_int8"] = (q_vec_quantize, SQL_VEC_QUANTIZE)
+
+
+def q_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental dedup — the production shape for a GROWING corpus: admit
+    only increment docs that duplicate nothing in the standing corpus
+    (exact-hash gate, then increment-bands x corpus-bands MinHash join —
+    never corpus x corpus) and nothing earlier in their own batch.  The
+    20%/80% split by doc_id % 10 is deterministic at every SF."""
+    docs = _docs(StreamBuilder(spark), sf)
+    inc = docs.filter(F.col("doc_id") % 10 < 2)
+    cor = docs.filter(F.col("doc_id") % 10 >= 2)
+    return D.incremental_dedup(inc, cor, "doc_id", "text",
+                               n=3, threshold=0.8).select("doc_id")
+
+
+def _incremental_sql() -> str:
+    nh, bands = D.NUM_HASHES, D.BANDS
+    rows = nh // bands
+    mins = ", ".join(f"min(md5('{i}:' || s)) AS h{i}" for i in range(nh))
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({cat}) AS bh FROM sig".format(
+            b=b, cat=" || ".join(f"h{b * rows + r}" for r in range(rows)))
+        for b in range(bands))
+    return f"""
+WITH {_W}, {_SH},
+inc AS (SELECT doc_id FROM documents WHERE doc_id % 10 < 2),
+cor AS (SELECT doc_id FROM documents WHERE doc_id % 10 >= 2),
+ch AS (SELECT doc_id, {_NORM} AS h FROM documents),
+fresh AS (SELECT doc_id FROM (
+    SELECT i.doc_id, min(i.doc_id) OVER (PARTITION BY i.h) AS first
+    FROM ch i JOIN inc USING (doc_id)
+    WHERE i.h NOT IN (SELECT c.h FROM ch c JOIN cor USING (doc_id)))
+  WHERE doc_id = first),
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bands AS ({band_selects}),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+cand AS (SELECT DISTINCT f.doc_id AS new_id, c.doc_id AS old_id
+         FROM bands f
+         JOIN bands c ON c.band = f.band AND c.bh = f.bh
+         JOIN cor ON c.doc_id = cor.doc_id
+         WHERE f.doc_id IN (SELECT doc_id FROM fresh)),
+inter AS (SELECT cd.new_id, cd.old_id, count(*) AS i
+          FROM cand cd JOIN sh a ON a.doc_id = cd.new_id
+          JOIN sh b ON b.doc_id = cd.old_id AND b.s = a.s
+          GROUP BY 1, 2),
+dup_new AS (SELECT DISTINCT new_id AS doc_id
+            FROM inter JOIN sz x ON x.doc_id = new_id
+            JOIN sz y ON y.doc_id = old_id
+            WHERE i * 1.0 / (x.n + y.n - i) >= 0.8),
+admitted AS (SELECT doc_id FROM fresh
+             WHERE doc_id NOT IN (SELECT doc_id FROM dup_new)),
+icand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN admitted aa ON a.doc_id = aa.doc_id
+          JOIN bands b ON b.band = a.band AND b.bh = a.bh
+                      AND a.doc_id < b.doc_id
+          JOIN admitted bb ON b.doc_id = bb.doc_id),
+iinter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+           FROM icand c JOIN sh a ON a.doc_id = c.doc_a
+           JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+           GROUP BY 1, 2),
+ipairs AS (SELECT doc_a, doc_b FROM iinter
+           JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+           WHERE i * 1.0 / (x.n + y.n - i) >= 0.8)
+SELECT doc_id FROM admitted
+WHERE doc_id NOT IN (SELECT doc_b FROM ipairs)
+"""
+
+
+PIPELINE_INVENTORY["dedup_incremental"] = (q_dedup_incremental,
+                                           _incremental_sql())
