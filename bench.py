@@ -49,6 +49,10 @@ HEADLINE = [
     "funnel_stages",
     "sessionize_events",
     "layout_zorder",
+    "dedup_embedding_lsh",
+    "sim_ivf_kmeans_topk",
+    "dedup_incremental",
+    "sketch_hll_distinct",
 ]
 
 

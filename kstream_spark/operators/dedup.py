@@ -424,9 +424,24 @@ def dedup_survivors_cc(pairs: DataFrame, df: DataFrame, id_col: str,
     return df.join(losers, id_col, "left_anti")
 
 
+def corpus_signatures(docs: DataFrame, id_col: str, text_col: str,
+                      n: int = 3) -> DataFrame:
+    """Persistable dedup state for a standing corpus: per-doc MinHash
+    signature columns (h0..h{k-1}), sorted shingle set, set size, and the
+    normalized content hash (``__ch``).  Materialize this ONCE per admitted
+    document (admit-time write) and feed it to ``incremental_dedup`` via
+    ``corpus_state`` — later increments then join precomputed bands instead
+    of re-minhashing the whole corpus every batch, which is the difference
+    between O(|increment|) and O(|corpus|) work per batch at 100 TB."""
+    sig = _doc_local_minhash(docs, id_col, text_col, n, NUM_HASHES)
+    ch = docs.select(F.col(id_col), content_hash(F.col(text_col)).alias("__ch"))
+    return sig.join(ch, id_col)
+
+
 def incremental_dedup(new_docs: DataFrame, corpus: DataFrame, id_col: str,
                       text_col: str, n: int = 3,
-                      threshold: float = 0.8) -> DataFrame:
+                      threshold: float = 0.8,
+                      corpus_state: DataFrame | None = None) -> DataFrame:
     """Admit only NEW documents that duplicate nothing in the existing
     corpus and nothing earlier in their own batch — the production shape
     for growing corpora (dedup the daily increment, never re-scan the
@@ -442,12 +457,20 @@ def incremental_dedup(new_docs: DataFrame, corpus: DataFrame, id_col: str,
          internal pairs.
 
     Returns the admitted subset of ``new_docs``.
+
+    ``corpus_state``: optional PRE-MATERIALIZED ``corpus_signatures(...)``
+    relation.  When given, the corpus text is never touched — gate 1 uses
+    the stored ``__ch`` hashes and gate 2 the stored signature/shingle
+    columns, so per-batch corpus-side work drops from a full re-minhash to
+    one scan of the signature store (the admit-time-write pattern of
+    ``streaming/corpus.admit_stream``).
     """
     from pyspark.sql import Window as W
 
     # gate 1: exact content hash vs corpus and batch-internal
     h = content_hash(F.col(text_col))
-    seen = corpus.select(h.alias("__ch")).distinct()
+    seen = (corpus_state.select("__ch") if corpus_state is not None
+            else corpus.select(h.alias("__ch"))).distinct()
     fresh = new_docs.withColumn("__ch", h) \
         .join(seen, "__ch", "left_anti")
     fresh = fresh.withColumn(
@@ -455,10 +478,17 @@ def incremental_dedup(new_docs: DataFrame, corpus: DataFrame, id_col: str,
         .filter(F.col(id_col) == F.col("__first")) \
         .drop("__ch", "__first")
 
-    # gate 2: near-dup vs corpus (increment bands join corpus bands only)
+    # gate 2: near-dup vs corpus (increment bands join corpus bands only).
+    # ONE signature pass per relation — the batch-internal phase below
+    # reuses the increment's signatures instead of re-minhashing.
     rows = NUM_HASHES // BANDS
-    inc = _doc_local_minhash(fresh, id_col, text_col, n, NUM_HASHES)
-    cor = _doc_local_minhash(corpus, id_col, text_col, n, NUM_HASHES)
+    # persist both signature relations: each is referenced twice (band
+    # bucketing + exact verify) and Spark does not reuse the mapInPandas
+    # subtree; MEMORY_AND_DISK spills gracefully at corpus scale
+    inc = _doc_local_minhash(fresh, id_col, text_col, n, NUM_HASHES).persist()
+    cor = (corpus_state.drop("__ch") if corpus_state is not None
+           else _doc_local_minhash(corpus, id_col, text_col, n,
+                                   NUM_HASHES)).persist()
 
     def bands_of(doc, side):
         cols = [F.md5(F.encode(F.concat_ws(
@@ -483,6 +513,18 @@ def incremental_dedup(new_docs: DataFrame, corpus: DataFrame, id_col: str,
                .select(F.col("new_id").alias(id_col)).distinct())
     admitted = fresh.join(dup_new, id_col, "left_anti")
 
-    # batch-internal near-dups: lower id wins within the increment
-    internal = minhash_lsh_pairs(admitted, id_col, text_col, n, threshold)
-    return dedup_survivors(internal, admitted, id_col)
+    # batch-internal near-dups (lower id wins): same band-bucket + verify
+    # over the ALREADY-COMPUTED increment signatures, filtered to admitted
+    adm_sig = inc.join(admitted.select(id_col), id_col, "left_semi")
+    icand = (bands_of(adm_sig, "doc_a")
+             .join(bands_of(adm_sig, "doc_b"), ["band", "bh"])
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b").distinct())
+    ia = adm_sig.select(F.col(id_col).alias("doc_a"),
+                        F.col("ss").alias("ssa"), F.col("n").alias("na"))
+    ib = adm_sig.select(F.col(id_col).alias("doc_b"),
+                        F.col("ss").alias("ssb"), F.col("n").alias("nb"))
+    losers = (icand.join(ia, "doc_a").join(ib, "doc_b")
+              .filter(i / (F.col("na") + F.col("nb") - i) >= threshold)
+              .select(F.col("doc_b").alias(id_col)).distinct())
+    return admitted.join(losers, id_col, "left_anti")

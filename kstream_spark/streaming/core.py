@@ -63,6 +63,25 @@ def dedup_stream(df: DataFrame, uuid_cols: Sequence[str], ts_col: str,
     return wm.dropDuplicates([*uuid_cols, ts_col])
 
 
+def dedup_stream_by_content(df: DataFrame, text_col: str, ts_col: str,
+                            watermark_delay: str = "10 minutes",
+                            hash_col: str = "__content_hash") -> DataFrame:
+    """Streaming EXACT-dedup by normalized content hash — the ingestion-time
+    member of the dedup family (operators/dedup.exact_dedup is the batch
+    member; same whitespace-normalized md5).  Re-ingested identical documents
+    within the watermark horizon are dropped regardless of their record ids;
+    state is bounded by the watermark (at 100 TB/day ingest the horizon, not
+    the corpus, sizes the state store).  Near-dup streaming admission is the
+    batch ``incremental_dedup`` run per micro-batch via foreachBatch against
+    the standing corpus — exact matching is the only part that needs
+    engine-held streaming state."""
+    from kstream_spark.functions.text import content_hash
+    hashed = df.withColumn(hash_col, content_hash(F.col(text_col)))
+    return (hashed.withWatermark(ts_col, watermark_delay)
+            .dropDuplicatesWithinWatermark([hash_col])
+            .drop(hash_col))
+
+
 def materialize_stream(df: DataFrame, registry, store_name: str,
                        key: str | Sequence[str], version: str | None = None,
                        tombstone: Column | str | None = None,

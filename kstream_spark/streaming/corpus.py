@@ -1,0 +1,65 @@
+"""Streaming corpus admission — near-dup-gated ingestion for a GROWING
+training corpus.
+
+This is the streaming face of ``operators/dedup.incremental_dedup``: each
+micro-batch is treated as the daily/hourly increment, deduped against the
+standing corpus (exact content hash, then increment-bands x corpus-bands
+MinHash — never corpus x corpus), and only admitted documents are appended.
+
+Scale shape: the corpus's dedup state (MinHash signatures + content hashes,
+``operators/dedup.corpus_signatures``) is written ONCE per admitted
+document, at admit time, to ``signature_path`` — so batch N+1 joins
+precomputed bands instead of re-minhashing all of history.  Per-batch work
+is O(|increment| + one scan of the signature store), never O(|corpus|)
+text processing.
+
+Replay safety: both the corpus and the signature store land in epoch-keyed
+partitions with dynamic partition overwrite (same protocol as
+``core.write_stream_idempotent``), so a replayed micro-batch overwrites its
+own partitions — no duplicate admissions from at-least-once delivery.
+
+No reference analog (the reference has no dedup surface); this module is
+part of the training-data capability superset.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def admit_stream(df: DataFrame, corpus_path: str, signature_path: str,
+                 checkpoint_dir: str, id_col: str, text_col: str, n: int = 3,
+                 threshold: float = 0.8, epoch_col: str = "__epoch"):
+    """Continuously admit only-novel documents from a stream into a corpus
+    directory, maintaining the signature store alongside.  Returns the
+    StreamingQuery.
+
+    Each micro-batch runs ``incremental_dedup(batch, corpus_state=...)``
+    against the persisted signature store; on the first batch (no state
+    yet) the batch self-dedups against an empty corpus.  Admitted rows and
+    their signatures write under epoch-keyed partitions (idempotent on
+    replay)."""
+    from kstream_spark.operators.dedup import (corpus_signatures,
+                                               incremental_dedup)
+
+    def _admit(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            state = spark.read.parquet(signature_path).drop(epoch_col)
+        except Exception:  # first batch: nothing admitted yet
+            state = None
+        admitted = incremental_dedup(batch, batch.limit(0), id_col, text_col,
+                                     n=n, threshold=threshold,
+                                     corpus_state=state).persist()
+        (admitted.withColumn(epoch_col, F.lit(epoch_id))
+         .write.mode("overwrite").partitionBy(epoch_col).parquet(corpus_path))
+        (corpus_signatures(admitted, id_col, text_col, n=n)
+         .withColumn(epoch_col, F.lit(epoch_id))
+         .write.mode("overwrite").partitionBy(epoch_col)
+         .parquet(signature_path))
+        admitted.unpersist()
+
+    return (df.writeStream.foreachBatch(_admit)
+            .option("checkpointLocation", checkpoint_dir).start())

@@ -301,3 +301,26 @@ def test_incremental_dedup_gates(spark):
     got = {r.doc_id for r in D.incremental_dedup(
         new, corpus, "doc_id", "text", threshold=0.5).collect()}
     assert got == {12, 14}
+
+
+def test_incremental_dedup_state_path_matches_text_path(spark):
+    """corpus_state (pre-materialized signatures) must admit exactly the
+    same set as re-minhashing the corpus text."""
+    from kstream_spark.operators.dedup import (corpus_signatures,
+                                               incremental_dedup)
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    rows = [(i, f"{base} document number {i}") for i in range(10)]
+    rows.append((10, rows[0][1]))                      # exact dup of 0
+    rows.append((11, rows[1][1].replace("number", "figure")))  # near-dup of 1
+    rows.append((12, "a wholly unrelated short text"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cor = docs.filter("doc_id < 10")
+    inc = docs.filter("doc_id >= 10")
+    direct = {r.doc_id for r in
+              incremental_dedup(inc, cor, "doc_id", "text").collect()}
+    state = corpus_signatures(cor, "doc_id", "text")
+    via_state = {r.doc_id for r in
+                 incremental_dedup(inc, cor.limit(0), "doc_id", "text",
+                                   corpus_state=state).collect()}
+    assert direct == via_state == {12}

@@ -128,3 +128,35 @@ def test_plan_dot_exports_graphviz(spark):
     dot = plan_dot(df)
     assert dot.startswith("digraph plan {") and dot.endswith("}")
     assert "Filter" in dot and "->" in dot
+
+
+def test_incremental_dedup_no_cartesian_bounded_shuffles(spark):
+    """The growing-corpus dedup path must stay bucket-joined: no cartesian
+    product anywhere, candidate generation via band equi-joins only."""
+    from kstream_spark.inventory_pipeline import q_dedup_incremental
+    df = q_dedup_incremental(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_embedding_lsh_no_cartesian(spark):
+    """The ANN dedup scale path: candidates meet only inside LSH buckets —
+    the plan must contain no all-pairs join."""
+    from kstream_spark.inventory_pipeline import q_dedup_embedding_lsh
+    df = q_dedup_embedding_lsh(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmeans_centroids_deterministic_across_runs(spark):
+    """Seeding is id-ordered and every Lloyd step is round-6: two runs over
+    differently-partitioned input must produce identical centroids."""
+    from kstream_spark.operators.similarity import kmeans_centroids
+    from kstream_spark import StreamBuilder
+    emb = StreamBuilder(spark).table(f"{SF}/embeddings.parquet").to_df()
+    c1 = kmeans_centroids(emb, "embedding", k=4, iters=2, id_col="vec_id")
+    c2 = kmeans_centroids(emb.repartition(7), "embedding", k=4, iters=2,
+                          id_col="vec_id")
+    assert c1 == c2

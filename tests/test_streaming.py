@@ -631,3 +631,61 @@ def test_lookup_join_dlq_tags_source(spark):
     rows = dlq.df().collect()
     assert len(rows) == 1 and rows[0].id == 2
     assert rows[0].dlq_topic == "facts.dlq"
+
+
+def test_dedup_stream_by_content_hash(spark, tmp_path):
+    """Streaming ingestion dedup: identical (whitespace-normalized) document
+    text re-ingested under a DIFFERENT doc id within the watermark horizon
+    is dropped — the streaming member of the exact-dedup family."""
+    d = tmp_path / "src"
+    spark.createDataFrame(
+        [(1, "hello  world", "2024-01-01 00:00:00"),
+         (2, "hello world", "2024-01-01 00:00:30"),    # normalized dup of 1
+         (3, "something else", "2024-01-01 00:01:00")],
+        "doc_id long, text string, ts string") \
+        .withColumn("ts", F.col("ts").cast("timestamp")) \
+        .coalesce(1).write.parquet(str(d))
+    src = SC.read_stream_parquet(spark, str(d))
+    deduped = SC.dedup_stream_by_content(src, "text", "ts")
+    q = (deduped.writeStream.format("memory").queryName("dedup_content_out")
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    _run(q)
+    out = spark.sql("SELECT * FROM dedup_content_out").collect()
+    assert sorted(r.doc_id for r in out) == [1, 3]
+    assert "__content_hash" not in spark.sql(
+        "SELECT * FROM dedup_content_out").columns
+
+
+def test_admit_stream_incremental_corpus(spark, tmp_path):
+    """Streaming corpus admission: batch 2's exact dup AND near-dup of
+    batch-1 docs are rejected via the PERSISTED signature store (corpus
+    text is never re-minhashed); novel docs are admitted."""
+    import time as _time
+    from kstream_spark.streaming.corpus import admit_stream
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep dark forest to hide from every hunter")
+    near = base.replace("hunter", "tracker")      # high-Jaccard near-dup
+    src = tmp_path / "in"
+    spark.createDataFrame([(1, base), (2, "completely different text about "
+                                          "spark structured streaming state")],
+                          "doc_id long, text string") \
+        .coalesce(1).write.mode("append").parquet(str(src))
+    _time.sleep(1.1)
+    spark.createDataFrame([(3, base), (4, near),
+                           (5, "a third topic entirely unrelated to both")],
+                          "doc_id long, text string") \
+        .coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    q = admit_stream(stream, str(tmp_path / "corpus"), str(tmp_path / "sigs"),
+                     str(tmp_path / "ck"), id_col="doc_id", text_col="text")
+    _run(q)
+
+    admitted = {r.doc_id for r in
+                spark.read.parquet(str(tmp_path / "corpus")).collect()}
+    assert admitted == {1, 2, 5}        # 3 = exact dup, 4 = near-dup
+    sig_ids = {r.doc_id for r in
+               spark.read.parquet(str(tmp_path / "sigs")).collect()}
+    assert sig_ids == {1, 2, 5}         # signature store tracks the corpus
