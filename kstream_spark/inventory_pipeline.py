@@ -738,3 +738,31 @@ WHERE doc_id NOT IN (SELECT doc_b FROM ipairs)
 
 PIPELINE_INVENTORY["dedup_incremental"] = (q_dedup_incremental,
                                            _incremental_sql())
+
+
+def q_mm_audio_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio-modality ingestion plumbing: opaque payload + typed audio
+    metadata (sample rate, PCM-estimated duration) — like mm_binary_meta
+    the byte-derived fields are exactly reproducible in SQL, so the
+    multimodal schema/metadata path is oracle-checked end to end."""
+    docs = _docs(StreamBuilder(spark), sf)
+    wa = M.attach_audio(docs, "text", sample_rate=16000)
+    return wa.select(
+        "doc_id",
+        F.col("media_meta.sample_rate").alias("sample_rate"),
+        F.col("media_meta.n_bytes").cast("long").alias("n_bytes"),
+        F.col("media_meta.est_duration_s").alias("est_duration_s"),
+        F.col("media_meta.sha256").alias("sha256"),
+    )
+
+
+SQL_MM_AUDIO_META = """
+SELECT doc_id, 16000 AS sample_rate,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       round(octet_length(encode(text)) / 32000.0, 6) AS est_duration_s,
+       sha256(text) AS sha256
+FROM documents
+"""
+
+
+PIPELINE_INVENTORY["mm_audio_meta"] = (q_mm_audio_meta, SQL_MM_AUDIO_META)

@@ -119,7 +119,11 @@ def decontaminate(df: DataFrame, id_col: str, text_col: str,
         return (frame.select(F.col(idc).alias(alias), sh.alias("_s"))
                 .select(alias, hash_str(F.col("_s"), "decon").alias("_h")))
 
-    train = shingled(df, id_col, text_col, id_col)
+    # shingle+md5 fan-out is CPU-heavy per byte: spread a single-split scan
+    # across cores (same floor as the dedup shingle paths)
+    from kstream_spark.util import ensure_parallelism
+    train = shingled(ensure_parallelism(df, min_bytes=256 << 10),
+                     id_col, text_col, id_col)
     ev = F.broadcast(shingled(eval_df, eval_id_col, eval_text_col, "_eval_id")
                      .distinct())
     return (train.join(ev, "_h")
