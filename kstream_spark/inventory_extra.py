@@ -240,11 +240,15 @@ def q_sketch_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
     bound turns the row red.  (The raw-estimate operator is
     sketches.hll_distinct; tests/test_sketches.py asserts bounds too.)"""
     ev = StreamBuilder(spark).stream(f"{sf}/events.parquet").to_df()
-    est = F.approx_count_distinct("user_id", 0.02)
-    exact = F.countDistinct("user_id")
-    return (ev.groupBy("event_type")
-            .agg(est.alias("est"), exact.alias("exact_distinct"),
-                 F.count("*").alias("n_rows"))
+    # exact distinct via two-step aggregation (pre-aggregate on the pair,
+    # then count) — avoids the Expand a mixed countDistinct+approx agg
+    # plans, and the pair-level partial combines map-side like any agg
+    per = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("c"))
+    exact = per.groupBy("event_type").agg(
+        F.count("*").alias("exact_distinct"), F.sum("c").alias("n_rows"))
+    est = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("est"))
+    return (exact.join(est, "event_type")
             .select("event_type", "exact_distinct", "n_rows",
                     (F.abs(F.col("est") - F.col("exact_distinct"))
                      <= F.greatest(F.round(F.col("exact_distinct") * 0.05),
