@@ -96,3 +96,11 @@ def test_example_3_corpus_pipeline(capsys):
     out = capsys.readouterr().out
     assert "corpus funnel" in out
     assert "near_dedup" in out
+
+
+def test_example_4_corpus_admission(capsys):
+    import examples.corpus_admission as ex4
+    admitted = ex4.main()
+    assert admitted == [1, 2, 5]
+    out = capsys.readouterr().out
+    assert "admitted: [1, 2, 5]" in out
