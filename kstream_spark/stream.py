@@ -217,13 +217,25 @@ class Stream:
     # -- sinks (SURVEY §2.1) ----------------------------------------------
     def to(self, path: str, fmt: str = "parquet", mode: str = "append",
            partition_by: Sequence[str] | None = None,
-           tombstone_filter: Column | str | None = None) -> None:
+           tombstone_filter: Column | str | None = None,
+           transformer=None) -> None:
         """Write to a sink.  Ref: k_sink.go:195-253.  ``tombstone_filter``
         mirrors the sink's nil-value filter (k_sink.go:230-240): rows matching
-        it are dropped before the write."""
+        it are dropped before the write.  ``transformer`` is the sink's
+        per-record transformer hook (k_sink.go:195-248): a dict of
+        column -> Column expression or a callable (DataFrame -> DataFrame),
+        applied after the tombstone filter, immediately before the write —
+        the same hook point `sources/kafka.encode_records` exposes for the
+        Kafka sink."""
         df = self.df
         if tombstone_filter is not None:
             df = df.filter(~_to_col(tombstone_filter))
+        if transformer is not None:
+            if callable(transformer):
+                df = transformer(df)
+            else:
+                for name, expr in transformer.items():
+                    df = df.withColumn(name, expr)
         w = df.write.mode(mode)
         if partition_by:
             w = w.partitionBy(*partition_by)

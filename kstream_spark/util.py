@@ -100,3 +100,38 @@ def skew_join(left: DataFrame, right: DataFrame, key: str,
         F.broadcast(right.filter(is_hot)), key, how)
     cold = left.filter(~is_hot).join(right.filter(~is_hot), key, how)
     return hot.unionByName(cold)
+
+
+def input_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's estimate of the plan's input volume (file sizes for
+    scans) — no job, no rdd conversion.  None when stats are unavailable."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats()
+                   .sizeInBytes())
+    except Exception:
+        return None
+
+
+def tune_shuffle_partitions(spark, input_bytes: int,
+                            target_partition_bytes: int = 128 << 20,
+                            max_partitions: int = 200_000) -> int:
+    """Size ``spark.sql.shuffle.partitions`` from the job's input volume.
+
+    The default (200, or a fixed test value) is wrong at both ends of the
+    scale: at 100 TB it packs ~500 GB into each reduce partition (OOM/spill),
+    at 100 MB it schedules hundreds of empty tasks.  The right starting
+    point is input_bytes / target_partition_bytes, floored at the cluster's
+    core count so every core gets work; with AQE's partition coalescing on
+    (session.get_spark enables it) an over-estimate is cheap — AQE merges
+    small shuffle partitions at runtime, but it can never SPLIT an
+    under-estimated one (only the skew-join path splits, and just for
+    joins), so erring high is the safe side.
+
+    Call once per job with the dominant input's size
+    (``input_size_bytes``); returns the partition count it set."""
+    import math
+    cores = spark.sparkContext.defaultParallelism
+    parts = max(cores, min(math.ceil(input_bytes / target_partition_bytes),
+                           max_partitions))
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    return parts

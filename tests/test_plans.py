@@ -160,3 +160,20 @@ def test_kmeans_centroids_deterministic_across_runs(spark):
     c2 = kmeans_centroids(emb.repartition(7), "embedding", k=4, iters=2,
                           id_col="vec_id")
     assert c1 == c2
+
+
+def test_tune_shuffle_partitions_scales_with_input(spark):
+    from kstream_spark.util import input_size_bytes, tune_shuffle_partitions
+    from kstream_spark import StreamBuilder
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        cores = spark.sparkContext.defaultParallelism
+        # tiny input: floored at core count (every core gets work)
+        assert tune_shuffle_partitions(spark, 10 << 20) == cores
+        # 1 TB at 128 MB targets: 8192 reduce partitions
+        assert tune_shuffle_partitions(spark, 1 << 40) == 8192
+        # stats-based size: positive for a real scan
+        df = StreamBuilder(spark).table(f"{SF}/events.parquet").to_df()
+        assert input_size_bytes(df) > 0
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

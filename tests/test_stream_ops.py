@@ -148,3 +148,14 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     files = glob.glob(f"{dst}/*.parquet")
     assert len(files) == n <= 2
     assert spark.read.parquet(dst).count() == ev.count()
+
+
+def test_to_sink_transformer_hook(spark, events, tmp_path):
+    """File-sink record-transformer (k_sink.go:195-248 parity with the
+    Kafka sink hook): applied after the tombstone filter, before write."""
+    out = tmp_path / "out"
+    events.to(str(out), mode="overwrite",
+              tombstone_filter=F.col("v") >= 30,
+              transformer={"cat": F.upper("cat")})
+    rows = {r.id: r.cat for r in spark.read.parquet(str(out)).collect()}
+    assert rows == {1: "A", 2: "B"}
