@@ -128,24 +128,35 @@ def minhash_signatures(sh: DataFrame, id_col: str,
 
 
 def _doc_local_minhash(df: DataFrame, id_col: str, text_col: str, n: int,
-                       num_hashes: int) -> DataFrame:
-    """Per-doc (signature columns h0..h{k-1}, sorted shingle array, set
-    size) in ONE shuffle-free mapInPandas pass.
+                       num_hashes: int, bands: int | None = None) -> DataFrame:
+    """Per-doc (signature, sorted shingle array, set size) in ONE
+    shuffle-free mapInPandas pass.
 
     MinHash signatures and shingle sets are doc-local functions, so neither
     needs the exploded (doc, shingle) relation or its groupBy shuffle; the
     md5 family here is hashlib == JVM md5 == DuckDB md5, so the SQL oracle
     reproduces signatures bit-for-bit (verified by the driver compare).
-    """
+
+    With ``bands`` set, the LSH band hashes (md5 of each band's
+    concatenated hex signatures — byte-identical to the Catalyst
+    md5(concat_ws(h...)) it replaces) are ALSO computed inside the Arrow
+    pass and the per-hash columns are dropped: the output carries
+    ``bands`` columns instead of ``num_hashes``, which shrinks both the
+    downstream plan (no 16-column schema + band-concat expressions to
+    optimize) and any persisted signature store."""
     import hashlib
     import re
 
     import pandas as pd
 
+    rows = (num_hashes // bands) if bands else 0
+    sig_cols = ([f"b{b}" for b in range(bands)] if bands
+                else [f"h{i}" for i in range(num_hashes)])
+
     def run(batches):
         for pdf in batches:
             out = {"__id": [], "ss": [], "n": [],
-                   **{f"h{i}": [] for i in range(num_hashes)}}
+                   **{c: [] for c in sig_cols}}
             for did, text in zip(pdf[id_col], pdf[text_col]):
                 ws = re.split(r"\s+", text.lower())
                 sh = sorted({" ".join(ws[i:i + n])
@@ -154,17 +165,24 @@ def _doc_local_minhash(df: DataFrame, id_col: str, text_col: str, n: int,
                 out["__id"].append(did)
                 out["ss"].append(sh)
                 out["n"].append(len(sh))
-                for i in range(num_hashes):
-                    pre = f"{i}:".encode()
-                    out[f"h{i}"].append(min(
-                        (hashlib.md5(pre + s.encode()).hexdigest()
-                         for s in sh), default=None))
+                hs = [min((hashlib.md5(f"{i}:".encode() + s.encode())
+                           .hexdigest() for s in sh), default=None)
+                      for i in range(num_hashes)]
+                if bands:
+                    for b in range(bands):
+                        seg = hs[b * rows:(b + 1) * rows]
+                        out[f"b{b}"].append(
+                            hashlib.md5("".join(seg).encode()).hexdigest()
+                            if sh else None)
+                else:
+                    for i in range(num_hashes):
+                        out[f"h{i}"].append(hs[i])
             yield pd.DataFrame(out)
 
     id_type = dict(df.dtypes)[id_col]
-    hcols = ", ".join(f"h{i} string" for i in range(num_hashes))
+    schema_sig = ", ".join(f"{c} string" for c in sig_cols)
     return df.select(F.col(id_col), F.col(text_col)) \
-        .mapInPandas(run, f"__id {id_type}, ss array<string>, n long, {hcols}") \
+        .mapInPandas(run, f"__id {id_type}, ss array<string>, n long, {schema_sig}") \
         .withColumnRenamed("__id", id_col)
 
 
@@ -189,14 +207,9 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
         from kstream_spark.util import ensure_parallelism
         doc = _doc_local_minhash(ensure_parallelism(df, min_bytes=256 << 10),
                                  id_col, text_col,
-                                 n, num_hashes).persist()
-        band_cols = [
-            F.md5(F.encode(F.concat_ws(
-                "", *[F.col(f"h{b * rows + r}") for r in range(rows)]),
-                "UTF-8")).alias(f"b{b}")
-            for b in range(bands)
-        ]
-        sig_b = doc.filter(F.col("n") > 0).select(id_col, *band_cols)
+                                 n, num_hashes, bands=bands).persist()
+        sig_b = doc.filter(F.col("n") > 0) \
+            .select(id_col, *[f"b{b}" for b in range(bands)])
         stack = ", ".join(f"{b}, b{b}" for b in range(bands))
         band_long = sig_b.selectExpr(
             id_col, f"stack({bands}, {stack}) AS (band, bh)")
@@ -433,7 +446,8 @@ def corpus_signatures(docs: DataFrame, id_col: str, text_col: str,
     ``corpus_state`` — later increments then join precomputed bands instead
     of re-minhashing the whole corpus every batch, which is the difference
     between O(|increment|) and O(|corpus|) work per batch at 100 TB."""
-    sig = _doc_local_minhash(docs, id_col, text_col, n, NUM_HASHES)
+    sig = _doc_local_minhash(docs, id_col, text_col, n, NUM_HASHES,
+                             bands=BANDS)
     ch = docs.select(F.col(id_col), content_hash(F.col(text_col)).alias("__ch"))
     return sig.join(ch, id_col)
 
@@ -481,21 +495,18 @@ def incremental_dedup(new_docs: DataFrame, corpus: DataFrame, id_col: str,
     # gate 2: near-dup vs corpus (increment bands join corpus bands only).
     # ONE signature pass per relation — the batch-internal phase below
     # reuses the increment's signatures instead of re-minhashing.
-    rows = NUM_HASHES // BANDS
     # persist both signature relations: each is referenced twice (band
     # bucketing + exact verify) and Spark does not reuse the mapInPandas
     # subtree; MEMORY_AND_DISK spills gracefully at corpus scale
-    inc = _doc_local_minhash(fresh, id_col, text_col, n, NUM_HASHES).persist()
+    inc = _doc_local_minhash(fresh, id_col, text_col, n, NUM_HASHES,
+                             bands=BANDS).persist()
     cor = (corpus_state.drop("__ch") if corpus_state is not None
            else _doc_local_minhash(corpus, id_col, text_col, n,
-                                   NUM_HASHES)).persist()
+                                   NUM_HASHES, bands=BANDS)).persist()
 
     def bands_of(doc, side):
-        cols = [F.md5(F.encode(F.concat_ws(
-            "", *[F.col(f"h{b * rows + r}") for r in range(rows)]),
-            "UTF-8")).alias(f"b{b}") for b in range(BANDS)]
         stack = ", ".join(f"{b}, b{b}" for b in range(BANDS))
-        return doc.filter(F.col("n") > 0).select(id_col, *cols) \
+        return doc.filter(F.col("n") > 0) \
             .selectExpr(id_col, f"stack({BANDS}, {stack}) AS (band, bh)") \
             .withColumnRenamed(id_col, side)
 
