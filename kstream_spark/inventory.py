@@ -501,7 +501,7 @@ _CHECK_FIRST = [
     # sketch accuracy gates)
     "sim_ivf_kmeans_topk", "dedup_embedding_lsh", "dedup_incremental",
     "sketch_hll_distinct", "sketch_quantiles", "sketch_freq_items",
-    "mm_audio_meta",
+    "mm_audio_meta", "dedup_best_of_cluster",
     # TPC-H full — never driver-checked (registered last in r2)
     "tpch_q2_min_cost_part", "tpch_q3_shipping_priority",
     "tpch_q4_priority_exists", "tpch_q5_local_supplier_volume",

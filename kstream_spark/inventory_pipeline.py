@@ -766,3 +766,44 @@ FROM documents
 
 
 PIPELINE_INVENTORY["mm_audio_meta"] = (q_mm_audio_meta, SQL_MM_AUDIO_META)
+
+
+def q_dedup_best_of_cluster(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-based cluster representatives: within each near-dup cluster
+    (MinHash+LSH pairs -> connected components) keep the HIGHEST-quality
+    document, not the lowest id — the survivor rule a production corpus
+    build actually wants (composes two already-oracle-checked operators;
+    singleton docs are their own cluster)."""
+    docs = _docs(StreamBuilder(spark), sf)
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    comp = D.connected_components(pairs)
+    stats = TX.text_stats(docs, "doc_id", "text") \
+        .select("doc_id", "quality_score")
+    full = (docs.select("doc_id").join(comp, "doc_id", "left")
+            .withColumn("cluster_id",
+                        F.coalesce("cluster_id", F.col("doc_id"))))
+    from pyspark.sql import Window as W
+    w = W.partitionBy("cluster_id").orderBy(F.desc("quality_score"),
+                                            F.asc("doc_id"))
+    return (full.join(stats, "doc_id")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("cluster_id", "doc_id", "quality_score"))
+
+
+def _best_of_cluster_sql() -> str:
+    return f"""
+WITH comp AS ({_clusters_sql()}),
+q AS (SELECT doc_id, quality_score FROM ({SQL_TEXT_QUALITY})),
+allc AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+         FROM documents d LEFT JOIN comp c USING (doc_id))
+SELECT cluster_id, doc_id, quality_score FROM (
+  SELECT f.cluster_id, f.doc_id, q.quality_score,
+         row_number() OVER (PARTITION BY f.cluster_id
+                            ORDER BY q.quality_score DESC, f.doc_id) AS rn
+  FROM allc f JOIN q USING (doc_id)) WHERE rn = 1
+"""
+
+
+PIPELINE_INVENTORY["dedup_best_of_cluster"] = (q_dedup_best_of_cluster,
+                                               _best_of_cluster_sql())
