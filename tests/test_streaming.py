@@ -689,3 +689,21 @@ def test_admit_stream_incremental_corpus(spark, tmp_path):
     sig_ids = {r.doc_id for r in
                spark.read.parquet(str(tmp_path / "sigs")).collect()}
     assert sig_ids == {1, 2, 5}         # signature store tracks the corpus
+
+
+def test_windowed_agg_streaming_approx_distinct(spark, stream_dir, tmp_path):
+    """Windowed HLL in streaming mode: approx distinct users per event-time
+    window — sketches compose with the windowed_agg surface because they
+    are ordinary mergeable aggregates (partial sketches combine on the
+    reduce side, exactly like sum/count)."""
+    src = SC.read_stream_parquet(spark, stream_dir)
+    agg = SC.windowed_agg(
+        src, "ts", "10 minutes", keys=["t"],
+        aggs={"approx_users": F.approx_count_distinct("k", 0.02),
+              "n": F.count("*")}, watermark="1 minute")
+    q = (agg.writeStream.format("memory").queryName("win_hll_out")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    _run(q)
+    cols = set(spark.sql("SELECT * FROM win_hll_out").columns)
+    assert cols == {"window_start", "window_end", "t", "approx_users", "n"}
