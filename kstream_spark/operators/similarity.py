@@ -337,3 +337,20 @@ def ivf_topk(emb: DataFrame, id_col: str, vec_col: str,
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= k))
+
+
+def save_centroids(spark, centroids: list, path: str) -> None:
+    """Persist a learned centroid matrix (the IVF coarse quantizer) as
+    parquet — the index-lifecycle half of IVF: train once with
+    kmeans_centroids, reuse across every subsequent search job instead of
+    re-clustering 100 TB per query batch."""
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    spark.createDataFrame(rows, schema="cell_id long, cv array<double>") \
+        .write.mode("overwrite").parquet(path)
+
+
+def load_centroids(spark, path: str) -> list:
+    """Inverse of save_centroids: returns the centroid matrix in cell-id
+    order, ready to pass to ivf_topk(centroids=...)."""
+    rows = spark.read.parquet(path).orderBy("cell_id").collect()
+    return [r["cv"] for r in rows]

@@ -324,3 +324,24 @@ def test_incremental_dedup_state_path_matches_text_path(spark):
                  incremental_dedup(inc, cor.limit(0), "doc_id", "text",
                                    corpus_state=state).collect()}
     assert direct == via_state == {12}
+
+
+def test_centroid_persistence_roundtrip(spark, tmp_path):
+    """IVF index lifecycle: train -> save -> load -> search must equal
+    searching with the in-memory centroids."""
+    from kstream_spark import StreamBuilder
+    from kstream_spark.operators.similarity import (ivf_topk,
+                                                    kmeans_centroids,
+                                                    load_centroids,
+                                                    save_centroids)
+    emb = StreamBuilder(spark) \
+        .table("/root/testdata/sf0.001/embeddings.parquet").to_df()
+    cents = kmeans_centroids(emb, "embedding", k=4, iters=2, id_col="vec_id")
+    save_centroids(spark, cents, str(tmp_path / "ivf_index"))
+    loaded = load_centroids(spark, str(tmp_path / "ivf_index"))
+    assert loaded == cents
+    direct = ivf_topk(emb, "vec_id", "embedding", query_ids=[0, 1], k=5,
+                      n_probe=2, centroids=cents).collect()
+    via_disk = ivf_topk(emb, "vec_id", "embedding", query_ids=[0, 1], k=5,
+                        n_probe=2, centroids=loaded).collect()
+    assert sorted(map(tuple, direct)) == sorted(map(tuple, via_disk))
