@@ -56,6 +56,44 @@ HEADLINE = [
 ]
 
 
+def bench_incremental_state(spark, sf_dir: str, iters: int) -> float:
+    """Time the PRODUCTION incremental-dedup shape: the standing corpus's
+    signature store is PRE-materialized (the admit-time write of
+    streaming/corpus.admit_stream), so the per-batch cost is increment-side
+    work + one scan of the store — never a corpus re-minhash.  The
+    registered `dedup_incremental` query deliberately re-minhashes the
+    corpus every run (a self-contained SQL oracle requires it); this entry
+    measures the shape you would actually run at 100 TB, on the same
+    20%/80% split."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from kstream_spark.operators.dedup import (corpus_signatures,
+                                               incremental_dedup)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    inc = docs.filter(F.col("doc_id") % 10 < 2)
+    cor = docs.filter(F.col("doc_id") % 10 >= 2)
+    state_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".bench_tmp", "corpus_sig")
+    # untimed: the store is written once per admitted doc in production
+    corpus_signatures(cor, "doc_id", "text").write.mode("overwrite") \
+        .parquet(state_dir)
+    best = None
+    for _ in range(max(1, iters)):
+        state = spark.read.parquet(state_dir)
+        t0 = time.time()
+        out = incremental_dedup(inc, docs.limit(0), "doc_id", "text",
+                                n=3, threshold=0.8, corpus_state=state)
+        out.select("doc_id").write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+        spark.catalog.clearCache()
+    shutil.rmtree(os.path.dirname(state_dir), ignore_errors=True)
+    return round(best, 3)
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.1
@@ -86,6 +124,9 @@ def main():
         # operators may persist() intermediates (dedup's inverted index);
         # clear between queries so cache memory doesn't skew later timings
         spark.catalog.clearCache()
+
+    timings["dedup_incremental_state"] = bench_incremental_state(
+        spark, sf_dir, iters)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

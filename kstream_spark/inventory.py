@@ -489,50 +489,70 @@ INVENTORY.update(QUALITY_INVENTORY)
 
 # ---------------------------------------------------------------------------
 # Driver-check ordering.  The verification driver samples queries in
-# REGISTRATION order with a ~50-query budget per round, so queries that do
-# not yet have a driver CORRECTNESS row (plus anything fixed or added this
-# round) must register FIRST.  Families with green r1/r2 rows ride in back —
-# their evidence is already on file.  Keep this list in sync round-over-round:
-# move newly-verified names out, put never-checked / changed names in front.
-_CHECK_FIRST = [
-    # fixed this round (r2 harness FAIL -> exploded output)
-    "vec_normalize", "vec_quantize_int8",
-    # fixed/new this round (deterministic k-means oracle, LSH dedup path,
-    # sketch accuracy gates)
-    "sim_ivf_kmeans_topk", "dedup_embedding_lsh", "dedup_incremental",
-    "sketch_hll_distinct", "sketch_quantiles", "sketch_freq_items",
-    "mm_audio_meta", "dedup_best_of_cluster",
-    # TPC-H full — never driver-checked (registered last in r2)
-    "tpch_q2_min_cost_part", "tpch_q3_shipping_priority",
-    "tpch_q4_priority_exists", "tpch_q5_local_supplier_volume",
-    "tpch_q7_volume_shipping", "tpch_q8_market_share",
-    "tpch_q9_product_profit", "tpch_q10_returned_items",
-    "tpch_q11_important_stock", "tpch_q12_late_shipments",
-    "tpch_q13_customer_distribution", "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier", "tpch_q16_parts_supplier",
-    "tpch_q17_small_quantity", "tpch_q18_large_orders",
-    "tpch_q19_disjunctive_revenue", "tpch_q20_promo_suppliers",
-    "tpch_q21_waiting_supplier", "tpch_q22_dormant_customers",
-    # corpus assembly — never driver-checked
-    "text_repetition", "text_decontaminate", "corpus_shuffle", "corpus_pack",
-    "corpus_stats", "corpus_domain_mix", "corpus_token_budget",
-    "pipeline_pretraining_corpus",
-    # behavioral analytics — never driver-checked
-    "funnel_stages", "funnel_summary", "cohort_retention", "sessionize_events",
-    # data quality / SCD2 / layout — never driver-checked
-    "dq_profile", "dq_violations", "dq_orphans", "scd2_history",
-    "layout_zorder",
-    # window/scalar function surface — never driver-checked
-    "fn_higher_order", "ts_gap_fill", "udtf_chunk_text", "agg_percentiles",
-    "fn_string", "fn_date", "agg_revenue_delta", "agg_pivot", "fn_unpivot",
-    "fn_scalar_subquery", "fn_null_handling", "wf_rolling_7d",
+# REGISTRATION order with a ~50-query budget per round.  Rotation policy —
+# deterministic, derived from the committed CORRECTNESS_r*.json artifacts so
+# every round automatically refreshes the stalest proof (no hand-reordering):
+#   1. _TOUCHED_THIS_ROUND: queries whose operator/query code changed this
+#      round (update the list alongside the change itself — a query whose
+#      behavior may have shifted needs a fresh row regardless of history);
+#   2. queries with no STRONG green row yet (never driver-checked, or only
+#      ever a rows-only `no_oracle` row — e.g. a query that gained an oracle
+#      after its last check);
+#   3. everything else, stalest proof first (ascending latest-green round).
+# Ties keep registration order, so the ordering is stable run-to-run.  New
+# queries appear in no CORRECTNESS file and land in group 2 automatically.
+
+_TOUCHED_THIS_ROUND = [
+    # r4: freq-items gate moved to the strict > bound on both sides
+    "sketch_freq_items",
+    # r4: persist-handle plumbing in incremental_dedup
+    "dedup_incremental",
+    # r4: connected-components persist/unpersist rework (CC-derived queries)
+    "dedup_survivors", "dedup_clusters", "dedup_best_of_cluster",
+    # r3 similarity refactor (cosine->dot/norm) that never got a post-change
+    # driver row — flagged in ADVICE r3
+    "sim_cosine_topk", "sim_cosine_pairs", "sim_lsh_pairs", "dedup_embedding",
 ]
 
 
-def _reorder(inv: dict[str, tuple], front: list[str]) -> dict[str, tuple]:
-    head = {n: inv[n] for n in front if n in inv}
-    head.update({n: v for n, v in inv.items() if n not in head})
-    return head
+def _verification_order(inv: dict[str, tuple],
+                        touched: list[str]) -> dict[str, tuple]:
+    import glob
+    import json
+    import os
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    strong: dict[str, int] = {}   # name -> latest round with a hash-green row
+    weak: dict[str, int] = {}     # name -> latest rows-only (no_oracle) round
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            rnd = int(os.path.basename(path)[13:-5])
+            with open(path) as fh:
+                rows = json.load(fh)
+        except Exception:
+            continue  # unreadable artifact -> contributes no evidence
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match") is True:
+                strong[name] = max(strong.get(name, 0), rnd)
+            elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
+                weak[name] = max(weak.get(name, 0), rnd)
+    pos = {n: i for i, n in enumerate(inv)}
+    tpos = {n: i for i, n in enumerate(touched)}
+    has_oracle = {n: sql is not None for n, (_fn, sql) in inv.items()}
+
+    def key(name: str):
+        if name in tpos:
+            return (0, tpos[name], 0)
+        if name in strong:
+            return (2, strong[name], pos[name])
+        if name in weak and not has_oracle[name]:
+            # rows-only is the strongest row this query CAN earn — rotate it
+            # like a green row instead of pinning it to the front forever
+            return (2, weak[name], pos[name])
+        return (1, 0, pos[name])  # never checked, or oracle added post-check
+
+    return {n: inv[n] for n in sorted(inv, key=key)}
 
 
-INVENTORY = _reorder(INVENTORY, _CHECK_FIRST)
+INVENTORY = _verification_order(INVENTORY, _TOUCHED_THIS_ROUND)

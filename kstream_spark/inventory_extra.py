@@ -298,16 +298,19 @@ EXTRA_INVENTORY["sketch_quantiles"] = (q_sketch_quantiles, SQL_SKETCH_QUANTILES)
 
 def q_sketch_freq_items(spark: SparkSession, sf: str) -> DataFrame:
     """Misra-Gries-style heavy hitters (sketches.frequent_items), gated on
-    the algorithm's actual guarantee: every item with frequency >= support
-    MUST appear in the sketch's candidate set (false positives are allowed,
-    false negatives are not).  The query emits each truly-frequent item with
-    a found flag; the exact-SQL oracle emits the same items with true."""
+    the algorithm's actual guarantee: every item with frequency STRICTLY
+    greater than support*n MUST appear in the sketch's candidate set (false
+    positives are allowed, false negatives are not — Spark's freqItems doc
+    states the strict bound, so an item at exactly support*n may be absent
+    and both sides of the gate use > to match).  The query emits each
+    truly-frequent item with a found flag; the exact-SQL oracle emits the
+    same items with true."""
     from pyspark.sql import Window as W
     ev = StreamBuilder(spark).stream(f"{sf}/events.parquet").to_df()
     fi = ev.stat.freqItems(["event_type"], support=0.15)  # 1 row, array col
     exact = (ev.groupBy("event_type").agg(F.count("*").alias("cnt"))
              .withColumn("tot", F.sum("cnt").over(W.partitionBy()))
-             .filter(F.col("cnt") >= 0.15 * F.col("tot")))
+             .filter(F.col("cnt") > 0.15 * F.col("tot")))
     return (exact.crossJoin(F.broadcast(fi))
             .select("event_type", "cnt",
                     F.array_contains(F.col("event_type_freqItems"),
@@ -318,7 +321,7 @@ SQL_SKETCH_FREQ_ITEMS = """
 WITH tot AS (SELECT count(*) AS t FROM events)
 SELECT event_type, count(*) AS cnt, true AS found
 FROM events, tot GROUP BY event_type, t
-HAVING count(*) >= 0.15 * t
+HAVING count(*) > 0.15 * t
 """
 
 EXTRA_INVENTORY["sketch_freq_items"] = (q_sketch_freq_items,

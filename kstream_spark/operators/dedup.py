@@ -403,11 +403,13 @@ def connected_components(pairs: DataFrame, max_iter: int = 20,
         return pairs.sparkSession.createDataFrame(
             out, "doc_id long, cluster_id long")
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    # sym is re-joined every BSP round — persist it once instead of
+    # recomputing the edge union per iteration
     sym = edges.union(edges.select(F.col("dst").alias("src"),
-                                   F.col("src").alias("dst")))
+                                   F.col("src").alias("dst"))).persist()
     nodes = sym.select(F.col("src").alias("node")).distinct()
     labels = nodes.withColumn("label", F.col("node"))
-    for _ in range(max_iter):
+    for it in range(max_iter):
         neighbor_min = (sym.join(labels, sym.dst == labels.node)
                         .groupBy("src").agg(F.min("label").alias("nlabel"))
                         .withColumnRenamed("src", "node"))
@@ -419,10 +421,12 @@ def connected_components(pairs: DataFrame, max_iter: int = 20,
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "node")
                    .filter(F.col("n.label") != F.col("o.label")).count())
-        labels.unpersist() if hasattr(labels, "unpersist") else None
+        if it > 0:  # round-0 labels was never persisted
+            labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
+    sym.unpersist()  # final labels is materialized (the changed-count action)
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("label").alias("cluster_id"))
 
@@ -439,13 +443,17 @@ def dedup_survivors_cc(pairs: DataFrame, df: DataFrame, id_col: str,
 
 def corpus_signatures(docs: DataFrame, id_col: str, text_col: str,
                       n: int = 3) -> DataFrame:
-    """Persistable dedup state for a standing corpus: per-doc MinHash
-    signature columns (h0..h{k-1}), sorted shingle set, set size, and the
-    normalized content hash (``__ch``).  Materialize this ONCE per admitted
-    document (admit-time write) and feed it to ``incremental_dedup`` via
+    """Persistable dedup state for a standing corpus: per-doc LSH band
+    hashes (``b0..b{BANDS-1}`` — the per-hash MinHash values are folded
+    into bands and dropped), the sorted shingle array ``ss`` (needed for
+    the exact-Jaccard verify step), its size ``n``, and the normalized
+    content hash ``__ch``.  Materialize this ONCE per admitted document
+    (admit-time write) and feed it to ``incremental_dedup`` via
     ``corpus_state`` — later increments then join precomputed bands instead
-    of re-minhashing the whole corpus every batch, which is the difference
-    between O(|increment|) and O(|corpus|) work per batch at 100 TB."""
+    of re-minhashing the whole corpus every batch: per-batch TEXT work drops
+    to O(|increment|).  Note the store itself is not tiny — ``ss`` makes it
+    proportional to corpus shingle volume — but it is scanned (columnar,
+    band columns only until the verify join), never re-tokenized."""
     sig = _doc_local_minhash(docs, id_col, text_col, n, NUM_HASHES,
                              bands=BANDS)
     ch = docs.select(F.col(id_col), content_hash(F.col(text_col)).alias("__ch"))
@@ -455,7 +463,8 @@ def corpus_signatures(docs: DataFrame, id_col: str, text_col: str,
 def incremental_dedup(new_docs: DataFrame, corpus: DataFrame, id_col: str,
                       text_col: str, n: int = 3,
                       threshold: float = 0.8,
-                      corpus_state: DataFrame | None = None) -> DataFrame:
+                      corpus_state: DataFrame | None = None,
+                      persisted: list | None = None) -> DataFrame:
     """Admit only NEW documents that duplicate nothing in the existing
     corpus and nothing earlier in their own batch — the production shape
     for growing corpora (dedup the daily increment, never re-scan the
@@ -478,6 +487,11 @@ def incremental_dedup(new_docs: DataFrame, corpus: DataFrame, id_col: str,
     columns, so per-batch corpus-side work drops from a full re-minhash to
     one scan of the signature store (the admit-time-write pattern of
     ``streaming/corpus.admit_stream``).
+
+    ``persisted``: optional list the two internal persisted signature
+    relations are appended to, so a caller that runs this per micro-batch
+    (``admit_stream``) can unpersist them after its action — otherwise the
+    cached blocks outlive the batch and pile up for the life of the stream.
     """
     from pyspark.sql import Window as W
 
@@ -503,6 +517,8 @@ def incremental_dedup(new_docs: DataFrame, corpus: DataFrame, id_col: str,
     cor = (corpus_state.drop("__ch") if corpus_state is not None
            else _doc_local_minhash(corpus, id_col, text_col, n,
                                    NUM_HASHES, bands=BANDS)).persist()
+    if persisted is not None:
+        persisted += [inc, cor]
 
     def bands_of(doc, side):
         stack = ", ".join(f"{b}, b{b}" for b in range(BANDS))

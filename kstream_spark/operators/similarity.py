@@ -190,7 +190,21 @@ def embedding_dedup_survivors(emb: DataFrame, id_col: str, vec_col: str,
     ``cosine_pairs`` (exact, oracle-checkable); pass ``lsh_cosine_pairs``
     for the 100 TB path (bucketed candidates, same survivor logic).
     Returns the surviving rows of ``emb``.
+
+    The exact default is O(n^2) in the vector count — kept as the
+    oracle-checkable baseline, but above ~100k vectors the pair space is
+    the scale-killer, so a warning nudges callers to the LSH generator
+    (Catalyst size stats, no job triggered; ~100k vecs x ~1 KB/vec).
     """
+    if pair_fn is None:
+        from kstream_spark.util import input_size_bytes
+        size = input_size_bytes(emb)
+        if size is not None and size > 100 << 20:
+            import warnings
+            warnings.warn(
+                "embedding_dedup_survivors: exact O(n^2) cosine_pairs over a "
+                f"~{size >> 20} MiB input — pass pair_fn=lsh_cosine_pairs for "
+                "the bucketed scale path", RuntimeWarning, stacklevel=2)
     pairs = (pair_fn or cosine_pairs)(emb, id_col, vec_col, threshold)
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return emb.join(losers, id_col, "left_anti")

@@ -45,21 +45,27 @@ def admit_stream(df: DataFrame, corpus_path: str, signature_path: str,
 
     def _admit(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
             state = spark.read.parquet(signature_path).drop(epoch_col)
         except Exception:  # first batch: nothing admitted yet
             state = None
+        handles: list = []  # dedup's internal caches, freed after the writes
         admitted = incremental_dedup(batch, batch.limit(0), id_col, text_col,
                                      n=n, threshold=threshold,
-                                     corpus_state=state).persist()
+                                     corpus_state=state,
+                                     persisted=handles).persist()
+        # per-write dynamic overwrite: replayed epochs replace only their own
+        # partitions, WITHOUT flipping the session-wide overwrite semantics
+        # for every other writer in the application
         (admitted.withColumn(epoch_col, F.lit(epoch_id))
-         .write.mode("overwrite").partitionBy(epoch_col).parquet(corpus_path))
+         .write.mode("overwrite").partitionBy(epoch_col)
+         .option("partitionOverwriteMode", "dynamic").parquet(corpus_path))
         (corpus_signatures(admitted, id_col, text_col, n=n)
          .withColumn(epoch_col, F.lit(epoch_id))
          .write.mode("overwrite").partitionBy(epoch_col)
-         .parquet(signature_path))
-        admitted.unpersist()
+         .option("partitionOverwriteMode", "dynamic").parquet(signature_path))
+        for h in [admitted, *handles]:
+            h.unpersist()
 
     return (df.writeStream.foreachBatch(_admit)
             .option("checkpointLocation", checkpoint_dir).start())

@@ -5,6 +5,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's optimizer estimate of the plan's output volume (file
+    sizes for scans) — no job, no rdd conversion.
+
+    SINGLE choke point for the py4j-private ``_jdf.queryExecution()``
+    handle: it is not public API (stable on the pinned Spark 4.x, could
+    move in a future release), so it lives behind this one helper and
+    every caller must tolerate ``None``.  Any attribute/py4j change on a
+    Spark upgrade lands in the except and degrades to the conservative
+    no-stats path instead of crashing — the Spark-Connect case (no _jdf at
+    all) degrades the same way."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats()
+                   .sizeInBytes())
+    except Exception:
+        return None
+
+
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None,
                        min_bytes: int = 8 << 20) -> DataFrame:
     """Repartition iff the input is both under-partitioned AND big enough
@@ -24,13 +42,10 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None,
     explodes text ~10-50x) pass a lower floor; plain codegen passes keep
     the default."""
     spark = df.sparkSession
-    try:
-        size = int(df._jdf.queryExecution().optimizedPlan().stats()
-                   .sizeInBytes())
-        if size < min_bytes:
-            return df
-    except Exception:
-        pass  # stats unavailable -> fall through to the partition check
+    size = _plan_size_bytes(df)
+    if size is not None and size < min_bytes:
+        return df
+    # stats unavailable -> fall through to the partition check
     target = min_partitions or spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
@@ -104,12 +119,9 @@ def skew_join(left: DataFrame, right: DataFrame, key: str,
 
 def input_size_bytes(df: DataFrame) -> int | None:
     """Catalyst's estimate of the plan's input volume (file sizes for
-    scans) — no job, no rdd conversion.  None when stats are unavailable."""
-    try:
-        return int(df._jdf.queryExecution().optimizedPlan().stats()
-                   .sizeInBytes())
-    except Exception:
-        return None
+    scans).  None when stats are unavailable — see ``_plan_size_bytes``
+    for the private-API caveat."""
+    return _plan_size_bytes(df)
 
 
 def tune_shuffle_partitions(spark, input_bytes: int,

@@ -2,12 +2,23 @@
 reference's headline claim (50,000 msg/s at 2-5 ms latency with
 micro-batching, /root/reference/README.md:13-15).
 
-Drives the full streaming path: file-stream source -> filter/transform ->
-version-gated store materialization (foreachBatch merge), measuring
-end-to-end records/second across micro-batches.
+Drives THREE full streaming pipeline shapes end-to-end and reports
+records/second for each:
+
+  materialize — file-stream source -> filter/transform -> version-gated
+      store materialization (foreachBatch merge); the reference's
+      hot path (consume -> process -> materialized view).
+  stream_join — unbounded-buffer stateful stream-stream join
+      (applyInPandasWithState; reference side_joiner.go semantics),
+      the heaviest per-key state shape.
+  sessionize  — event-time gap sessionization with timeouts
+      (applyInPandasWithState, EventTimeTimeout), the
+      watermark-driven state shape.
 
 Usage: python tools/stream_bench.py [num_records]
-Prints one JSON line {"metric": "streaming_records_per_sec", ...}.
+Prints one JSON line {"metric": "streaming_records_per_sec", ...} whose
+value is the materialize (hot-path) number; per-shape results under
+"shapes".
 """
 
 from __future__ import annotations
@@ -20,50 +31,109 @@ import time
 sys.path.insert(0, "/root/repo")
 
 
+def _seed(spark, path: str, n: int, files: int = 8) -> None:
+    import pyspark.sql.functions as F
+    (spark.range(n)
+     .select(F.col("id").alias("uuid"), (F.col("id") % 10_000).alias("k"),
+             (F.col("id") % 997).cast("double").alias("v"),
+             F.timestamp_seconds(F.col("id") % 100_000).alias("ts"))
+     .repartition(files).write.parquet(path))
+
+
+def bench_materialize(spark, b, tmp: str, n: int) -> dict:
+    import pyspark.sql.functions as F
+    from kstream_spark.streaming import core as SC
+    src = f"{tmp}/in"
+    _seed(spark, src, n)
+    stream = (SC.read_stream_parquet(spark, src)
+              .filter(F.col("v") >= 0)
+              .withColumn("v2", F.col("v") * 2))
+    t0 = time.time()
+    q = SC.materialize_stream(stream, b.stores, "bench_store", key="k",
+                              version="uuid", checkpoint_dir=f"{tmp}/ck")
+    q.processAllAvailable()
+    batch_ms = [p["durationMs"]["triggerExecution"] for p in q.recentProgress
+                if "addBatch" in (p["durationMs"] or {})]
+    q.stop()
+    q.awaitTermination(30)
+    dt = time.time() - t0
+    keys = b.stores.store("bench_store").get_all().count()
+    return {"records_per_sec": round(n / dt), "records": n,
+            "seconds": round(dt, 2), "micro_batch_latency_ms": batch_ms,
+            "distinct_keys_materialized": keys}
+
+
+def bench_stream_join(spark, tmp: str, n: int) -> dict:
+    """Both sides stream; per-key buffers in keyed state.  Keys are wide
+    (n/5 distinct) so per-key buffers stay small — the throughput number
+    measures state machinery, not a deliberate cross-product blowup."""
+    import pyspark.sql.functions as F
+    from kstream_spark.streaming.core import read_stream_parquet
+    from kstream_spark.streaming.join import stateful_stream_join
+    src = f"{tmp}/jin"
+    _seed(spark, src, n)
+    base = read_stream_parquet(spark, src).withColumn(
+        "k5", (F.col("uuid") % (n // 5)).alias("k5"))
+    left = base.filter(F.col("uuid") % 2 == 0).select(
+        F.col("k5").alias("k"), F.col("v").alias("lv"))
+    right = base.filter(F.col("uuid") % 2 == 1).select(
+        F.col("k5").alias("k"), F.col("v").alias("rv"))
+    joined = stateful_stream_join(left, right, "k", ["lv"], ["rv"])
+    t0 = time.time()
+    q = (joined.writeStream.format("noop")
+         .option("checkpointLocation", f"{tmp}/jck").start())
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    dt = time.time() - t0
+    return {"records_per_sec": round(n / dt), "records": n,
+            "seconds": round(dt, 2)}
+
+
+def bench_sessionize(spark, tmp: str, n: int) -> dict:
+    import pyspark.sql.functions as F
+    from kstream_spark.streaming.core import read_stream_parquet
+    from kstream_spark.streaming.state import session_stream
+    src = f"{tmp}/sin"
+    _seed(spark, src, n)
+    ev = (read_stream_parquet(spark, src)
+          .select((F.col("uuid") % 10_000).alias("user_id"), F.col("ts"))
+          .withWatermark("ts", "1 hour"))
+    sess = session_stream(ev, "user_id", "ts", gap="30 minutes")
+    t0 = time.time()
+    q = (sess.writeStream.format("noop").outputMode("append")
+         .option("checkpointLocation", f"{tmp}/sck").start())
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    dt = time.time() - t0
+    return {"records_per_sec": round(n / dt), "records": n,
+            "seconds": round(dt, 2)}
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
 
-    import pyspark.sql.functions as F
-
     from kstream_spark import StreamBuilder, get_spark
-    from kstream_spark.streaming import core as SC
 
     spark = get_spark(app_name="kstream_spark_stream_bench")
     b = StreamBuilder(spark)
-
+    shapes = {}
     with tempfile.TemporaryDirectory() as tmp:
-        src = f"{tmp}/in"
-        # seed the "topic": n records across several files (micro-batches)
-        (spark.range(n)
-         .select(F.col("id").alias("uuid"), (F.col("id") % 10_000).alias("k"),
-                 (F.col("id") % 997).cast("double").alias("v"),
-                 F.timestamp_seconds(F.col("id") % 100_000).alias("ts"))
-         .repartition(8).write.parquet(src))
+        shapes["materialize"] = bench_materialize(spark, b, tmp, n)
+        shapes["stream_join"] = bench_stream_join(spark, tmp, n)
+        shapes["sessionize"] = bench_sessionize(spark, tmp, n)
 
-        stream = (SC.read_stream_parquet(spark, src)
-                  .filter(F.col("v") >= 0)
-                  .withColumn("v2", F.col("v") * 2))
-        t0 = time.time()
-        q = SC.materialize_stream(stream, b.stores, "bench_store", key="k",
-                                  version="uuid",
-                                  checkpoint_dir=f"{tmp}/ck")
-        q.processAllAvailable()
-        batch_ms = [p["durationMs"]["triggerExecution"]
-                    for p in q.recentProgress
-                    if "addBatch" in (p["durationMs"] or {})]
-        q.stop()
-        q.awaitTermination(30)
-        dt = time.time() - t0
-        keys = b.stores.store("bench_store").get_all().count()
-
+    m = shapes["materialize"]
     print(json.dumps({
         "metric": "streaming_records_per_sec",
-        "value": round(n / dt),
+        "value": m["records_per_sec"],
         "unit": "records/sec",
-        "records": n,
-        "seconds": round(dt, 2),
-        "micro_batch_latency_ms": batch_ms,
-        "distinct_keys_materialized": keys,
+        "records": m["records"],
+        "seconds": m["seconds"],
+        "micro_batch_latency_ms": m["micro_batch_latency_ms"],
+        "distinct_keys_materialized": m["distinct_keys_materialized"],
+        "shapes": shapes,
         "baseline_reference_msgs_per_sec": 50_000,
         "baseline_reference_latency_ms": "2-5 (per-record; micro-batch here)",
     }))
