@@ -807,3 +807,75 @@ SELECT cluster_id, doc_id, quality_score FROM (
 
 PIPELINE_INVENTORY["dedup_best_of_cluster"] = (q_dedup_best_of_cluster,
                                                _best_of_cluster_sql())
+
+
+# -- containment (near-subset) dedup ----------------------------------------
+def q_dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """Directed near-subset pairs via Broder containment |A∩B|/|A|
+    (operators/dedup.containment_pairs) — catches the pasted-paragraph
+    duplication mode Jaccard misses.  No reference analog (the reference
+    has no dedup surface)."""
+    return D.containment_pairs(_docs(StreamBuilder(spark), sf), "doc_id",
+                               "text", n=3, threshold=0.8)
+
+
+SQL_DEDUP_CONTAINMENT = f"""
+WITH {_W}, {_SH},
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+dir AS (
+  SELECT doc_a, doc_b, i / x.n AS c
+  FROM inter JOIN sz x ON x.doc_id = doc_a
+  UNION ALL
+  SELECT doc_b AS doc_a, doc_a AS doc_b, i / y.n AS c
+  FROM inter JOIN sz y ON y.doc_id = doc_b)
+SELECT doc_a, doc_b, round(c, 6) AS containment FROM dir WHERE c >= 0.8
+"""
+
+PIPELINE_INVENTORY["dedup_containment"] = (q_dedup_containment,
+                                           SQL_DEDUP_CONTAINMENT)
+
+
+# -- BM25 retrieval ---------------------------------------------------------
+BM25_TERMS = ["spark", "join", "vector"]
+
+
+def q_text_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Okapi BM25 top-20 for a fixed query (operators/text.bm25_topk):
+    codegen-only ranking — per-term higher-order tf filters, one scalar
+    corpus-stats aggregate broadcast back, TakeOrdered top-k.  The
+    retrieval-scoring member of the text-analysis family."""
+    from kstream_spark.operators.text import bm25_topk
+    return bm25_topk(_docs(StreamBuilder(spark), sf), "doc_id", "text",
+                     BM25_TERMS, k=20)
+
+
+def _bm25_sql() -> str:
+    terms = BM25_TERMS
+    tfs = ", ".join(
+        f"CAST(len(list_filter(t, x -> x = '{q}')) AS DOUBLE) AS tf{i}"
+        for i, q in enumerate(terms))
+    dfs = ", ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df{i}"
+        for i in range(len(terms)))
+    # association order mirrors the Spark expression exactly (left-to-right
+    # sum; idf * (tf*2.2) / (tf + 1.2*(0.25 + 0.75*dl/avgdl)))
+    contribs = " + ".join(
+        f"ln((N - df{i} + 0.5) / (df{i} + 0.5) + 1.0) * (tf{i} * 2.2) / "
+        f"(tf{i} + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))"
+        for i in range(len(terms)))
+    return f"""
+WITH d AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+           FROM documents),
+s AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl, {tfs} FROM d),
+g AS (SELECT CAST(count(*) AS DOUBLE) AS N, avg(dl) AS avgdl, {dfs} FROM s)
+SELECT doc_id, round({contribs}, 6) AS score
+FROM s, g
+ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
+PIPELINE_INVENTORY["text_bm25_topk"] = (q_text_bm25_topk, _bm25_sql())

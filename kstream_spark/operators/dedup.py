@@ -119,6 +119,43 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
     )
 
 
+def containment_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
+                      threshold: float = 0.9,
+                      max_shingle_df: int | None = None) -> DataFrame:
+    """Directed near-SUBSET pairs: (doc_a, doc_b, containment) where
+    containment = |A∩B| / |A| >= threshold — doc_a's shingle set is almost
+    entirely inside doc_b's.
+
+    Jaccard misses subset duplication (a paragraph pasted into a much
+    longer page scores low Jaccard but containment ~1), which is a major
+    duplication mode in web corpora; Broder's containment measure is the
+    standard answer.  Same inverted-index shape as ``ngram_jaccard_pairs``
+    — one self-join on shingle with per-doc set sizes carried in the
+    aggregation key — but each undirected intersection emits up to two
+    directed rows (i/na and i/nb gates), so the join itself still runs
+    once with doc_a < doc_b.
+    """
+    from pyspark.sql import Window as W
+    sh = shingle_sets(df, id_col, text_col, n, max_shingle_df)
+    sized = sh.withColumn("n", F.count("*").over(W.partitionBy(id_col)))
+    inter = (
+        sized.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"), "s")
+        .join(sized.select(F.col(id_col).alias("doc_b"),
+                           F.col("n").alias("nb"), "s"), "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na", "nb").agg(F.count("*").alias("i"))
+    )
+    # stack the two directions, then one threshold filter
+    directed = inter.select(F.expr(
+        "explode(array("
+        "  struct(doc_a AS doc_a, doc_b AS doc_b, i / na AS containment),"
+        "  struct(doc_b AS doc_a, doc_a AS doc_b, i / nb AS containment)"
+        ")) AS r")).select("r.*")
+    return (directed.filter(F.col("containment") >= threshold)
+            .select("doc_a", "doc_b",
+                    F.round("containment", 6).alias("containment")))
+
+
 def minhash_signatures(sh: DataFrame, id_col: str,
                        num_hashes: int = NUM_HASHES) -> DataFrame:
     """Per-doc minhash signature: h_i = min over shingles of md5('i:'||s)."""

@@ -148,3 +148,49 @@ def pii_redact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         red = F.regexp_replace(red, pat, repl)
     return df.select(F.col(id_col), red.alias("redacted_text"),
                      n.cast("long").alias("n_redactions"))
+
+
+def bm25_topk(df: DataFrame, id_col: str, text_col: str,
+              query_terms: list[str], k: int = 20,
+              k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """BM25 retrieval over the corpus for a fixed query-term list: returns
+    the top-k (id, score) by the Okapi BM25 ranking function.
+
+    Everything stays in whole-stage codegen: per-term term frequencies are
+    higher-order array filters over the token array (no explode — the query
+    is a handful of terms, so |terms| filter expressions beat shuffling an
+    exploded |corpus| x |tokens| relation), and the corpus statistics
+    (N, avgdl, per-term document frequencies) reduce to ONE scalar row that
+    broadcast-joins back onto the scan.  Plan shape: scan -> project ->
+    one scalar aggregate -> broadcast nested-loop (1 row) -> top-k sort.
+    The top-k is a global order+limit: Spark runs it as per-partition
+    TakeOrdered (k rows per partition reach the driver-side merge), so no
+    full sort materializes at any scale.
+
+    The score sum is written left-to-right in query order so the oracle
+    reproduces the exact IEEE double (same association order both sides).
+    """
+    toks = words(F.col(text_col))
+    d = df.select(F.col(id_col), toks.alias("__t")) \
+        .withColumn("dl", F.size("__t").cast("double"))
+    for i, t in enumerate(query_terms):
+        d = d.withColumn(
+            f"tf{i}",
+            F.size(F.filter("__t", lambda x: x == F.lit(t))).cast("double"))
+    stats = d.agg(
+        F.count("*").cast("double").alias("N"),
+        F.avg("dl").alias("avgdl"),
+        *[F.sum((F.col(f"tf{i}") > 0).cast("long")).cast("double")
+          .alias(f"df{i}") for i in range(len(query_terms))])
+    d = d.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(query_terms)):
+        idf = F.log(
+            (F.col("N") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5)
+            + 1.0)
+        tf = F.col(f"tf{i}")
+        contrib = idf * (tf * (k1 + 1.0)) / (
+            tf + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+        score = contrib if score is None else score + contrib
+    return (d.select(F.col(id_col), F.round(score, 6).alias("score"))
+            .orderBy(F.desc("score"), F.asc(id_col)).limit(k))

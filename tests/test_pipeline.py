@@ -345,3 +345,34 @@ def test_centroid_persistence_roundtrip(spark, tmp_path):
     via_disk = ivf_topk(emb, "vec_id", "embedding", query_ids=[0, 1], k=5,
                         n_probe=2, centroids=loaded).collect()
     assert sorted(map(tuple, direct)) == sorted(map(tuple, via_disk))
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A short doc pasted into a much longer one: containment ~1 in the
+    short->long direction, while Jaccard sits far below any dedup bar."""
+    para = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, para), (2, para + " " + filler)],
+        "doc_id long, text string")
+    pairs = {(r.doc_a, r.doc_b): r.containment
+             for r in D.containment_pairs(df, "doc_id", "text",
+                                          threshold=0.9).collect()}
+    assert pairs[(1, 2)] == 1.0          # short is fully inside long
+    assert (2, 1) not in pairs           # long is NOT inside short
+    jac = D.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5)
+    assert jac.count() == 0              # jaccard misses this pair entirely
+
+
+def test_bm25_ranks_term_rich_docs_first(spark):
+    df = spark.createDataFrame(
+        [(1, "spark spark spark join"),        # query-term dense
+         (2, "spark join other words here"),
+         (3, "nothing relevant at all here"),
+         (4, "spark alone")],
+        "doc_id long, text string")
+    out = TX.bm25_topk(df, "doc_id", "text", ["spark", "join"], k=3).collect()
+    ids = [r.doc_id for r in out]
+    assert ids[0] == 1                   # most matches ranks first
+    assert 3 not in ids[:2]              # no-match doc can't outrank matches
+    assert all(out[i].score >= out[i + 1].score for i in range(len(out) - 1))
