@@ -53,6 +53,8 @@ HEADLINE = [
     "sim_ivf_kmeans_topk",
     "dedup_incremental",
     "sketch_hll_distinct",
+    "dedup_containment",
+    "text_bm25_topk",
 ]
 
 
