@@ -879,3 +879,35 @@ ORDER BY score DESC, doc_id LIMIT 20
 
 
 PIPELINE_INVENTORY["text_bm25_topk"] = (q_text_bm25_topk, _bm25_sql())
+
+
+# -- embedding-space decontamination ----------------------------------------
+def q_decon_embedding(spark: SparkSession, sf: str) -> DataFrame:
+    """Semantic decontamination (operators/similarity.decontaminate_embedding):
+    drop corpus vectors within cos>=0.35 of any eval vector (eval = the
+    vec_id%40==0 slice, a stand-in benchmark suite).  One corpus scan, eval
+    side broadcast, left-anti nested-loop — the embedding-space counterpart
+    of text_decontaminate."""
+    emb = _embs(StreamBuilder(spark), sf)
+    ev = emb.filter(F.col("vec_id") % 40 == 0)
+    cor = emb.filter(F.col("vec_id") % 40 != 0)
+    return S.decontaminate_embedding(cor, ev, "vec_id", "embedding",
+                                     threshold=0.35) \
+        .select("vec_id", "label")
+
+
+SQL_DECON_EMBEDDING = """
+WITH e AS (SELECT embedding FROM embeddings WHERE vec_id % 40 = 0),
+c AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 40 <> 0)
+SELECT vec_id, label FROM c
+WHERE NOT EXISTS (
+  SELECT 1 FROM e
+  WHERE round(list_sum(list_transform(range(1, len(c.embedding)+1),
+                i -> c.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
+        / (sqrt(list_sum(list_transform(c.embedding::DOUBLE[], x -> x * x)))
+           * sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x * x)))),
+        6) >= 0.35)
+"""
+
+PIPELINE_INVENTORY["decon_embedding"] = (q_decon_embedding,
+                                         SQL_DECON_EMBEDDING)

@@ -210,6 +210,34 @@ def embedding_dedup_survivors(emb: DataFrame, id_col: str, vec_col: str,
     return emb.join(losers, id_col, "left_anti")
 
 
+def decontaminate_embedding(corpus: DataFrame, eval_set: DataFrame,
+                            id_col: str, vec_col: str,
+                            threshold: float = 0.9) -> DataFrame:
+    """Semantic decontamination: drop every corpus vector within
+    ``threshold`` cosine of ANY eval-set vector — the embedding-space
+    counterpart of the n-gram ``operators/corpus.decontaminate`` (n-gram
+    overlap misses paraphrased benchmark leakage; embedding similarity
+    catches it).
+
+    Scale shape: the eval side is small by construction (benchmark suites,
+    not corpora) and is BROADCAST; the corpus streams through in one scan
+    with a broadcast-nested-loop LEFT ANTI join — no shuffle of the corpus,
+    no candidate materialization, cost O(|corpus| x |eval|) fully
+    parallel over corpus splits.  Returns the surviving corpus rows.
+    """
+    from kstream_spark.functions.vectors import dot, norm
+    from kstream_spark.util import ensure_parallelism
+    corpus = ensure_parallelism(corpus)
+    c = corpus.withColumn("__v", as_double(F.col(vec_col))) \
+        .withColumn("__n", norm(F.col("__v")))
+    e = F.broadcast(
+        eval_set.select(as_double(F.col(vec_col)).alias("__ev"))
+        .withColumn("__en", norm(F.col("__ev"))))
+    hit = (F.round(dot(F.col("__v"), F.col("__ev"))
+                   / (F.col("__n") * F.col("__en")), 6) >= threshold)
+    return c.join(e, hit, "left_anti").drop("__v", "__n")
+
+
 def kmeans_centroids(emb: DataFrame, vec_col: str, k: int = 16,
                      iters: int = 5, seed: int = 7,
                      id_col: str | None = None) -> list:

@@ -376,3 +376,42 @@ def test_bm25_ranks_term_rich_docs_first(spark):
     assert ids[0] == 1                   # most matches ranks first
     assert 3 not in ids[:2]              # no-match doc can't outrank matches
     assert all(out[i].score >= out[i + 1].score for i in range(len(out) - 1))
+
+
+def test_embedding_dedup_warns_on_large_exact_default(spark, monkeypatch):
+    """Above the size threshold, the exact O(n^2) default must nudge the
+    caller toward the LSH pair generator (operators/similarity)."""
+    import warnings
+    import kstream_spark.util as U
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>")
+    monkeypatch.setattr(U, "input_size_bytes", lambda df: 200 << 20)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        S.embedding_dedup_survivors(emb, "vec_id", "embedding", threshold=0.9)
+        assert any("lsh_cosine_pairs" in str(x.message) for x in w)
+    # small input (or explicit pair_fn): silent
+    monkeypatch.setattr(U, "input_size_bytes", lambda df: 1 << 20)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        S.embedding_dedup_survivors(emb, "vec_id", "embedding", threshold=0.9)
+        assert not [x for x in w if issubclass(x.category, RuntimeWarning)]
+
+
+def test_decontaminate_embedding_drops_planted_leak(spark):
+    """A corpus vector colinear with an eval vector must be dropped; an
+    orthogonal one must survive.  The plan must broadcast the eval side
+    and never shuffle the corpus (left-anti nested loop)."""
+    ev = spark.createDataFrame([(100, [1.0, 0.0, 0.0])],
+                               "vec_id long, embedding array<double>")
+    cor = spark.createDataFrame(
+        [(1, [0.99, 0.01, 0.0]),     # near-copy of the eval vector -> leak
+         (2, [0.0, 1.0, 0.0]),       # orthogonal -> clean
+         (3, [0.0, 0.0, -1.0])],     # orthogonal -> clean
+        "vec_id long, embedding array<double>")
+    out = S.decontaminate_embedding(cor, ev, "vec_id", "embedding",
+                                    threshold=0.9)
+    assert sorted(r.vec_id for r in out.collect()) == [2, 3]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan and "LeftAnti" in plan
+    assert "Exchange hashpartitioning" not in plan
