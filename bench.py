@@ -55,6 +55,7 @@ HEADLINE = [
     "sketch_hll_distinct",
     "dedup_containment",
     "text_bm25_topk",
+    "decon_embedding",
 ]
 
 

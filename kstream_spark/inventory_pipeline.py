@@ -911,3 +911,35 @@ WHERE NOT EXISTS (
 
 PIPELINE_INVENTORY["decon_embedding"] = (q_decon_embedding,
                                          SQL_DECON_EMBEDDING)
+
+
+# -- stop-shingle-capped ngram jaccard (the scale-shape variant) -------------
+def q_dedup_ngram_capped(spark: SparkSession, sf: str) -> DataFrame:
+    """ngram_jaccard_pairs WITH the stop-shingle cap (max_shingle_df=3) —
+    the 100 TB shape: shingles appearing in more than max_shingle_df docs
+    are dropped BEFORE the inverted-index self-join, bounding the join's
+    per-key fan-out (the classic hot-key hazard of shingle joins) at the
+    cost of computing Jaccard over the rare-shingle universe.  Registered
+    separately from the exact baseline so the capped pipeline itself is
+    driver-proven with the cap BINDING (df max is 7 at the driver SF)."""
+    return D.ngram_jaccard_pairs(_docs(StreamBuilder(spark), sf),
+                                 "doc_id", "text", n=3, threshold=0.8,
+                                 max_shingle_df=3)
+
+
+SQL_DEDUP_NGRAM_CAPPED = f"""
+WITH {_W}, {_SH},
+keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 3),
+sh2 AS (SELECT doc_id, s FROM sh WHERE s IN (SELECT s FROM keep)),
+sz AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, round(i * 1.0 / (x.n + y.n - i), 6) AS jaccard
+FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+WHERE i * 1.0 / (x.n + y.n - i) >= 0.8
+"""
+
+PIPELINE_INVENTORY["dedup_ngram_capped"] = (q_dedup_ngram_capped,
+                                            SQL_DEDUP_NGRAM_CAPPED)
