@@ -312,13 +312,13 @@ def q_sim_ivf_kmeans_topk(spark: SparkSession, sf: str) -> DataFrame:
                       centroids=cents)
 
 
-def _kmeans_ivf_sql(k: int = 8, iters: int = 3, dim: int = 64,
-                    n_probe: int = 3, topk: int = 10,
-                    query_ids: str = "0, 1, 2, 3, 4") -> str:
-    """DuckDB replay of kmeans_centroids + ivf_topk: Lloyd's unrolled
-    ``iters`` times over component-exploded vectors, with the same round-6
-    discipline at every step (seed normalize, assignment score, cell mean,
-    centroid re-normalize), then the IVF assign/probe/rank phase.  Empty or
+def _lloyd_cells_cte(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """Shared DuckDB CTE chain replaying kmeans_centroids + the nearest-cell
+    assignment: Lloyd's unrolled ``iters`` times over component-exploded
+    vectors with the same round-6 discipline at every step (seed normalize,
+    assignment score, cell mean, centroid re-normalize).  Yields CTEs
+    ``comp`` (vec_id, d, x, nrm) and ``assigned`` (vec_id, cell_id) for the
+    consumer to build on (IVF probe phase, SemDeDup pair phase).  Empty or
     degenerate cells keep the previous centroid, exactly like the Spark
     update loop."""
     its = []
@@ -344,8 +344,7 @@ c{t + 1} AS (SELECT p.cell, p.d,
              LEFT JOIN mean{t} me ON me.cell = p.cell AND me.d = p.d
              LEFT JOIN mnorm{t} mn ON mn.cell = p.cell)""")
     lloyd = ",".join(its)
-    return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    return f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 nv AS (SELECT vec_id, v,
          sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
 comp AS (SELECT vec_id, dd.d AS d, v[dd.d + 1] AS x, nrm
@@ -361,24 +360,33 @@ cos_ac AS (SELECT cm.vec_id, ct.cell_id,
            FROM comp cm JOIN cent ct USING (d)
            JOIN cnorm cn ON cn.cell_id = ct.cell_id
            GROUP BY cm.vec_id, ct.cell_id),
-assigned AS (SELECT vec_id AS neighbor_id, cell_id FROM (
+assigned AS (SELECT vec_id, cell_id FROM (
                SELECT vec_id, cell_id,
                       row_number() OVER (PARTITION BY vec_id
                                          ORDER BY cell_cos DESC, cell_id) AS rn
-               FROM cos_ac) WHERE rn = 1),
+               FROM cos_ac) WHERE rn = 1)"""
+
+
+def _kmeans_ivf_sql(k: int = 8, iters: int = 3, dim: int = 64,
+                    n_probe: int = 3, topk: int = 10,
+                    query_ids: str = "0, 1, 2, 3, 4") -> str:
+    """DuckDB replay of kmeans_centroids + ivf_topk: the shared Lloyd's /
+    assignment chain (_lloyd_cells_cte), then the IVF probe/rank phase."""
+    return f"""
+WITH {_lloyd_cells_cte(k, iters, dim)},
 probes AS (SELECT vec_id AS query_id, cell_id FROM (
              SELECT vec_id, cell_id,
                     row_number() OVER (PARTITION BY vec_id
                                        ORDER BY cell_cos DESC, cell_id) AS rn
              FROM cos_ac WHERE vec_id IN ({query_ids}))
            WHERE rn <= {n_probe}),
-scored AS (SELECT p.query_id, a.neighbor_id,
+scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
              round(sum(cq.x * cb.x) / (max(cq.nrm) * max(cb.nrm)), 6) AS cos
            FROM probes p JOIN assigned a USING (cell_id)
            JOIN comp cq ON cq.vec_id = p.query_id
-           JOIN comp cb ON cb.vec_id = a.neighbor_id AND cb.d = cq.d
-           WHERE p.query_id <> a.neighbor_id
-           GROUP BY p.query_id, a.neighbor_id)
+           JOIN comp cb ON cb.vec_id = a.vec_id AND cb.d = cq.d
+           WHERE p.query_id <> a.vec_id
+           GROUP BY p.query_id, a.vec_id)
 SELECT query_id, neighbor_id, cos,
        CAST(row_number() OVER (PARTITION BY query_id
                                ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
@@ -943,3 +951,90 @@ WHERE i * 1.0 / (x.n + y.n - i) >= 0.8
 
 PIPELINE_INVENTORY["dedup_ngram_capped"] = (q_dedup_ngram_capped,
                                             SQL_DEDUP_NGRAM_CAPPED)
+
+# -- r4: sub-document span dedup, unigram-LM quality, SemDeDup --------------
+def q_dedup_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """C4/RefinedWeb-style duplicated-span removal: cut documents into
+    non-overlapping 8-token segments, drop every segment occurring in >1
+    distinct document (boilerplate), stitch the survivors back in order.
+    Sub-document dedup — the layer exact/minhash whole-doc dedup misses."""
+    from kstream_spark.operators import corpus as C
+    return C.span_dedup(_docs(StreamBuilder(spark), sf), "doc_id", "text",
+                        span=8, max_docs=1)
+
+
+SQL_DEDUP_SPANS = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+seg AS (SELECT doc_id,
+          CAST(ceil(len(toks) / 8.0) AS BIGINT) AS totseg,
+          unnest(range(CAST(ceil(len(toks) / 8.0) AS BIGINT))) AS pos,
+          unnest(list_transform(range(CAST(ceil(len(toks) / 8.0) AS BIGINT)),
+                 i -> array_to_string(toks[i*8+1:i*8+8], ' '))) AS seg
+        FROM t),
+hot AS (SELECT md5(concat('span:', seg)) AS h FROM seg
+        GROUP BY 1 HAVING count(DISTINCT doc_id) > 1),
+kept AS (SELECT * FROM seg
+         WHERE md5(concat('span:', seg)) NOT IN (SELECT h FROM hot))
+SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS clean_text,
+       CAST(count(*) AS BIGINT) AS n_spans_kept,
+       CAST(any_value(totseg) - count(*) AS BIGINT) AS n_spans_dropped
+FROM kept GROUP BY doc_id
+"""
+
+PIPELINE_INVENTORY["dedup_spans"] = (q_dedup_spans, SQL_DEDUP_SPANS)
+
+
+def q_text_unigram_lm(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-self unigram LM score per document — the CCNet/KenLM
+    perplexity-gate shape with the LM reduced to unigrams so the whole
+    train+score pipeline is codegen and SQL-replayable."""
+    from kstream_spark.operators import corpus as C
+    return C.unigram_logprob(_docs(StreamBuilder(spark), sf),
+                             "doc_id", "text")
+
+
+SQL_TEXT_UNIGRAM_LM = r"""
+WITH tok AS (SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  w -> w <> '')) AS tok
+             FROM documents),
+cnt AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+tot AS (SELECT sum(c) AS tot FROM cnt),
+lp AS (SELECT tok, round(ln(c / tot), 6) AS logp FROM cnt, tot)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(logp), 6) AS avg_logp
+FROM tok JOIN lp USING (tok) GROUP BY doc_id
+"""
+
+PIPELINE_INVENTORY["text_unigram_lm"] = (q_text_unigram_lm,
+                                         SQL_TEXT_UNIGRAM_LM)
+
+
+def q_dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (public recipe, Abbas et al. 2023): k-means clusters bound
+    the quadratic, cosine pruning only within a cluster, lowest id
+    survives.  Same deterministic k-means as sim_ivf_kmeans_topk, so the
+    oracle replays cluster -> pair -> prune exactly."""
+    return S.semantic_dedup(_embs(StreamBuilder(spark), sf),
+                            "vec_id", "embedding",
+                            k=8, iters=3, threshold=0.4)
+
+
+def _semantic_sql(k: int = 8, iters: int = 3, dim: int = 64,
+                  threshold: float = 0.4) -> str:
+    return f"""
+WITH {_lloyd_cells_cte(k, iters, dim)},
+pairs AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+            round(sum(ca.x * cb.x) / (max(ca.nrm) * max(cb.nrm)), 6) AS cos
+          FROM assigned a
+          JOIN assigned b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+          JOIN comp ca ON ca.vec_id = a.vec_id
+          JOIN comp cb ON cb.vec_id = b.vec_id AND cb.d = ca.d
+          GROUP BY a.vec_id, b.vec_id),
+drops AS (SELECT DISTINCT ib FROM pairs WHERE cos >= {threshold})
+SELECT vec_id, cell_id FROM assigned
+WHERE vec_id NOT IN (SELECT ib FROM drops)
+"""
+
+
+PIPELINE_INVENTORY["dedup_semantic"] = (q_dedup_semantic, _semantic_sql())

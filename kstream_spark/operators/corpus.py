@@ -132,6 +132,94 @@ def decontaminate(df: DataFrame, id_col: str, text_col: str,
                  F.count_distinct("_eval_id").alias("n_eval_docs")))
 
 
+def span_dedup(df: DataFrame, id_col: str, text_col: str,
+               span: int = 8, max_docs: int = 1) -> DataFrame:
+    """C4/RefinedWeb-style duplicated-span removal (sub-document dedup).
+
+    Documents are cut into NON-overlapping ``span``-token segments; any
+    segment whose text occurs in more than ``max_docs`` distinct documents
+    (boilerplate, license headers, navigation chrome) is removed from EVERY
+    document, and the surviving segments are stitched back in order.
+    Returns (id, clean_text, n_spans_kept, n_spans_dropped); documents that
+    lose every segment drop out of the result (fully-boilerplate docs).
+
+    Scale shape: one posexplode -> one map-side-combinable groupBy on the
+    segment's md5 (never the segment text — the shuffle key stays 32 bytes
+    however long the span is) -> the hot-segment set is tiny by definition
+    (it is the boilerplate) and broadcast back as a left-anti probe -> one
+    groupBy(doc) to reassemble.  Two shuffles total, both keyed on columns
+    with no skew beyond the boilerplate itself, which the anti-join removes
+    before the reassembly shuffle.
+
+    No reference analog (corpus tooling is part of the capability superset,
+    SURVEY.md §7 item 8); semantics follow the public C4 paper's
+    three-sentence-span dedup with token spans standing in for sentences.
+    """
+    toks = F.split(F.col(text_col), " ")
+    nseg = F.ceil(F.size(toks) / F.lit(float(span))).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), nseg - 1),
+        lambda i: F.array_join(F.slice(toks, i * span + 1, span), " "))
+    seg_rows = (df.select(F.col(id_col), nseg.cast("long").alias("_totseg"),
+                          F.posexplode(segs).alias("pos", "seg"))
+                .withColumn("_h", hash_str(F.col("seg"), "span")))
+    hot = (seg_rows.groupBy("_h")
+           .agg(F.count_distinct(id_col).alias("_nd"))
+           .filter(F.col("_nd") > max_docs)
+           .select("_h"))
+    kept = seg_rows.join(hot, "_h", "left_anti")
+    return (kept.groupBy(id_col)
+            .agg(F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                         lambda s: s["seg"]),
+                     " ").alias("clean_text"),
+                 F.count("*").cast("long").alias("n_spans_kept"),
+                 (F.first("_totseg") - F.count("*")).cast("long")
+                 .alias("n_spans_dropped")))
+
+
+def unigram_logprob(df: DataFrame, id_col: str, text_col: str,
+                    min_count: int = 1) -> DataFrame:
+    """Corpus-self unigram LM quality score (the perplexity-filter shape).
+
+    Trains a unigram language model ON the corpus itself (token relative
+    frequencies) and scores every document by its mean token log-probability
+    — the same filter shape as CCNet's KenLM perplexity gate, with the LM
+    reduced to unigrams so the whole pipeline stays inside codegen and is
+    exactly replayable by a SQL oracle.  Low (very negative) scores flag
+    gibberish / rare-token soup; suspiciously high scores flag degenerate
+    repetition.  Returns (id, n_tokens, avg_logp).
+
+    Scale shape: the token-count aggregation is THE canonical map-side
+    combinable groupBy (partial counts per partition, vocab-sized result);
+    the per-token log-prob table is vocab-sized and BROADCAST back onto the
+    token stream, so the corpus is scanned twice and shuffled only by the
+    (count-bounded) vocab key.  ``min_count`` folds the long tail of rare
+    tokens into one OOV bucket scored at ln(min_count/total) — at web scale
+    the vocab's hapax tail is most of its rows, and the cap keeps the
+    broadcast table bounded without changing frequent-token scores.
+    """
+    tok = df.select(
+        F.col(id_col),
+        F.explode(_clean_words(F.lower(F.col(text_col)))).alias("tok"))
+    counts = tok.groupBy("tok").agg(F.count("*").alias("_c"))
+    # one-row scalar: the corpus token total + the OOV floor derived from it
+    tot = counts.agg(F.sum("_c").alias("_tot")).select(
+        "_tot", F.round(F.log(F.lit(float(min_count)) / F.col("_tot")), 6)
+        .alias("_oov"))
+    lp = (counts.filter(F.col("_c") >= min_count)
+          .crossJoin(F.broadcast(tot))
+          .select("tok", F.round(F.log(F.col("_c") / F.col("_tot")), 6)
+                  .alias("_logp")))
+    return (tok.join(F.broadcast(lp), "tok", "left")
+            .crossJoin(F.broadcast(tot))
+            .withColumn("_lp", F.coalesce("_logp", "_oov"))
+            .groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_tokens"),
+                 F.round(F.avg("_lp"), 6).alias("avg_logp")))
+
+
 def shuffle_shards(df: DataFrame, id_col: str, n_shards: int = 8,
                    seed: str = "42") -> DataFrame:
     """Deterministic global shuffle into training shards.

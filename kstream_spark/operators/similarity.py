@@ -381,6 +381,69 @@ def ivf_topk(emb: DataFrame, id_col: str, vec_col: str,
             .filter(F.col("rank") <= k))
 
 
+def semantic_dedup(emb: DataFrame, id_col: str, vec_col: str,
+                   k: int = 8, iters: int = 3, threshold: float = 0.9,
+                   centroids: list | None = None) -> DataFrame:
+    """SemDeDup-style semantic dedup: k-means clustering bounds the
+    quadratic, cosine pruning happens only WITHIN a cluster.
+
+    The public SemDeDup recipe (Abbas et al. 2023): cluster the embedding
+    space coarsely, then inside each cluster drop every vector whose cosine
+    to another cluster member clears ``threshold``, keeping one survivor per
+    near-dup group.  Survival rule here: lowest id in the pair wins (the
+    same deterministic rule as embedding_dedup_survivors, so the two
+    operators compose).  Returns (id, cell_id) survivors.
+
+    Scale shape: the all-pairs comparison never crosses a cluster boundary,
+    so cost is sum(|cell|^2) instead of |corpus|^2 — the clustering IS the
+    blocking step.  Assignment is one broadcast pass (k x dim centroid
+    matrix); the within-cell self-join shuffles the corpus once on cell_id.
+    A pathologically hot cell is the signal to re-train with a larger k (or
+    sub-split the cell with lsh_cosine_pairs — same composition as
+    dedup_embedding_lsh).  Deterministic end-to-end: id-ordered k-means
+    seeds + round-6 parity at every step (kmeans_centroids), so a SQL
+    oracle replays the identical cluster -> pair -> prune pipeline.
+    """
+    from kstream_spark.functions.vectors import dot, norm
+    from kstream_spark.util import ensure_parallelism
+    emb = ensure_parallelism(emb)
+    if centroids is None:
+        centroids = kmeans_centroids(emb, vec_col, k=k, iters=iters,
+                                     id_col=id_col)
+    spark = emb.sparkSession
+    cents = F.broadcast(
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            schema="cell_id long, cv array<double>")
+        .withColumn("cn", norm(F.col("cv"))))
+    corpus = emb.select(F.col(id_col).alias("_id"),
+                        as_double(F.col(vec_col)).alias("v")) \
+        .withColumn("n", norm(F.col("v")))
+    w_assign = W.partitionBy("_id").orderBy(F.desc("cell_cos"),
+                                            F.asc("cell_id"))
+    assigned = (corpus.join(cents)
+                .withColumn("cell_cos",
+                            F.round(dot(F.col("v"), F.col("cv"))
+                                    / (F.col("n") * F.col("cn")), 6))
+                .withColumn("rn", F.row_number().over(w_assign))
+                .filter(F.col("rn") == 1)
+                .select("_id", "v", "n", "cell_id"))
+    a = assigned.select(F.col("_id").alias("id_a"), F.col("v").alias("va"),
+                        F.col("n").alias("na"), "cell_id")
+    b = assigned.select(F.col("_id").alias("id_b"), F.col("v").alias("vb"),
+                        F.col("n").alias("nb"), "cell_id")
+    dropped = (a.join(b, "cell_id")
+               .filter(F.col("id_a") < F.col("id_b"))
+               .withColumn("cos", F.round(dot(F.col("va"), F.col("vb"))
+                                          / (F.col("na") * F.col("nb")), 6))
+               .filter(F.col("cos") >= threshold)
+               .select(F.col("id_b").alias("_drop"))
+               .distinct())
+    return (assigned.join(dropped, assigned["_id"] == dropped["_drop"],
+                          "left_anti")
+            .select(F.col("_id").alias(id_col), "cell_id"))
+
+
 def save_centroids(spark, centroids: list, path: str) -> None:
     """Persist a learned centroid matrix (the IVF coarse quantizer) as
     parquet — the index-lifecycle half of IVF: train once with

@@ -102,3 +102,54 @@ def test_corpus_stats_bucket_is_bit_length(spark):
     # 7 = 0b111 -> bucket 2; 8 = 0b1000 -> bucket 3
     assert [(r["len_bucket"], r["n_docs"], r["total_tokens"], r["total_chars"])
             for r in rows] == [(2, 1, 2, 7), (3, 1, 1, 8)]
+
+
+def test_span_dedup_removes_shared_boilerplate(spark):
+    # span=4: docs 1 and 2 share their first 4-token segment (boilerplate);
+    # each keeps a distinct tail segment.  doc 3 is all-boilerplate (equal
+    # to doc 1's first segment) and must vanish entirely.
+    df = _docs(spark, [
+        (1, "copy right all reserved alpha beta gamma delta"),
+        (2, "copy right all reserved one two three four"),
+        (3, "copy right all reserved"),
+    ])
+    out = {r["doc_id"]: r for r in
+           C.span_dedup(df, "doc_id", "text", span=4, max_docs=1).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["clean_text"] == "alpha beta gamma delta"
+    assert out[2]["clean_text"] == "one two three four"
+    assert out[1]["n_spans_kept"] == 1 and out[1]["n_spans_dropped"] == 1
+
+
+def test_span_dedup_orders_and_counts(spark):
+    # 9 tokens at span=4 -> 3 segments (last one short); nothing shared, so
+    # everything survives and the text round-trips in order.
+    df = _docs(spark, [(1, "a b c d e f g h i")])
+    r = C.span_dedup(df, "doc_id", "text", span=4, max_docs=1).collect()[0]
+    assert r["clean_text"] == "a b c d e f g h i"
+    assert r["n_spans_kept"] == 3 and r["n_spans_dropped"] == 0
+
+
+def test_unigram_logprob_known_values(spark):
+    import math
+    # corpus: 4 tokens total -- "a" x2, "b" x1, "c" x1
+    df = _docs(spark, [(1, "a a b"), (2, "c")])
+    out = {r["doc_id"]: r for r in
+           C.unigram_logprob(df, "doc_id", "text").collect()}
+    lp_a = round(math.log(2 / 4), 6)
+    lp_b = round(math.log(1 / 4), 6)
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["avg_logp"] == round((2 * lp_a + lp_b) / 3, 6)
+    assert out[2]["avg_logp"] == lp_b
+    # the common-token doc scores higher (less surprising) than the rare one
+    assert out[1]["avg_logp"] > out[2]["avg_logp"]
+
+
+def test_unigram_logprob_oov_floor(spark):
+    import math
+    # min_count=2 folds the two hapaxes into the OOV floor ln(2/4)
+    df = _docs(spark, [(1, "a a b"), (2, "c")])
+    out = {r["doc_id"]: r for r in
+           C.unigram_logprob(df, "doc_id", "text", min_count=2).collect()}
+    floor = round(math.log(2 / 4), 6)
+    assert out[2]["avg_logp"] == floor

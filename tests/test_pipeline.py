@@ -415,3 +415,30 @@ def test_decontaminate_embedding_drops_planted_leak(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan and "LeftAnti" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_semantic_dedup_drops_within_cluster_near_dups(spark):
+    # two tight groups on orthogonal axes + one isolated vector: k-means
+    # with k=2 separates the groups; within each, the lower id survives
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.01, 0.999, 0.0, 0.0]),   # near-dup of 2
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = S.semantic_dedup(emb, "vec_id", "embedding", k=2, iters=2,
+                           threshold=0.95)
+    ids = {r["vec_id"] for r in out.collect()}
+    assert ids == {0, 2}
+
+
+def test_semantic_dedup_never_crosses_clusters(spark):
+    # identical vectors land in the SAME cluster by construction, so the
+    # survivor set equals exact embedding dedup's on this input
+    rows = [(i, [float(i % 3 == 0), float(i % 3 == 1), float(i % 3 == 2)])
+            for i in range(9)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = S.semantic_dedup(emb, "vec_id", "embedding", k=3, iters=2,
+                           threshold=0.99)
+    assert {r["vec_id"] for r in out.collect()} == {0, 1, 2}
