@@ -45,9 +45,16 @@ def stateful_stream_join(left: DataFrame, right: DataFrame, key: str,
                          ttl_ms: int | None = None) -> DataFrame:
     """Unbounded-buffer stream-stream inner join (reference parity).
 
-    Emits one row per (left record, right record) cross-match per key, in
-    arrival order — matched entries STAY buffered and match again later
-    (side_joiner.go keeps them; window.go never evicts).
+    Emits one row per (left record, right record) cross-match per key —
+    matched entries STAY buffered and match again later (side_joiner.go
+    keeps them; window.go never evicts).  Per micro-batch the emitted set
+    is (new lefts x buffered rights) + (buffered lefts x new rights) +
+    (new lefts x new rights): each pair appears exactly once, when the
+    later of its two records arrives — the same set the reference's
+    record-at-a-time loop produces, emitted as three vectorized blocks
+    (numpy repeat/tile) instead of a Python append per pair, so a hot key
+    whose buffers hold B records costs O(B) numpy ops per batch, not
+    O(B^2) interpreter iterations.
 
     Output: (k, left_json, right_json).
     """
@@ -64,36 +71,41 @@ def stateful_stream_join(left: DataFrame, right: DataFrame, key: str,
     ])
 
     def update(pkey, pdfs, state: GroupState):
+        import numpy as np
         (k,) = pkey
         if state.hasTimedOut:
             state.remove()
             return
         lefts, rights = state.get if state.exists else ([], [])
-        lefts, rights = list(lefts), list(rights)
-        out = {"k": [], "left_json": [], "right_json": []}
+        new_l, new_r = [], []
         for pdf in pdfs:
-            # column-wise zip, not iterrows: per-row Series construction is
-            # ~100x the cost of the buffer work itself at bench volumes
-            for side, payload in zip(pdf["side"].to_numpy(),
-                                     pdf["payload"].to_numpy()):
-                if side == "L":
-                    # new left joins against every buffered right
-                    for rj in rights:
-                        out["k"].append(k)
-                        out["left_json"].append(payload)
-                        out["right_json"].append(rj)
-                    lefts.append(payload)
-                else:
-                    for lj in lefts:
-                        out["k"].append(k)
-                        out["left_json"].append(lj)
-                        out["right_json"].append(payload)
-                    rights.append(payload)
-        state.update((lefts, rights))
+            side = pdf["side"].to_numpy()
+            payload = pdf["payload"].to_numpy()
+            is_l = side == "L"
+            if is_l.any():
+                new_l.append(payload[is_l])
+            if not is_l.all():
+                new_r.append(payload[~is_l])
+        empty = np.empty(0, dtype=object)
+        bl = np.concatenate(new_l) if new_l else empty
+        br = np.concatenate(new_r) if new_r else empty
+        ol = np.asarray(lefts, dtype=object)
+        orr = np.asarray(rights, dtype=object)
+        # three vectorized pair blocks — see docstring; repeat/tile keeps
+        # duplicate payload multiplicity identical to the per-record loop
+        lp, rp = [], []
+        for lv, rv in ((bl, orr), (ol, br), (bl, br)):
+            if len(lv) and len(rv):
+                lp.append(np.repeat(lv, len(rv)))
+                rp.append(np.tile(rv, len(lv)))
+        state.update((list(lefts) + bl.tolist(), list(rights) + br.tolist()))
         if ttl_ms is not None:
             state.setTimeoutDuration(ttl_ms)
-        if out["k"]:
-            yield pd.DataFrame(out)
+        if lp:
+            lj = np.concatenate(lp)
+            yield pd.DataFrame({"k": np.full(len(lj), k, dtype=np.int64),
+                                "left_json": lj,
+                                "right_json": np.concatenate(rp)})
 
     timeout = GroupStateTimeout.ProcessingTimeTimeout if ttl_ms is not None \
         else GroupStateTimeout.NoTimeout
