@@ -56,6 +56,9 @@ HEADLINE = [
     "dedup_containment",
     "text_bm25_topk",
     "decon_embedding",
+    "dedup_spans",
+    "text_unigram_lm",
+    "dedup_semantic",
 ]
 
 

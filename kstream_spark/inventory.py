@@ -512,6 +512,9 @@ _TOUCHED_THIS_ROUND = [
     # r3 similarity refactor (cosine->dot/norm) that never got a post-change
     # driver row — flagged in ADVICE r3
     "sim_cosine_topk", "sim_cosine_pairs", "sim_lsh_pairs", "dedup_embedding",
+    # r4: Lloyd's oracle CTE factored into _lloyd_cells_cte (shared with the
+    # new SemDeDup oracle) — same output, but the SQL text changed
+    "sim_ivf_kmeans_topk",
 ]
 
 
