@@ -142,3 +142,46 @@ def test_scd2_current_state_matches_last_value(changes):
         assert sum(r["is_current"] for r in rs) == 1
         for a, b in zip(rs, rs[1:]):
             assert a["valid_to"] == b["valid_from"]
+
+
+WORD_DOCS = st.lists(
+    st.tuples(st.integers(0, 100),
+              st.lists(st.sampled_from("abcd"), min_size=1, max_size=12)
+              .map(" ".join)),
+    min_size=1, max_size=12, unique_by=lambda t: t[0])
+
+
+@SET
+@given(WORD_DOCS, st.integers(1, 5))
+def test_span_dedup_roundtrip_and_reference(docs, span):
+    """With the hot threshold effectively infinite, every doc round-trips
+    verbatim; with max_docs=1, the result matches a sequential reference
+    implementation (segment -> count distinct docs -> filter -> stitch)."""
+    spark = _spark()
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    # threshold above corpus size -> nothing dropped, text reassembles
+    out = {r["doc_id"]: r for r in
+           C.span_dedup(df, "doc_id", "text", span=span,
+                        max_docs=10**6).collect()}
+    for did, text in docs:
+        assert out[did]["clean_text"] == text
+        assert out[did]["n_spans_dropped"] == 0
+
+    # reference fold for max_docs=1
+    segs = {}
+    for did, text in docs:
+        toks = text.split(" ")
+        segs[did] = [" ".join(toks[i:i + span])
+                     for i in range(0, len(toks), span)]
+    from collections import Counter
+    docfreq = Counter(s for did in segs for s in set(segs[did]))
+    want = {}
+    for did in segs:
+        kept = [s for s in segs[did] if docfreq[s] <= 1]
+        if kept:
+            want[did] = " ".join(kept)
+    got = {r["doc_id"]: r["clean_text"] for r in
+           C.span_dedup(df, "doc_id", "text", span=span,
+                        max_docs=1).collect()}
+    assert got == want
