@@ -404,41 +404,55 @@ def semantic_dedup(emb: DataFrame, id_col: str, vec_col: str,
     seeds + round-6 parity at every step (kmeans_centroids), so a SQL
     oracle replays the identical cluster -> pair -> prune pipeline.
     """
+    import math
+
     from kstream_spark.functions.vectors import dot, norm
     from kstream_spark.util import ensure_parallelism
     emb = ensure_parallelism(emb)
     if centroids is None:
         centroids = kmeans_centroids(emb, vec_col, k=k, iters=iters,
                                      id_col=id_col)
-    spark = emb.sparkSession
-    cents = F.broadcast(
-        spark.createDataFrame(
-            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-            schema="cell_id long, cv array<double>")
-        .withColumn("cn", norm(F.col("cv"))))
     corpus = emb.select(F.col(id_col).alias("_id"),
                         as_double(F.col(vec_col)).alias("v")) \
         .withColumn("n", norm(F.col("v")))
-    w_assign = W.partitionBy("_id").orderBy(F.desc("cell_cos"),
-                                            F.asc("cell_id"))
-    assigned = (corpus.join(cents)
-                .withColumn("cell_cos",
-                            F.round(dot(F.col("v"), F.col("cv"))
-                                    / (F.col("n") * F.col("cn")), 6))
-                .withColumn("rn", F.row_number().over(w_assign))
-                .filter(F.col("rn") == 1)
-                .select("_id", "v", "n", "cell_id"))
-    a = assigned.select(F.col("_id").alias("id_a"), F.col("v").alias("va"),
-                        F.col("n").alias("na"), "cell_id")
-    b = assigned.select(F.col("_id").alias("id_b"), F.col("v").alias("vb"),
-                        F.col("n").alias("nb"), "cell_id")
-    dropped = (a.join(b, "cell_id")
-               .filter(F.col("id_a") < F.col("id_b"))
-               .withColumn("cos", F.round(dot(F.col("va"), F.col("vb"))
-                                          / (F.col("na") * F.col("nb")), 6))
-               .filter(F.col("cos") >= threshold)
-               .select(F.col("id_b").alias("_drop"))
-               .distinct())
+    # the centroid matrix is a driver-side literal, so nearest-cell
+    # assignment is a pure PROJECTION (k dot folds + argmax per row): no
+    # k x n join blow-up, no row_number shuffle.  array_position picks the
+    # FIRST maximum — ties break toward the lowest cell id, same as
+    # ORDER BY score DESC, cell ASC in the oracle
+    scores = F.array(*[
+        F.round(dot(F.col("v"), F.array(*[F.lit(float(x)) for x in c]))
+                / (F.col("n")
+                   * F.lit(math.sqrt(sum(float(x) * float(x) for x in c)))),
+                6)
+        for c in centroids])
+    assigned = corpus.withColumn(
+        "cell_id",
+        (F.array_position(scores, F.array_max(scores)) - 1).cast("long"))
+    # within-cell pairs as ONE Arrow matmul per cell (vectors cross the
+    # Python boundary once per cell, pairs are generated inside numpy) —
+    # a pair-expanded join would fold a 64-dim dot per pair in the
+    # interpreted higher-order-function evaluator instead.  Task memory is
+    # O(|cell|^2) doubles: size k so cells fit (the SemDeDup contract —
+    # a hot cell means the quantizer is too coarse).
+    thr = float(threshold)
+
+    def cell_pairs(pdf):
+        import numpy as np
+        order = np.argsort(pdf["_id"].to_numpy())
+        ids = pdf["_id"].to_numpy()[order]
+        if len(ids) < 2:
+            return pd.DataFrame({"_drop": np.empty(0, dtype=np.int64)})
+        mat = np.vstack(pdf["v"].to_numpy()[order]).astype(np.float64)
+        norms = pdf["n"].to_numpy()[order]
+        sims = np.round((mat @ mat.T) / np.outer(norms, norms), 6)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        # id_b of every above-threshold (lower-id, higher-id) pair is dropped
+        return pd.DataFrame(
+            {"_drop": np.unique(ids[ju[sims[iu, ju] >= thr]])})
+
+    dropped = (assigned.groupBy("cell_id")
+               .applyInPandas(cell_pairs, "`_drop` long"))
     return (assigned.join(dropped, assigned["_id"] == dropped["_drop"],
                           "left_anti")
             .select(F.col("_id").alias(id_col), "cell_id"))
