@@ -44,3 +44,24 @@ def content_hash(text: Column, normalize: bool = True) -> Column:
     if normalize:
         t = F.regexp_replace(F.lower(text), r"\s+", " ")
     return F.md5(F.encode(t, "UTF-8"))
+
+
+def html_to_text(col: Column) -> Column:
+    """Visible-text extraction from HTML (the web-corpus extraction stage,
+    boilerplate-removal-lite): drops script/style blocks and comments,
+    strips all tags, unescapes the common entities, collapses whitespace.
+    Codegen-only, and every pattern is RE2-compatible (no backreferences or
+    lookarounds), so a SQL engine replays it exactly.
+
+    Single-pass entity caveat: ``&amp;`` is decoded LAST, so double-encoded
+    entities (``&amp;lt;``) correctly surface as their single-encoded text
+    (``&lt;``) rather than decoding twice.
+    """
+    t = F.regexp_replace(col, r"(?is)<script[^>]*>.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?is)<style[^>]*>.*?</style>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(t, r"(?s)<[^>]*>", " ")
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""),
+                    ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")):
+        t = F.regexp_replace(t, ent, ch)
+    return F.trim(F.regexp_replace(t, r"\s+", " "))

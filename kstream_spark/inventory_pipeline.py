@@ -1038,3 +1038,52 @@ WHERE vec_id NOT IN (SELECT ib FROM drops)
 
 
 PIPELINE_INVENTORY["dedup_semantic"] = (q_dedup_semantic, _semantic_sql())
+
+
+def q_text_html_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Visible-text extraction from HTML (web-corpus extraction stage).
+    The fixture corpus is plain text, so the query wraps each doc in a
+    deterministic HTML shell (tags + style/script boilerplate + an encoded
+    entity) and extracts it back — proving the strip/unescape/collapse
+    pipeline end-to-end against the oracle's replay of the same regexes."""
+    from kstream_spark.functions.text import html_to_text
+    docs = _docs(StreamBuilder(spark), sf)
+    html = F.concat(
+        F.lit("<html><head><style>p{margin:0}</style></head><body><h1>"),
+        F.col("source"), F.lit("</h1>\n<p>"), F.col("text"),
+        F.lit(" &amp; more</p><script>var x='<p>no</p>';</script>"
+              "<!-- c --></body></html>"))
+    return docs.select(
+        "doc_id", html_to_text(html).alias("clean_text")) \
+        .withColumn("n_chars", F.length("clean_text").cast("long"))
+
+
+SQL_TEXT_HTML_EXTRACT = r"""
+WITH h AS (SELECT doc_id,
+  '<html><head><style>p{margin:0}</style></head><body><h1>' || source ||
+  '</h1>' || chr(10) || '<p>' || text ||
+  ' &amp; more</p><script>var x=''<p>no</p>'';</script><!-- c --></body></html>'
+  AS html FROM documents),
+s AS (SELECT doc_id,
+  regexp_replace(
+   regexp_replace(
+    regexp_replace(
+     regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+     '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+    '(?s)<!--.*?-->', ' ', 'g'),
+   '(?s)<[^>]*>', ' ', 'g') AS t
+  FROM h),
+u AS (SELECT doc_id,
+  replace(replace(replace(replace(replace(replace(t,
+    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+    '&nbsp;', ' '), '&amp;', '&') AS t
+  FROM s)
+SELECT doc_id,
+       trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean_text,
+       CAST(length(trim(regexp_replace(t, '\s+', ' ', 'g'))) AS BIGINT)
+         AS n_chars
+FROM u
+"""
+
+PIPELINE_INVENTORY["text_html_extract"] = (q_text_html_extract,
+                                           SQL_TEXT_HTML_EXTRACT)

@@ -153,3 +153,24 @@ def test_unigram_logprob_oov_floor(spark):
            C.unigram_logprob(df, "doc_id", "text", min_count=2).collect()}
     floor = round(math.log(2 / 4), 6)
     assert out[2]["avg_logp"] == floor
+
+
+def test_html_to_text_extraction(spark):
+    from kstream_spark.functions.text import html_to_text
+    rows = [
+        (1, "<html><head><style>p{color:red}</style></head>"
+            "<body><h1>Title</h1><p>Hello <b>world</b>!</p>"
+            "<script>var x = '<p>not text</p>';</script>"
+            "<!-- a comment --></body></html>"),
+        (2, "plain text, no markup"),
+        (3, "a &lt;tag&gt; literal &amp; an &amp;lt; stays encoded-once"),
+        (4, "<SCRIPT TYPE='text/js'>upper();</SCRIPT>visible<BR/>text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["clean"] for r in
+           df.select("doc_id", html_to_text(F.col("text")).alias("clean"))
+           .collect()}
+    assert out[1] == "Title Hello world !"
+    assert out[2] == "plain text, no markup"
+    assert out[3] == "a <tag> literal & an &lt; stays encoded-once"
+    assert out[4] == "visible text"
