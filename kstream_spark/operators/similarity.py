@@ -151,32 +151,44 @@ def lsh_cosine_pairs(emb: DataFrame, id_col: str, vec_col: str,
 
     signed = emb.select(F.col(id_col), signatures(F.col(vec_col)).alias("sigs"))
     buckets = signed.select(id_col, F.posexplode("sigs").alias("t", "s"))
-    cand = (
-        buckets.select(F.col(id_col).alias("id_a"), "t", "s")
-        .join(buckets.select(F.col(id_col).alias("id_b"), "t", "s"), ["t", "s"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b").distinct()
-    )
 
-    # verify with per-VECTOR precomputed norms: norm(v) is identical whether
-    # computed per vector or per pair (same expression, same doubles), but
-    # hoisting it out of the pair relation removes two 64-element folds per
-    # candidate — the verify step is ~3x less expression work in large
-    # buckets (low thresholds / hot tables)
-    from kstream_spark.functions.vectors import dot, norm
-    a = emb.select(F.col(id_col).alias("id_a"),
-                   as_double(F.col(vec_col)).alias("va")) \
-        .withColumn("norm_a", norm(F.col("va")))
-    b = emb.select(F.col(id_col).alias("id_b"),
-                   as_double(F.col(vec_col)).alias("vb")) \
-        .withColumn("norm_b", norm(F.col("vb")))
-    return (
-        cand.join(a, "id_a").join(b, "id_b")
-        .select("id_a", "id_b",
-                F.round(dot(F.col("va"), F.col("vb"))
-                        / (F.col("norm_a") * F.col("norm_b")), 6).alias("cos"))
-        .filter(F.col("cos") >= threshold)
-    )
+    # candidate generation + exact verify fused per bucket: each (table,
+    # signature) bucket is ONE numpy matmul over its members, so a vector's
+    # data crosses the shuffle once per TABLE membership (tables x corpus
+    # volume) instead of once per candidate PAIR — at low thresholds the
+    # candidate set is orders of magnitude larger than the bucket rows.
+    # The same pair verified in several buckets derives the identical
+    # rounded cosine, so the trailing distinct dedups exactly.  Task memory
+    # is O(|bucket|^2): a hot bucket means too few planes for the
+    # threshold (the documented LSH tuning dial).
+    from kstream_spark.functions.vectors import norm
+    vecs = emb.select(F.col(id_col).alias("_bid"),
+                      as_double(F.col(vec_col)).alias("_v")) \
+        .withColumn("_n", norm(F.col("_v")))
+    member = buckets.join(vecs, F.col(id_col) == F.col("_bid")) \
+        .select("t", "s", F.col(id_col).alias("_id"), "_v", "_n")
+    thr = float(threshold)
+
+    def bucket_pairs(pdf):
+        import numpy as np
+        empty = dict(id_a=np.empty(0, dtype=np.int64),
+                     id_b=np.empty(0, dtype=np.int64),
+                     cos=np.empty(0, dtype=np.float64))
+        if len(pdf) < 2:
+            return pd.DataFrame(empty)
+        order = np.argsort(pdf["_id"].to_numpy())
+        ids = pdf["_id"].to_numpy()[order]
+        mat = np.vstack(pdf["_v"].to_numpy()[order]).astype(np.float64)
+        nr = pdf["_n"].to_numpy()[order]
+        sims = np.round((mat @ mat.T) / np.outer(nr, nr), 6)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        m = sims[iu, ju] >= thr
+        return pd.DataFrame({"id_a": ids[iu[m]], "id_b": ids[ju[m]],
+                             "cos": sims[iu[m], ju[m]]})
+
+    return (member.groupBy("t", "s")
+            .applyInPandas(bucket_pairs, "id_a long, id_b long, cos double")
+            .distinct())
 
 
 def embedding_dedup_survivors(emb: DataFrame, id_col: str, vec_col: str,
