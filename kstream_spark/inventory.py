@@ -515,6 +515,8 @@ _TOUCHED_THIS_ROUND = [
     # r4: Lloyd's oracle CTE factored into _lloyd_cells_cte (shared with the
     # new SemDeDup oracle) — same output, but the SQL text changed
     "sim_ivf_kmeans_topk",
+    # r4: LSH verify rewritten as per-bucket Arrow matmuls
+    "dedup_embedding_lsh",
 ]
 
 
