@@ -985,7 +985,8 @@ PIPELINE_INVENTORY["dedup_spans"] = (q_dedup_spans, SQL_DEDUP_SPANS)
 
 
 def q_text_unigram_lm(spark: SparkSession, sf: str) -> DataFrame:
-    """Corpus-self unigram LM score per document — the CCNet/KenLM
+    """Corpus-self unigram LM score per document (total micro-quantized
+    log-prob; per-token score = sum_logp / n_tokens) — the CCNet/KenLM
     perplexity-gate shape with the LM reduced to unigrams so the whole
     train+score pipeline is codegen and SQL-replayable."""
     from kstream_spark.operators import corpus as C
@@ -998,12 +999,14 @@ WITH tok AS (SELECT doc_id,
                unnest(list_filter(string_split_regex(lower(text), '\s+'),
                                   w -> w <> '')) AS tok
              FROM documents),
-cnt AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+dt AS (SELECT doc_id, tok, count(*) AS m FROM tok GROUP BY doc_id, tok),
+cnt AS (SELECT tok, sum(m) AS c FROM dt GROUP BY tok),
 tot AS (SELECT sum(c) AS tot FROM cnt),
-lp AS (SELECT tok, round(ln(c / tot), 6) AS logp FROM cnt, tot)
-SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-       round(avg(logp), 6) AS avg_logp
-FROM tok JOIN lp USING (tok) GROUP BY doc_id
+lp AS (SELECT tok, CAST(round(ln(c / tot) * 1000000, 0) AS BIGINT) AS lpi
+       FROM cnt, tot)
+SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_tokens,
+       sum(m * lpi) / 1000000.0 AS sum_logp
+FROM dt JOIN lp USING (tok) GROUP BY doc_id
 """
 
 PIPELINE_INVENTORY["text_unigram_lm"] = (q_text_unigram_lm,

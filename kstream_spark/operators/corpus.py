@@ -184,12 +184,21 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str,
     """Corpus-self unigram LM quality score (the perplexity-filter shape).
 
     Trains a unigram language model ON the corpus itself (token relative
-    frequencies) and scores every document by its mean token log-probability
-    — the same filter shape as CCNet's KenLM perplexity gate, with the LM
-    reduced to unigrams so the whole pipeline stays inside codegen and is
-    exactly replayable by a SQL oracle.  Low (very negative) scores flag
-    gibberish / rare-token soup; suspiciously high scores flag degenerate
-    repetition.  Returns (id, n_tokens, avg_logp).
+    frequencies) and scores every document by its total token
+    log-probability — the same filter shape as CCNet's KenLM perplexity
+    gate, with the LM reduced to unigrams so the whole pipeline stays
+    inside codegen and is exactly replayable by a SQL oracle.  Low
+    per-token scores (sum_logp / n_tokens, left to the consumer) flag
+    gibberish / rare-token soup; suspiciously high ones flag degenerate
+    repetition.  Returns (id, n_tokens, sum_logp).
+
+    Numeric determinism: per-token log-probs are quantized to integer
+    MICRO-log-probs (round(ln(p) * 1e6)), so the per-doc score is an exact
+    integer sum — identical in any engine and any summation order — scaled
+    back by 1e6 with no output rounding.  A mean is NOT emitted because
+    rounding the ratio of two exact integers lands exactly on decimal .5
+    boundaries, where Spark (decimal HALF_UP) and other engines (binary
+    round) legitimately disagree.
 
     Scale shape: the token-count aggregation is THE canonical map-side
     combinable groupBy (partial counts per partition, vocab-sized result);
@@ -200,24 +209,32 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str,
     the vocab's hapax tail is most of its rows, and the cap keeps the
     broadcast table bounded without changing frequent-token scores.
     """
-    tok = df.select(
-        F.col(id_col),
-        F.explode(_clean_words(F.lower(F.col(text_col)))).alias("tok"))
-    counts = tok.groupBy("tok").agg(F.count("*").alias("_c"))
+    # ONE pass over the text: reduce to (doc, token, multiplicity) first —
+    # every downstream relation (vocab counts, corpus total, per-doc score)
+    # derives from this shuffle, whose exchange Catalyst reuses across the
+    # branches, so the corpus is tokenized exactly once
+    dt = (df.select(F.col(id_col),
+                    F.explode(_clean_words(F.lower(F.col(text_col))))
+                    .alias("tok"))
+          .groupBy(id_col, "tok").agg(F.count("*").alias("_m")))
+    counts = dt.groupBy("tok").agg(F.sum("_m").alias("_c"))
     # one-row scalar: the corpus token total + the OOV floor derived from it
     tot = counts.agg(F.sum("_c").alias("_tot")).select(
-        "_tot", F.round(F.log(F.lit(float(min_count)) / F.col("_tot")), 6)
-        .alias("_oov"))
+        "_tot",
+        F.round(F.log(F.lit(float(min_count)) / F.col("_tot")) * 1e6, 0)
+        .cast("long").alias("_oov"))
     lp = (counts.filter(F.col("_c") >= min_count)
           .crossJoin(F.broadcast(tot))
-          .select("tok", F.round(F.log(F.col("_c") / F.col("_tot")), 6)
-                  .alias("_logp")))
-    return (tok.join(F.broadcast(lp), "tok", "left")
+          .select("tok",
+                  F.round(F.log(F.col("_c") / F.col("_tot")) * 1e6, 0)
+                  .cast("long").alias("_lpi")))
+    return (dt.join(F.broadcast(lp), "tok", "left")
             .crossJoin(F.broadcast(tot))
-            .withColumn("_lp", F.coalesce("_logp", "_oov"))
+            .withColumn("_i", F.coalesce("_lpi", "_oov"))
             .groupBy(id_col)
-            .agg(F.count("*").cast("long").alias("n_tokens"),
-                 F.round(F.avg("_lp"), 6).alias("avg_logp")))
+            .agg(F.sum("_m").cast("long").alias("n_tokens"),
+                 (F.sum(F.col("_m") * F.col("_i")) / F.lit(1e6))
+                 .alias("sum_logp")))
 
 
 def shuffle_shards(df: DataFrame, id_col: str, n_shards: int = 8,

@@ -132,17 +132,18 @@ def test_span_dedup_orders_and_counts(spark):
 
 def test_unigram_logprob_known_values(spark):
     import math
-    # corpus: 4 tokens total -- "a" x2, "b" x1, "c" x1
+    # corpus: 4 tokens total -- "a" x2, "b" x1, "c" x1; scores are exact
+    # integer micro-log-prob sums scaled back by 1e6
     df = _docs(spark, [(1, "a a b"), (2, "c")])
     out = {r["doc_id"]: r for r in
            C.unigram_logprob(df, "doc_id", "text").collect()}
-    lp_a = round(math.log(2 / 4), 6)
-    lp_b = round(math.log(1 / 4), 6)
+    mi_a = round(math.log(2 / 4) * 1e6)
+    mi_b = round(math.log(1 / 4) * 1e6)
     assert out[1]["n_tokens"] == 3
-    assert out[1]["avg_logp"] == round((2 * lp_a + lp_b) / 3, 6)
-    assert out[2]["avg_logp"] == lp_b
-    # the common-token doc scores higher (less surprising) than the rare one
-    assert out[1]["avg_logp"] > out[2]["avg_logp"]
+    assert out[1]["sum_logp"] == (2 * mi_a + mi_b) / 1e6
+    assert out[2]["sum_logp"] == mi_b / 1e6
+    # per-token: the common-token doc is less surprising than the rare one
+    assert out[1]["sum_logp"] / 3 > out[2]["sum_logp"] / 1
 
 
 def test_unigram_logprob_oov_floor(spark):
@@ -151,8 +152,7 @@ def test_unigram_logprob_oov_floor(spark):
     df = _docs(spark, [(1, "a a b"), (2, "c")])
     out = {r["doc_id"]: r for r in
            C.unigram_logprob(df, "doc_id", "text", min_count=2).collect()}
-    floor = round(math.log(2 / 4), 6)
-    assert out[2]["avg_logp"] == floor
+    assert out[2]["sum_logp"] == round(math.log(2 / 4) * 1e6) / 1e6
 
 
 def test_html_to_text_extraction(spark):
