@@ -59,6 +59,7 @@ HEADLINE = [
     "dedup_spans",
     "text_unigram_lm",
     "dedup_semantic",
+    "dedup_winnow",
 ]
 
 

@@ -1090,3 +1090,33 @@ FROM u
 
 PIPELINE_INVENTORY["text_html_extract"] = (q_text_html_extract,
                                            SQL_TEXT_HTML_EXTRACT)
+
+
+def q_dedup_winnow(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing-fingerprint shared-substring pairs (MOSS, Schleimer et al.
+    2003): positional 4-gram hashes, sliding-window-4 minima as
+    fingerprints — detects a verbatim >=7-token run at ANY offset, the
+    substring case aligned span dedup and set-overlap Jaccard both miss."""
+    return D.winnow_pairs(_docs(StreamBuilder(spark), sf), "doc_id", "text",
+                          k=4, window=4, min_shared=1)
+
+
+SQL_DEDUP_WINNOW = """
+WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS words
+           FROM documents),
+g AS (SELECT doc_id,
+        list_transform(range(1, greatest(len(words) - 3, 0) + 1),
+          i -> md5('winnow:' || array_to_string(words[i:i+3], ' '))) AS hs
+      FROM w),
+fp AS (SELECT DISTINCT doc_id,
+         unnest(list_transform(
+           range(1, greatest(len(hs) - 3, 1) + 1),
+           j -> list_min(hs[j:j+3]))) AS f
+       FROM g WHERE len(hs) >= 1)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 1
+"""
+
+PIPELINE_INVENTORY["dedup_winnow"] = (q_dedup_winnow, SQL_DEDUP_WINNOW)

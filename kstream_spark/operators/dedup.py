@@ -119,6 +119,60 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
     )
 
 
+def winnow_pairs(df: DataFrame, id_col: str, text_col: str, k: int = 4,
+                 window: int = 4, min_shared: int = 1,
+                 max_fp_df: int | None = None) -> DataFrame:
+    """Winnowing-fingerprint shared-substring pairs (Schleimer et al. 2003,
+    the MOSS algorithm — public paper).
+
+    Every positional k-gram is hashed; each sliding window of ``window``
+    consecutive hashes contributes its MINIMUM as a fingerprint.  The
+    winnowing guarantee: two documents sharing a verbatim token run of at
+    least ``window + k - 1`` tokens share at least one fingerprint — exact
+    substring-match detection at ~1/window the index density of indexing
+    every k-gram.  Complements the family: span_dedup only sees ALIGNED
+    fixed segments, Jaccard/MinHash measure whole-document set overlap;
+    winnowing catches a long verbatim run at ANY offset.
+
+    Returns (doc_a, doc_b, n_shared) pairs sharing >= ``min_shared``
+    distinct fingerprints.  Scale shape: identical to the shingle inverted
+    index (fingerprints are md5 strings, the self-join is equi-keyed and
+    map-side pre-counted), but ~window-fold sparser; ``max_fp_df`` caps
+    boilerplate fingerprints exactly like max_shingle_df caps shingles.
+    Documents shorter than k tokens emit no fingerprints; shorter than
+    window+k-1 tokens emit the global-min fingerprint of what they have.
+    """
+    from kstream_spark.util import ensure_parallelism
+    # MATERIALIZE the hash array before windowing: a lambda body that
+    # references the hash EXPRESSION re-evaluates the whole
+    # split -> shingle -> md5 chain per window position (O(n^2) md5 calls
+    # per doc, ~40x slower measured); against a materialized column each
+    # window is an O(window) slice
+    hashed = ensure_parallelism(df, min_bytes=256 << 10).select(
+        F.col(id_col),
+        F.transform(word_shingles(F.col(text_col), k),
+                    lambda s: hash_str(s, "winnow")).alias("_hs"))
+    hs = F.col("_hs")
+    nwin = F.greatest(F.size(hs) - F.lit(window - 1), F.lit(1))
+    fps = F.when(
+        F.size(hs) >= 1,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(1), nwin),
+            lambda j: F.array_min(F.slice(hs, j, window))))) \
+        .otherwise(F.array().cast("array<string>"))
+    fp = hashed.select(F.col(id_col), F.explode(fps).alias("f"))
+    if max_fp_df is not None:
+        keep = fp.groupBy("f").agg(F.count("*").alias("df")) \
+                 .filter(F.col("df") <= max_fp_df).select("f")
+        fp = fp.join(keep, "f")
+    return (fp.select(F.col(id_col).alias("doc_a"), "f")
+            .join(fp.select(F.col(id_col).alias("doc_b"), "f"), "f")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").cast("long").alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared))
+
+
 def containment_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
                       threshold: float = 0.9,
                       max_shingle_df: int | None = None) -> DataFrame:

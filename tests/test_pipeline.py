@@ -442,3 +442,33 @@ def test_semantic_dedup_never_crosses_clusters(spark):
     out = S.semantic_dedup(emb, "vec_id", "embedding", k=3, iters=2,
                            threshold=0.99)
     assert {r["vec_id"] for r in out.collect()} == {0, 1, 2}
+
+
+def test_winnow_guarantee_and_offset_invariance(spark):
+    from kstream_spark.operators.dedup import winnow_pairs
+    # docs 1/2 share a verbatim 8-token run at DIFFERENT offsets; with
+    # k=4, window=4 the winnowing guarantee covers runs >= w+k-1 = 7
+    run = "q w e r t y u i"
+    rows = [
+        (1, f"{run} zz xx cc vv"),
+        (2, f"aa bb {run} dd"),
+        (3, "mm nn oo pp qq rr ss tt uu vv ww"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.doc_a, r.doc_b)
+             for r in winnow_pairs(df, "doc_id", "text",
+                                   k=4, window=4).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_winnow_short_docs(spark):
+    from kstream_spark.operators.dedup import winnow_pairs
+    # shorter than k tokens -> no fingerprints, never crashes; identical
+    # short-but->=k docs still pair via the global-min fingerprint
+    rows = [(1, "a b"), (2, "a b"), (3, "x y z w u"), (4, "x y z w u")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.doc_a, r.doc_b)
+             for r in winnow_pairs(df, "doc_id", "text",
+                                   k=4, window=4).collect()}
+    assert pairs == {(3, 4)}
