@@ -155,13 +155,20 @@ def span_dedup(df: DataFrame, id_col: str, text_col: str,
     SURVEY.md §7 item 8); semantics follow the public C4 paper's
     three-sentence-span dedup with token spans standing in for sentences.
     """
-    toks = F.split(F.col(text_col), " ")
+    # materialize the token array before the window lambda references it —
+    # an outer EXPRESSION referenced inside a higher-order lambda can be
+    # re-evaluated per element (measured ~35% here; 40x on the winnowing
+    # operator, operators/dedup.py winnow_pairs)
+    tokenized = df.select(F.col(id_col),
+                          F.split(F.col(text_col), " ").alias("_tk"))
+    toks = F.col("_tk")
     nseg = F.ceil(F.size(toks) / F.lit(float(span))).cast("int")
     segs = F.transform(
         F.sequence(F.lit(0), nseg - 1),
         lambda i: F.array_join(F.slice(toks, i * span + 1, span), " "))
-    seg_rows = (df.select(F.col(id_col), nseg.cast("long").alias("_totseg"),
-                          F.posexplode(segs).alias("pos", "seg"))
+    seg_rows = (tokenized.select(F.col(id_col),
+                                 nseg.cast("long").alias("_totseg"),
+                                 F.posexplode(segs).alias("pos", "seg"))
                 .withColumn("_h", hash_str(F.col("seg"), "span")))
     hot = (seg_rows.groupBy("_h")
            .agg(F.count_distinct(id_col).alias("_nd"))
