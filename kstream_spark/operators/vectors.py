@@ -31,11 +31,16 @@ def l2_normalize(df: DataFrame, vec_col: str, out_col: str = "unit",
     """Attach the L2 norm (rounded 6) and the unit vector (components
     rounded 6).  Zero vectors normalize to zeros, not NaN."""
     vec = F.col(vec_col)
-    norm = F.round(F.sqrt(_sq_sum(vec)), 6)
+    # materialize the norm BEFORE the per-component lambda references it:
+    # an outer aggregate referenced inside a higher-order lambda is
+    # re-evaluated per element (O(dim^2) folds per vector; 3.3x measured
+    # at dim 64 — same hazard as operators/dedup.py winnow_pairs)
+    df = df.withColumn(norm_col, F.round(F.sqrt(_sq_sum(vec)), 6))
+    norm = F.col(norm_col)
     unit = F.when(norm > 0,
                   F.transform(vec, lambda x: F.round(x.cast("double") / norm, 6))
                   ).otherwise(F.transform(vec, lambda x: F.lit(0.0)))
-    return df.withColumn(norm_col, norm).withColumn(out_col, unit)
+    return df.withColumn(out_col, unit)
 
 
 def quantize_int8(df: DataFrame, vec_col: str, scale_col: str = "scale",
@@ -48,12 +53,14 @@ def quantize_int8(df: DataFrame, vec_col: str, scale_col: str = "scale",
     """
     vec = F.col(vec_col)
     maxabs = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
-    scale = F.round(maxabs / 127.0, 9)
+    # materialized before the lambda references it — see l2_normalize
+    df = df.withColumn(scale_col, F.round(maxabs / 127.0, 9))
+    scale = F.col(scale_col)
     qvec = F.when(scale > 0,
                   F.transform(vec, lambda x: F.round(x.cast("double") /
                                                      scale, 0).cast("long"))
                   ).otherwise(F.transform(vec, lambda x: F.lit(0).cast("long")))
-    return df.withColumn(scale_col, scale).withColumn(out_col, qvec)
+    return df.withColumn(out_col, qvec)
 
 
 def dequantize(qvec: Column, scale: Column) -> Column:
