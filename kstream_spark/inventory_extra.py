@@ -326,3 +326,35 @@ HAVING count(*) > 0.15 * t
 
 EXTRA_INVENTORY["sketch_freq_items"] = (q_sketch_freq_items,
                                         SQL_SKETCH_FREQ_ITEMS)
+
+
+def q_sketch_hll_union(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable-sketch distinct: a DataSketches HLL per (event_type, day)
+    then a lossless sketch UNION across days — the store-sketches-at-
+    ingest, merge-on-read pattern that answers cross-partition distinct
+    questions at 100 TB without re-scanning history.  ACCURACY-GATED like
+    sketch_hll_distinct: emits (exact_distinct, n_segments, within_bound)
+    where the estimate must land within 5% of exact."""
+    from kstream_spark.operators.sketches import hll_mergeable_distinct
+    ev = StreamBuilder(spark).stream(f"{sf}/events.parquet").to_df() \
+        .withColumn("day", F.to_date("ts"))
+    est = hll_mergeable_distinct(ev, ["event_type"], "day", "user_id")
+    per = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("c"))
+    exact = per.groupBy("event_type").agg(
+        F.count("*").alias("exact_distinct"))
+    return (exact.join(est, "event_type")
+            .select("event_type", "exact_distinct", "n_segments",
+                    (F.abs(F.col("est") - F.col("exact_distinct"))
+                     <= F.greatest(F.round(F.col("exact_distinct") * 0.05),
+                                   F.lit(2))).alias("within_bound")))
+
+
+SQL_SKETCH_HLL_UNION = """
+SELECT event_type, count(DISTINCT user_id) AS exact_distinct,
+       CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_segments,
+       true AS within_bound
+FROM events GROUP BY event_type
+"""
+
+EXTRA_INVENTORY["sketch_hll_union"] = (q_sketch_hll_union,
+                                       SQL_SKETCH_HLL_UNION)

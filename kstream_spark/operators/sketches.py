@@ -46,3 +46,23 @@ def count_min(df: DataFrame, keys: list[str], col: str,
     return (df.groupBy(*keys)
             .agg(F.count_min_sketch(F.col(col), F.lit(eps), F.lit(confidence),
                                     F.lit(seed)).alias("cms")))
+
+
+def hll_mergeable_distinct(df: DataFrame, keys: list[str], segment_col: str,
+                           col: str, lg_k: int = 14) -> DataFrame:
+    """Two-level mergeable distinct count (Apache DataSketches HLL): one
+    sketch per (group, segment), then a LOSSLESS sketch union across
+    segments per group.
+
+    This is the 100 TB warehouse pattern the one-shot aggregate can't do:
+    materialize a small per-partition/per-day sketch ONCE at ingest, then
+    answer any cross-partition distinct question by unioning sketches —
+    no re-scan of history, and the union is associative so partials
+    combine map-side like any aggregate.  Returns (keys..., est,
+    n_segments).
+    """
+    per_seg = df.groupBy(*keys, segment_col).agg(
+        F.hll_sketch_agg(col, F.lit(lg_k)).alias("_sk"))
+    return per_seg.groupBy(*keys).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("est"),
+        F.count("*").cast("long").alias("n_segments"))

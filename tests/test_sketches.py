@@ -42,3 +42,17 @@ def test_count_min_sketch_binary(spark):
     assert len(out) == 5
     assert all(isinstance(r.cms, (bytes, bytearray)) and len(r.cms) > 0
                for r in out)
+
+
+def test_hll_mergeable_union_matches_exact_within_bound(spark):
+    from kstream_spark.operators.sketches import hll_mergeable_distinct
+    import pyspark.sql.functions as F
+    # 3 segments with overlapping value sets: union must count each value
+    # once across segments (a sum of per-segment distincts would say 900)
+    df = spark.range(900).select(
+        (F.col("id") % 3).alias("seg"),
+        (F.col("id") % 300).alias("v"),
+        F.lit("g").alias("grp"))
+    out = hll_mergeable_distinct(df, ["grp"], "seg", "v").collect()[0]
+    assert out["n_segments"] == 3
+    assert abs(out["est"] - 300) <= 300 * 0.05
