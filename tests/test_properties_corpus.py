@@ -185,3 +185,40 @@ def test_span_dedup_roundtrip_and_reference(docs, span):
            C.span_dedup(df, "doc_id", "text", span=span,
                         max_docs=1).collect()}
     assert got == want
+
+
+@SET
+@given(WORD_DOCS, st.integers(2, 4), st.integers(2, 5))
+def test_winnow_pairs_matches_reference(docs, k, window):
+    """winnow_pairs equals a sequential reference fold (k-gram md5s ->
+    sliding-window minima -> distinct fingerprint sets -> pair counts) on
+    hypothesis-generated corpora across k/window settings."""
+    import hashlib
+    from collections import defaultdict
+
+    from kstream_spark.operators.dedup import winnow_pairs
+
+    spark = _spark()
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b): r.n_shared
+           for r in winnow_pairs(df, "doc_id", "text",
+                                 k=k, window=window).collect()}
+
+    fps = {}
+    for did, text in docs:
+        toks = text.lower().split(" ")
+        hs = [hashlib.md5(f"winnow:{' '.join(toks[i:i + k])}".encode())
+              .hexdigest() for i in range(len(toks) - k + 1)]
+        if not hs:
+            fps[did] = set()
+            continue
+        nwin = max(len(hs) - window + 1, 1)
+        fps[did] = {min(hs[j:j + window]) for j in range(nwin)}
+    want = defaultdict(int)
+    ids = sorted(fps)
+    for i, a in enumerate(ids):
+        for b_ in ids[i + 1:]:
+            n = len(fps[a] & fps[b_])
+            if n >= 1:
+                want[(a, b_)] = n
+    assert got == dict(want)
