@@ -203,3 +203,37 @@ def test_plan_stats_unavailable_degrades_gracefully(spark):
         assert out.rdd.getNumPartitions() >= 4
     finally:
         u._plan_size_bytes = orig
+
+
+def test_winnow_single_shuffle_no_cartesian(spark):
+    """The fingerprint self-join is equi-keyed (broadcast or SMJ, never a
+    cartesian) and the whole pipeline is one reduce shuffle at this SF."""
+    from kstream_spark.operators.dedup import winnow_pairs
+    docs = StreamBuilder(spark).table(f"{SF}/documents.parquet").to_df()
+    df = winnow_pairs(docs, "doc_id", "text", k=4, window=4)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    P.assert_max_shuffles(df, 2)
+
+
+def test_semantic_dedup_single_shuffle(spark):
+    """Literal-centroid assignment is a pure projection: the only shuffle
+    is the per-cell grouping for the Arrow matmul; the anti-join side
+    broadcasts."""
+    from kstream_spark.operators import similarity as S
+    emb = StreamBuilder(spark).table(f"{SF}/embeddings.parquet").to_df()
+    cents = S.kmeans_centroids(emb, "embedding", k=4, iters=1,
+                               id_col="vec_id")
+    df = S.semantic_dedup(emb, "vec_id", "embedding", threshold=0.4,
+                          centroids=cents)
+    P.assert_max_shuffles(df, 1)
+    P.assert_no_sort_merge_join(df)
+
+
+def test_span_dedup_hot_set_broadcasts(spark):
+    """The hot-segment set is tiny by definition (it is the boilerplate)
+    and must probe as a broadcast anti-join, never a shuffled one."""
+    from kstream_spark.operators.corpus import span_dedup
+    docs = StreamBuilder(spark).table(f"{SF}/documents.parquet").to_df()
+    df = span_dedup(docs, "doc_id", "text", span=8, max_docs=1)
+    P.assert_broadcast(df, 1)
