@@ -1120,3 +1120,32 @@ GROUP BY 1, 2 HAVING count(*) >= 1
 """
 
 PIPELINE_INVENTORY["dedup_winnow"] = (q_dedup_winnow, SQL_DEDUP_WINNOW)
+
+
+def q_sim_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Hard-negative mining (contrastive-training batch construction):
+    top-10 most-similar DIFFERENT-label vectors per query — the negatives
+    nearest the decision boundary, where random negatives are too easy."""
+    return S.hard_negatives(_embs(StreamBuilder(spark), sf),
+                            "vec_id", "embedding", "label",
+                            query_ids=list(range(5)), k=10)
+
+
+SQL_SIM_HARD_NEGATIVES = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS qlab
+           FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
+c AS (SELECT vec_id AS neg_id, embedding::DOUBLE[] AS nv, label AS nlab
+      FROM embeddings),
+s AS (SELECT query_id, neg_id,
+        round(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i] * nv[i]))
+              / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+                 * sqrt(list_sum(list_transform(nv, x -> x * x)))), 6) AS cos
+      FROM q, c WHERE query_id <> neg_id AND qlab <> nlab)
+SELECT query_id, neg_id, cos,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neg_id) AS BIGINT) AS rank
+FROM s QUALIFY rank <= 10
+"""
+
+PIPELINE_INVENTORY["sim_hard_negatives"] = (q_sim_hard_negatives,
+                                            SQL_SIM_HARD_NEGATIVES)

@@ -76,6 +76,44 @@ def cosine_pairs(emb: DataFrame, id_col: str, vec_col: str,
     )
 
 
+def hard_negatives(emb: DataFrame, id_col: str, vec_col: str,
+                   label_col: str, query_ids: list, k: int = 10) -> DataFrame:
+    """Hard-negative mining for contrastive/retrieval training: for each
+    query vector, the top-k most SIMILAR vectors carrying a DIFFERENT
+    label — the negatives closest to the decision boundary, which is what
+    contrastive losses want in the batch (random negatives are too easy).
+
+    Same scale shape as cosine_topk: the query side broadcasts, the corpus
+    streams through one scan with no shuffle, and the label exclusion is a
+    join predicate so Catalyst folds it into the broadcast probe.  Returns
+    (query_id, neg_id, cos, rank).  At corpus scale swap the scoring join
+    for the IVF/LSH candidate generators (same composition as the dedup
+    family) — this exact ranker is then the per-candidate verify.
+    """
+    from kstream_spark.functions.vectors import dot, norm
+    from kstream_spark.util import ensure_parallelism
+    emb = ensure_parallelism(emb)
+    q = F.broadcast(
+        emb.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("query_id"),
+                as_double(F.col(vec_col)).alias("qv"),
+                F.col(label_col).alias("_qlab"))
+        .withColumn("qn", norm(F.col("qv"))))
+    c = emb.select(F.col(id_col).alias("neg_id"),
+                   as_double(F.col(vec_col)).alias("nv"),
+                   F.col(label_col).alias("_nlab")) \
+        .withColumn("nn", norm(F.col("nv")))
+    scored = (
+        q.join(c, (F.col("query_id") != F.col("neg_id"))
+               & (F.col("_qlab") != F.col("_nlab")))
+        .select("query_id", "neg_id",
+                F.round(dot(F.col("qv"), F.col("nv"))
+                        / (F.col("qn") * F.col("nn")), 6).alias("cos")))
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neg_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k))
+
+
 def md5_plane_matrix(dim: int, nbits: int, seed: int = 42):
     """Engine-portable pseudo-random hyperplanes: component (d, j) is
     md5("seed:d:j") first-8-hex-chars scaled to [-0.5, 0.5).  Every value

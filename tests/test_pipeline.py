@@ -472,3 +472,18 @@ def test_winnow_short_docs(spark):
              for r in winnow_pairs(df, "doc_id", "text",
                                    k=4, window=4).collect()}
     assert pairs == {(3, 4)}
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    rows = [
+        (0, [1.0, 0.0], 1),   # query, label 1
+        (1, [0.99, 0.1], 1),  # MOST similar but same label -> excluded
+        (2, [0.9, 0.2], 2),   # different label -> hardest negative
+        (3, [0.0, 1.0], 2),   # different label, far -> ranked after 2
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    out = S.hard_negatives(emb, "vec_id", "embedding", "label",
+                           query_ids=[0], k=5).collect()
+    ids = [r["neg_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ids == [2, 3]
