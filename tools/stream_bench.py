@@ -2,12 +2,15 @@
 reference's headline claim (50,000 msg/s at 2-5 ms latency with
 micro-batching, /root/reference/README.md:13-15).
 
-Drives THREE full streaming pipeline shapes end-to-end and reports
+Drives FOUR full streaming pipeline shapes end-to-end and reports
 records/second for each:
 
   materialize — file-stream source -> filter/transform -> version-gated
       store materialization (foreachBatch merge); the reference's
       hot path (consume -> process -> materialized view).
+  windowed_agg — watermarked tumbling-window aggregation (count/sum/
+      approx-distinct per key-group), the built-in stateful shape with
+      no Python in the loop.
   stream_join — unbounded-buffer stateful stream-stream join
       (applyInPandasWithState; reference side_joiner.go semantics),
       the heaviest per-key state shape.
@@ -90,6 +93,32 @@ def bench_stream_join(spark, tmp: str, n: int) -> dict:
             "seconds": round(dt, 2)}
 
 
+def bench_windowed_agg(spark, tmp: str, n: int) -> dict:
+    """Watermarked tumbling-window aggregation — the built-in stateful
+    shape (native state store, no Python in the loop): events bucketed
+    into 10-minute windows per key-group with late data bounded by a
+    1-hour watermark."""
+    import pyspark.sql.functions as F
+    from kstream_spark.streaming.core import read_stream_parquet
+    src = f"{tmp}/win"
+    _seed(spark, src, n)
+    ev = (read_stream_parquet(spark, src)
+          .withColumn("g", F.col("k") % 100)
+          .withWatermark("ts", "1 hour"))
+    agg = (ev.groupBy("g", F.window("ts", "10 minutes"))
+           .agg(F.count("*").alias("n"), F.sum("v").alias("sv"),
+                F.approx_count_distinct("uuid").alias("du")))
+    t0 = time.time()
+    q = (agg.writeStream.format("noop").outputMode("append")
+         .option("checkpointLocation", f"{tmp}/wck").start())
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    dt = time.time() - t0
+    return {"records_per_sec": round(n / dt), "records": n,
+            "seconds": round(dt, 2)}
+
+
 def bench_sessionize(spark, tmp: str, n: int) -> dict:
     import pyspark.sql.functions as F
     from kstream_spark.streaming.core import read_stream_parquet
@@ -121,6 +150,7 @@ def main():
     shapes = {}
     with tempfile.TemporaryDirectory() as tmp:
         shapes["materialize"] = bench_materialize(spark, b, tmp, n)
+        shapes["windowed_agg"] = bench_windowed_agg(spark, tmp, n)
         shapes["stream_join"] = bench_stream_join(spark, tmp, n)
         shapes["sessionize"] = bench_sessionize(spark, tmp, n)
 
