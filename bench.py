@@ -60,6 +60,9 @@ HEADLINE = [
     "text_unigram_lm",
     "dedup_semantic",
     "dedup_winnow",
+    "text_html_extract",
+    "sim_hard_negatives",
+    "sketch_hll_union",
 ]
 
 
