@@ -46,7 +46,13 @@ def main():
     spark = get_spark()
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver fixtures are single parquet FILES; Spark-written fixtures
+        # (tools/gen_sf.py output) are DIRECTORIES of part files
+        import os
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     queries = entry.queries()
     oracles = entry.oracle_sql()
