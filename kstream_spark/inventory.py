@@ -517,6 +517,9 @@ _TOUCHED_THIS_ROUND = [
     "sim_ivf_kmeans_topk",
     # r4: LSH verify rewritten as per-bucket Arrow matmuls
     "dedup_embedding_lsh",
+    # r4: norm/scale materialized before the per-component lambdas
+    # (values identical, evaluation path changed)
+    "vec_normalize", "vec_quantize_int8",
 ]
 
 
