@@ -1149,3 +1149,37 @@ FROM s QUALIFY rank <= 10
 
 PIPELINE_INVENTORY["sim_hard_negatives"] = (q_sim_hard_negatives,
                                             SQL_SIM_HARD_NEGATIVES)
+
+
+def q_corpus_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus snapshot diff (versioning audit): v1 drops every 7th doc,
+    v2 drops every 10th and rewrites every 5th — the diff must classify
+    each doc added/removed/changed/unchanged by normalized content hash."""
+    from kstream_spark.operators.corpus import corpus_diff
+    docs = _docs(StreamBuilder(spark), sf)
+    v1 = docs.filter(F.col("doc_id") % 7 != 0)
+    v2 = docs.filter(F.col("doc_id") % 10 != 0) \
+        .withColumn("text", F.when(F.col("doc_id") % 5 == 0,
+                                   F.concat(F.col("text"), F.lit(" rev2")))
+                    .otherwise(F.col("text")))
+    return corpus_diff(v1, v2, "doc_id", "text")
+
+
+SQL_CORPUS_DIFF = f"""
+WITH v1 AS (SELECT doc_id, {_NORM} AS old_hash FROM documents
+            WHERE doc_id % 7 <> 0),
+v2 AS (SELECT doc_id,
+         md5(regexp_replace(lower(CASE WHEN doc_id % 5 = 0
+                                       THEN text || ' rev2' ELSE text END),
+                            '\\s+', ' ', 'g')) AS new_hash
+       FROM documents WHERE doc_id % 10 <> 0)
+SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+       CASE WHEN v1.doc_id IS NULL THEN 'added'
+            WHEN v2.doc_id IS NULL THEN 'removed'
+            WHEN old_hash <> new_hash THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       old_hash, new_hash
+FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+"""
+
+PIPELINE_INVENTORY["corpus_diff"] = (q_corpus_diff, SQL_CORPUS_DIFF)

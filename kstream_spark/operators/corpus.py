@@ -28,7 +28,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from kstream_spark.functions.text import hash_str, word_shingles, words
+from kstream_spark.functions.text import (content_hash, hash_str,
+                                          word_shingles, words)
 
 
 def _clean_words(text: Column) -> Column:
@@ -242,6 +243,32 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str,
             .groupBy(id_col)
             .agg(F.count("*").cast("long").alias("n_tokens"),
                  (F.sum("_i") / F.lit(1e6)).alias("sum_logp")))
+
+
+def corpus_diff(old: DataFrame, new: DataFrame, id_col: str,
+                text_col: str) -> DataFrame:
+    """Content-level diff between two corpus snapshots: per-document
+    status in {added, removed, changed, unchanged} by normalized content
+    hash — the audit primitive for corpus VERSIONING (what actually moved
+    between v1 and v2 of a training set, independent of file layout).
+
+    Scale shape: each side reduces to (id, content_hash) — a projection,
+    no shuffle — then one full-outer equi-join on id.  Status is a case
+    expression over null-ness and hash equality, so the whole diff is a
+    single co-partitioned join at any corpus size.  Returns
+    (id, status, old_hash, new_hash).
+    """
+    o = old.select(F.col(id_col),
+                   content_hash(F.col(text_col)).alias("old_hash"))
+    n = new.select(F.col(id_col),
+                   content_hash(F.col(text_col)).alias("new_hash"))
+    return (o.join(n, id_col, "full_outer")
+            .select(F.col(id_col),
+                    F.when(F.col("old_hash").isNull(), "added")
+                    .when(F.col("new_hash").isNull(), "removed")
+                    .when(F.col("old_hash") != F.col("new_hash"), "changed")
+                    .otherwise("unchanged").alias("status"),
+                    "old_hash", "new_hash"))
 
 
 def shuffle_shards(df: DataFrame, id_col: str, n_shards: int = 8,

@@ -174,3 +174,11 @@ def test_html_to_text_extraction(spark):
     assert out[2] == "plain text, no markup"
     assert out[3] == "a <tag> literal & an &lt; stays encoded-once"
     assert out[4] == "visible text"
+
+
+def test_corpus_diff_classifies_all_states(spark):
+    old = _docs(spark, [(1, "a"), (2, "b"), (3, "c")])
+    new = _docs(spark, [(2, "b"), (3, "c changed"), (4, "d")])
+    out = {r["doc_id"]: r["status"] for r in
+           C.corpus_diff(old, new, "doc_id", "text").collect()}
+    assert out == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
