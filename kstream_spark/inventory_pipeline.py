@@ -1183,3 +1183,37 @@ FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
 """
 
 PIPELINE_INVENTORY["corpus_diff"] = (q_corpus_diff, SQL_CORPUS_DIFF)
+
+
+def q_corpus_manifest(spark: SparkSession, sf: str) -> DataFrame:
+    """Shard manifests over the deterministic shard layout: doc counts,
+    token totals, id ranges, and an order-insensitive XOR content
+    checksum per shard — the reproducibility audit for shipped shards."""
+    from kstream_spark.operators.corpus import shard_manifest, shuffle_shards
+    docs = _docs(StreamBuilder(spark), sf)
+    sharded = shuffle_shards(docs, "doc_id", n_shards=8, seed="42")
+    return shard_manifest(sharded, "doc_id", "text")
+
+
+SQL_CORPUS_MANIFEST = r"""
+WITH sh AS (SELECT doc_id, text,
+              CAST(CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)),
+                                        1, 8)) AS UBIGINT) AS BIGINT) % 8
+                AS shard
+            FROM documents),
+h AS (SELECT shard, doc_id,
+        CAST(CAST(('0x' || substr(md5(regexp_replace(lower(text), '\s+', ' ',
+                                                     'g')), 1, 15))
+                  AS UBIGINT) AS BIGINT) AS doc_h,
+        len(list_filter(string_split_regex(lower(text), '\s+'),
+                        w -> w <> '')) AS toks
+      FROM sh)
+SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(toks) AS BIGINT) AS total_tokens,
+       min(doc_id) AS min_id, max(doc_id) AS max_id,
+       bit_xor(doc_h) AS content_checksum
+FROM h GROUP BY shard
+"""
+
+PIPELINE_INVENTORY["corpus_manifest"] = (q_corpus_manifest,
+                                         SQL_CORPUS_MANIFEST)

@@ -245,6 +245,32 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str,
                  (F.sum("_i") / F.lit(1e6)).alias("sum_logp")))
 
 
+def shard_manifest(df: DataFrame, id_col: str, text_col: str,
+                   shard_col: str = "shard") -> DataFrame:
+    """Per-shard manifest for shipped training shards: document count,
+    token total, id range, and an ORDER-INSENSITIVE content checksum
+    (bit-XOR of per-doc content-hash prefixes) — the reproducibility
+    audit that catches a corrupted, dropped, or silently-reordered shard
+    without re-reading any other shard.
+
+    Scale shape: one map-side-combinable aggregation keyed on the shard
+    id (XOR and sum are associative+commutative, so partials combine);
+    checksum equality across two pipeline runs certifies byte-equivalent
+    shard CONTENT even if file layout differs.  Returns
+    (shard, n_docs, total_tokens, min_id, max_id, content_checksum).
+    """
+    doc_h = F.conv(F.substring(content_hash(F.col(text_col)), 1, 15), 16, 10) \
+        .cast("long")
+    return (df.withColumn("_doc_h", doc_h)
+            .groupBy(shard_col)
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum(F.size(_clean_words(F.col(text_col)))).cast("long")
+                 .alias("total_tokens"),
+                 F.min(id_col).alias("min_id"),
+                 F.max(id_col).alias("max_id"),
+                 F.expr("bit_xor(_doc_h)").alias("content_checksum")))
+
+
 def corpus_diff(old: DataFrame, new: DataFrame, id_col: str,
                 text_col: str) -> DataFrame:
     """Content-level diff between two corpus snapshots: per-document

@@ -182,3 +182,25 @@ def test_corpus_diff_classifies_all_states(spark):
     out = {r["doc_id"]: r["status"] for r in
            C.corpus_diff(old, new, "doc_id", "text").collect()}
     assert out == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_shard_manifest_checksum_is_order_insensitive_and_sensitive(spark):
+    base = [(1, "a b", 0), (2, "c d e", 0), (3, "f", 1)]
+    df = spark.createDataFrame(base, "doc_id long, text string, shard int")
+    m1 = {r["shard"]: r for r in
+          C.shard_manifest(df, "doc_id", "text").collect()}
+    assert m1[0]["n_docs"] == 2 and m1[0]["total_tokens"] == 5
+    assert m1[1]["min_id"] == 3 and m1[1]["max_id"] == 3
+    # reordering rows leaves the checksum fixed
+    df2 = spark.createDataFrame(list(reversed(base)),
+                                "doc_id long, text string, shard int")
+    m2 = {r["shard"]: r for r in
+          C.shard_manifest(df2, "doc_id", "text").collect()}
+    assert m2[0]["content_checksum"] == m1[0]["content_checksum"]
+    # changing one doc's content changes its shard's checksum only
+    df3 = spark.createDataFrame([(1, "a b CHANGED", 0)] + base[1:],
+                                "doc_id long, text string, shard int")
+    m3 = {r["shard"]: r for r in
+          C.shard_manifest(df3, "doc_id", "text").collect()}
+    assert m3[0]["content_checksum"] != m1[0]["content_checksum"]
+    assert m3[1]["content_checksum"] == m1[1]["content_checksum"]
