@@ -63,6 +63,8 @@ HEADLINE = [
     "text_html_extract",
     "sim_hard_negatives",
     "sketch_hll_union",
+    "corpus_diff",
+    "corpus_manifest",
 ]
 
 
