@@ -1217,3 +1217,43 @@ FROM h GROUP BY shard
 
 PIPELINE_INVENTORY["corpus_manifest"] = (q_corpus_manifest,
                                          SQL_CORPUS_MANIFEST)
+
+
+def q_sim_ivf_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN quality as a DRIVER-PROVABLE fact: recall@10 of the learned-
+    centroid IVF (3 of 8 cells probed) against brute-force cosine, per
+    query.  Both sides are fully deterministic (round-6 + id tie-breaks),
+    so the hit count is exact — the oracle replays both pipelines and
+    derives the identical intersection, turning 'the index is good' from
+    a unit-test claim into a hash-matched driver row."""
+    emb = _embs(StreamBuilder(spark), sf)
+    cents = S.kmeans_centroids(emb, "embedding", k=8, iters=3,
+                               id_col="vec_id")
+    approx = S.ivf_topk(emb, "vec_id", "embedding",
+                        query_ids=list(range(5)), k=10, n_probe=3,
+                        centroids=cents).select("query_id", "neighbor_id")
+    exact = S.cosine_topk(emb, "vec_id", "embedding",
+                          query_ids=list(range(5)), k=10) \
+        .select("query_id", "neighbor_id")
+    ind = approx.withColumn("_hit", F.lit(1))
+    return (exact.join(ind, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(F.count("_hit").cast("long").alias("n_hits"))
+            .select("query_id", "n_hits",
+                    (F.col("n_hits") >= 5).alias("recall_ok")))
+
+
+def _ivf_recall_sql() -> str:
+    return f"""
+WITH ivf AS (SELECT query_id, neighbor_id FROM ({_kmeans_ivf_sql()}) t),
+brute AS (SELECT query_id, neighbor_id FROM ({SQL_SIM_COSINE_TOPK}) t),
+hits AS (SELECT b.query_id, i.neighbor_id AS hit
+         FROM brute b LEFT JOIN ivf i
+           ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id)
+SELECT query_id, CAST(count(hit) AS BIGINT) AS n_hits,
+       count(hit) >= 5 AS recall_ok
+FROM hits GROUP BY query_id
+"""
+
+
+PIPELINE_INVENTORY["sim_ivf_recall"] = (q_sim_ivf_recall, _ivf_recall_sql())
