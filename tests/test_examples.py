@@ -104,3 +104,11 @@ def test_example_4_corpus_admission(capsys):
     assert admitted == [1, 2, 5]
     out = capsys.readouterr().out
     assert "admitted: [1, 2, 5]" in out
+
+
+def test_example_5_vector_search(capsys):
+    import examples.vector_search as ex5
+    recall = ex5.main()
+    out = capsys.readouterr().out
+    assert "recall@5 vs brute force" in out
+    assert recall >= 0.4  # 3 of 8 cells probed on near-random vectors
