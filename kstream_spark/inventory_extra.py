@@ -386,3 +386,70 @@ GROUP BY ROLLUP (r_name, n_name)
 """
 
 EXTRA_INVENTORY["agg_rollup"] = (q_agg_rollup, SQL_AGG_ROLLUP)
+
+
+def q_fn_array_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """Array-function surface: set algebra over token arrays entirely in
+    codegen (distinct/intersect/except/sort/contains)."""
+    docs = StreamBuilder(spark).table(f"{sf}/documents.parquet").to_df()
+    stop = F.array(*[F.lit(s) for s in
+                     ("the", "a", "and", "of", "value", "table")])
+    toks = F.array_sort(F.array_distinct(
+        F.split(F.lower(F.col("text")), r"\s+")))
+    d = docs.select("doc_id", toks.alias("_t"))
+    return d.select(
+        "doc_id",
+        F.size("_t").cast("long").alias("n_distinct"),
+        F.size(F.array_intersect(F.col("_t"), stop)).cast("long")
+        .alias("n_stop"),
+        F.size(F.array_except(F.col("_t"), stop)).cast("long")
+        .alias("n_content"),
+        F.array_contains(F.col("_t"), "spark").alias("mentions_spark"),
+        F.element_at(F.col("_t"), 1).alias("first_token"))
+
+
+SQL_FN_ARRAY_OPS = r"""
+WITH d AS (SELECT doc_id,
+             list_sort(list_distinct(string_split_regex(lower(text),
+                                                        '\s+'))) AS t
+           FROM documents),
+s AS (SELECT ['the', 'a', 'and', 'of', 'value', 'table'] AS stop)
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_distinct,
+       CAST(len(list_filter(t, x -> list_contains(stop, x))) AS BIGINT)
+         AS n_stop,
+       CAST(len(list_filter(t, x -> NOT list_contains(stop, x))) AS BIGINT)
+         AS n_content,
+       list_contains(t, 'spark') AS mentions_spark,
+       t[1] AS first_token
+FROM d, s
+"""
+
+EXTRA_INVENTORY["fn_array_ops"] = (q_fn_array_ops, SQL_FN_ARRAY_OPS)
+
+
+def q_wf_ntile(spark: SparkSession, sf: str) -> DataFrame:
+    """Quartile bucketing + percent_rank over per-customer order totals —
+    the ranking-window surface beyond row_number/lag (wf_lag_lead)."""
+    from pyspark.sql import Window as W
+    orders = StreamBuilder(spark).table(f"{sf}/orders.parquet").to_df()
+    per = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total"))
+    w = W.orderBy(F.desc("total"), F.asc("o_custkey"))
+    return per.select(
+        "o_custkey", "total",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"))
+
+
+SQL_WF_NTILE = """
+WITH per AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS total
+             FROM orders GROUP BY o_custkey)
+SELECT o_custkey, total,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank
+FROM per
+WINDOW w AS (ORDER BY total DESC, o_custkey ASC)
+"""
+
+EXTRA_INVENTORY["wf_ntile"] = (q_wf_ntile, SQL_WF_NTILE)
