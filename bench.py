@@ -65,6 +65,10 @@ HEADLINE = [
     "sketch_hll_union",
     "corpus_diff",
     "corpus_manifest",
+    "sim_ivf_recall",
+    "agg_rollup",
+    "fn_array_ops",
+    "wf_ntile",
 ]
 
 
