@@ -360,34 +360,6 @@ EXTRA_INVENTORY["sketch_hll_union"] = (q_sketch_hll_union,
                                        SQL_SKETCH_HLL_UNION)
 
 
-def q_agg_rollup(spark: SparkSession, sf: str) -> DataFrame:
-    """Hierarchical ROLLUP (region -> nation -> total): the drill-down
-    companion to agg_cube — subtotals along the hierarchy only, not the
-    full grouping-set lattice."""
-    b = StreamBuilder(spark)
-    cust = b.table(f"{sf}/customer.parquet").to_df()
-    nat = b.table(f"{sf}/nation.parquet").to_df()
-    reg = b.table(f"{sf}/region.parquet").to_df()
-    j = (cust.join(F.broadcast(nat),
-                   cust["c_nationkey"] == nat["n_nationkey"])
-         .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"]))
-    return (j.rollup("r_name", "n_name")
-            .agg(F.count("*").alias("n_customers"),
-                 F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal")))
-
-
-SQL_AGG_ROLLUP = """
-SELECT r_name, n_name, count(*) AS n_customers,
-       round(sum(c_acctbal), 2) AS sum_acctbal
-FROM customer
-JOIN nation ON c_nationkey = n_nationkey
-JOIN region ON n_regionkey = r_regionkey
-GROUP BY ROLLUP (r_name, n_name)
-"""
-
-EXTRA_INVENTORY["agg_rollup"] = (q_agg_rollup, SQL_AGG_ROLLUP)
-
-
 def q_fn_array_ops(spark: SparkSession, sf: str) -> DataFrame:
     """Array-function surface: set algebra over token arrays entirely in
     codegen (distinct/intersect/except/sort/contains)."""

@@ -49,3 +49,30 @@ def test_backfill_is_stalest_first():
     tail = [strong[n] for n in names
             if n in strong and n not in _TOUCHED_THIS_ROUND]
     assert tail == sorted(tail)
+
+
+def test_no_duplicate_keys_across_inventory_files():
+    """A name registered in two inventory files silently shadows one
+    implementation (dict.update order decides which) — keys must be
+    globally unique so every registered query is the one that runs."""
+    from kstream_spark.inventory_behavior import BEHAVIOR_INVENTORY
+    from kstream_spark.inventory_corpus import CORPUS_INVENTORY
+    from kstream_spark.inventory_extra import EXTRA_INVENTORY
+    from kstream_spark.inventory_olap import OLAP_INVENTORY
+    from kstream_spark.inventory_pipeline import PIPELINE_INVENTORY
+    from kstream_spark.inventory_quality import QUALITY_INVENTORY
+    from kstream_spark.inventory_sql import SQL_INVENTORY
+    from kstream_spark.inventory_tpch import TPCH_INVENTORY
+    from kstream_spark.inventory_tpch_full import TPCH_FULL_INVENTORY
+    invs = dict(pipeline=PIPELINE_INVENTORY, extra=EXTRA_INVENTORY,
+                olap=OLAP_INVENTORY, sql=SQL_INVENTORY, tpch=TPCH_INVENTORY,
+                tpch_full=TPCH_FULL_INVENTORY, corpus=CORPUS_INVENTORY,
+                behavior=BEHAVIOR_INVENTORY, quality=QUALITY_INVENTORY)
+    seen = {}
+    dupes = []
+    for src, inv in invs.items():
+        for k in inv:
+            if k in seen:
+                dupes.append((k, seen[k], src))
+            seen[k] = src
+    assert not dupes, f"duplicate inventory keys: {dupes}"
