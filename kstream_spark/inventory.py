@@ -503,23 +503,12 @@ INVENTORY.update(QUALITY_INVENTORY)
 # queries appear in no CORRECTNESS file and land in group 2 automatically.
 
 _TOUCHED_THIS_ROUND = [
-    # r4: freq-items gate moved to the strict > bound on both sides
-    "sketch_freq_items",
-    # r4: persist-handle plumbing in incremental_dedup
-    "dedup_incremental",
-    # r4: connected-components persist/unpersist rework (CC-derived queries)
-    "dedup_survivors", "dedup_clusters", "dedup_best_of_cluster",
-    # r3 similarity refactor (cosine->dot/norm) that never got a post-change
-    # driver row — flagged in ADVICE r3
-    "sim_cosine_topk", "sim_cosine_pairs", "sim_lsh_pairs", "dedup_embedding",
-    # r4: Lloyd's oracle CTE factored into _lloyd_cells_cte (shared with the
-    # new SemDeDup oracle) — same output, but the SQL text changed
-    "sim_ivf_kmeans_topk",
-    # r4: LSH verify rewritten as per-bucket Arrow matmuls
-    "dedup_embedding_lsh",
-    # r4: norm/scale materialized before the per-component lambdas
-    # (values identical, evaluation path changed)
-    "vec_normalize", "vec_quantize_int8",
+    # r5: LSH/SemDeDup verify matmuls switched np.round -> HALF_UP and the
+    # applyInPandas pair/drop schemas now derive the id type from the input
+    "sim_lsh_pairs", "dedup_embedding_lsh", "dedup_semantic",
+    # r5: shard checksum switched bit_xor -> additive sum mod 2^63 (both
+    # the operator and the oracle changed)
+    "corpus_manifest",
 ]
 
 

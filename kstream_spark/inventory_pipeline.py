@@ -1187,8 +1187,10 @@ PIPELINE_INVENTORY["corpus_diff"] = (q_corpus_diff, SQL_CORPUS_DIFF)
 
 def q_corpus_manifest(spark: SparkSession, sf: str) -> DataFrame:
     """Shard manifests over the deterministic shard layout: doc counts,
-    token totals, id ranges, and an order-insensitive XOR content
-    checksum per shard — the reproducibility audit for shipped shards."""
+    token totals, id ranges, and an order-insensitive ADDITIVE content
+    checksum per shard (sum of doc-hash prefixes mod 2^63 — multiset-
+    sensitive, unlike XOR) — the reproducibility audit for shipped
+    shards."""
     from kstream_spark.operators.corpus import shard_manifest, shuffle_shards
     docs = _docs(StreamBuilder(spark), sf)
     sharded = shuffle_shards(docs, "doc_id", n_shards=8, seed="42")
@@ -1211,7 +1213,9 @@ h AS (SELECT shard, doc_id,
 SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(toks) AS BIGINT) AS total_tokens,
        min(doc_id) AS min_id, max(doc_id) AS max_id,
-       bit_xor(doc_h) AS content_checksum
+       CAST(sum(CAST(doc_h AS HUGEINT))
+            % CAST('9223372036854775808' AS HUGEINT) AS BIGINT)
+         AS content_checksum
 FROM h GROUP BY shard
 """
 

@@ -249,18 +249,28 @@ def shard_manifest(df: DataFrame, id_col: str, text_col: str,
                    shard_col: str = "shard") -> DataFrame:
     """Per-shard manifest for shipped training shards: document count,
     token total, id range, and an ORDER-INSENSITIVE content checksum
-    (bit-XOR of per-doc content-hash prefixes) — the reproducibility
+    (SUM of per-doc content-hash prefixes mod 2^63) — the reproducibility
     audit that catches a corrupted, dropped, or silently-reordered shard
     without re-reading any other shard.
 
+    The checksum is additive, not XOR: XOR is blind to even multiplicity
+    (two copies of doc A replacing two copies of doc B passes an XOR
+    check), while a sum moves whenever the MULTISET of per-doc hashes
+    changes.  Equality across two runs therefore certifies equal content
+    multisets up to 60-bit hash collisions — not literal byte equality of
+    files (layout/ordering is free to differ; that is the point).
+
     Scale shape: one map-side-combinable aggregation keyed on the shard
-    id (XOR and sum are associative+commutative, so partials combine);
-    checksum equality across two pipeline runs certifies byte-equivalent
-    shard CONTENT even if file layout differs.  Returns
+    id (sum is associative+commutative, so partials combine; the sum runs
+    in decimal(38,0) so it cannot overflow below ~1e20 docs/shard, then
+    reduces mod 2^63 into a long).  Returns
     (shard, n_docs, total_tokens, min_id, max_id, content_checksum).
     """
     doc_h = F.conv(F.substring(content_hash(F.col(text_col)), 1, 15), 16, 10) \
         .cast("long")
+    checksum = F.expr(
+        "CAST(sum(CAST(_doc_h AS DECIMAL(38,0))) "
+        "% CAST('9223372036854775808' AS DECIMAL(20,0)) AS BIGINT)")
     return (df.withColumn("_doc_h", doc_h)
             .groupBy(shard_col)
             .agg(F.count("*").cast("long").alias("n_docs"),
@@ -268,7 +278,7 @@ def shard_manifest(df: DataFrame, id_col: str, text_col: str,
                  .alias("total_tokens"),
                  F.min(id_col).alias("min_id"),
                  F.max(id_col).alias("max_id"),
-                 F.expr("bit_xor(_doc_h)").alias("content_checksum")))
+                 checksum.alias("content_checksum")))
 
 
 def corpus_diff(old: DataFrame, new: DataFrame, id_col: str,

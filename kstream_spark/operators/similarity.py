@@ -114,6 +114,20 @@ def hard_negatives(emb: DataFrame, id_col: str, vec_col: str,
             .filter(F.col("rank") <= k))
 
 
+def np_round6_half_up(a):
+    """Round to 6 dp HALF_UP (half away from zero) — the convention of
+    Spark's ``F.round`` and DuckDB's ``round()``.  numpy's ``np.round`` is
+    half-to-EVEN, so a cosine landing on a representable .5e-6 boundary
+    inside a numpy verify pass could flip a ``>= threshold`` gate relative
+    to the SQL oracle; routing every numpy-side round through this helper
+    keeps ONE rounding discipline across the Spark, numpy, and oracle
+    paths.  (float summation order can still differ in the last ulp
+    between engines — rounding to 6 dp is what absorbs that, and it only
+    absorbs it if all engines round the same way.)"""
+    import numpy as np
+    return np.copysign(np.floor(np.abs(a) * 1e6 + 0.5) / 1e6, a)
+
+
 def md5_plane_matrix(dim: int, nbits: int, seed: int = 42):
     """Engine-portable pseudo-random hyperplanes: component (d, j) is
     md5("seed:d:j") first-8-hex-chars scaled to [-0.5, 0.5).  Every value
@@ -206,26 +220,33 @@ def lsh_cosine_pairs(emb: DataFrame, id_col: str, vec_col: str,
     member = buckets.join(vecs, F.col(id_col) == F.col("_bid")) \
         .select("t", "s", F.col(id_col).alias("_id"), "_v", "_n")
     thr = float(threshold)
+    # the pair schema inherits the corpus id type (long/string/... alike);
+    # ids stay object arrays in pandas so Arrow casts, never truncates
+    id_dt = emb.schema[id_col].dataType.simpleString()
 
     def bucket_pairs(pdf):
         import numpy as np
-        empty = dict(id_a=np.empty(0, dtype=np.int64),
-                     id_b=np.empty(0, dtype=np.int64),
+        empty = dict(id_a=np.empty(0, dtype=object),
+                     id_b=np.empty(0, dtype=object),
                      cos=np.empty(0, dtype=np.float64))
         if len(pdf) < 2:
             return pd.DataFrame(empty)
         order = np.argsort(pdf["_id"].to_numpy())
-        ids = pdf["_id"].to_numpy()[order]
+        ids = pdf["_id"].to_numpy(dtype=object)[order]
         mat = np.vstack(pdf["_v"].to_numpy()[order]).astype(np.float64)
         nr = pdf["_n"].to_numpy()[order]
-        sims = np.round((mat @ mat.T) / np.outer(nr, nr), 6)
+        raw = (mat @ mat.T) / np.outer(nr, nr)
+        # HALF_UP to 6 dp, inlined (see np_round6_half_up — kept
+        # closure-local so the pickled function has no module deps)
+        sims = np.copysign(np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6, raw)
         iu, ju = np.triu_indices(len(ids), k=1)
         m = sims[iu, ju] >= thr
         return pd.DataFrame({"id_a": ids[iu[m]], "id_b": ids[ju[m]],
                              "cos": sims[iu[m], ju[m]]})
 
     return (member.groupBy("t", "s")
-            .applyInPandas(bucket_pairs, "id_a long, id_b long, cos double")
+            .applyInPandas(bucket_pairs, f"id_a {id_dt}, id_b {id_dt}, "
+                                         "cos double")
             .distinct())
 
 
@@ -486,23 +507,27 @@ def semantic_dedup(emb: DataFrame, id_col: str, vec_col: str,
     # O(|cell|^2) doubles: size k so cells fit (the SemDeDup contract —
     # a hot cell means the quantizer is too coarse).
     thr = float(threshold)
+    # drop-list schema inherits the corpus id type (string ids work too)
+    id_dt = emb.schema[id_col].dataType.simpleString()
 
     def cell_pairs(pdf):
         import numpy as np
         order = np.argsort(pdf["_id"].to_numpy())
-        ids = pdf["_id"].to_numpy()[order]
+        ids = pdf["_id"].to_numpy(dtype=object)[order]
         if len(ids) < 2:
-            return pd.DataFrame({"_drop": np.empty(0, dtype=np.int64)})
+            return pd.DataFrame({"_drop": np.empty(0, dtype=object)})
         mat = np.vstack(pdf["v"].to_numpy()[order]).astype(np.float64)
         norms = pdf["n"].to_numpy()[order]
-        sims = np.round((mat @ mat.T) / np.outer(norms, norms), 6)
+        raw = (mat @ mat.T) / np.outer(norms, norms)
+        # HALF_UP to 6 dp, inlined (see np_round6_half_up)
+        sims = np.copysign(np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6, raw)
         iu, ju = np.triu_indices(len(ids), k=1)
         # id_b of every above-threshold (lower-id, higher-id) pair is dropped
         return pd.DataFrame(
             {"_drop": np.unique(ids[ju[sims[iu, ju] >= thr]])})
 
     dropped = (assigned.groupBy("cell_id")
-               .applyInPandas(cell_pairs, "`_drop` long"))
+               .applyInPandas(cell_pairs, f"`_drop` {id_dt}"))
     return (assigned.join(dropped, assigned["_id"] == dropped["_drop"],
                           "left_anti")
             .select(F.col("_id").alias(id_col), "cell_id"))

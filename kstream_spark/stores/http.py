@@ -17,7 +17,13 @@ from __future__ import annotations
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from urllib.parse import unquote
+from urllib.parse import parse_qs, unquote, urlparse
+
+# full-scan page cap: the reference pages its scan through an iterator
+# (store/http.go:149-192) instead of buffering the store; collect() has no
+# such backpressure, so an explicit row cap (?limit= overridable) keeps a
+# big store from materializing on the HTTP thread
+DEFAULT_SCAN_LIMIT = 10_000
 
 
 class StoreHttpServer:
@@ -38,14 +44,18 @@ class StoreHttpServer:
                 self.wfile.write(body)
 
             def do_GET(self):  # noqa: N802
-                parts = [unquote(p) for p in self.path.strip("/").split("/") if p]
+                url = urlparse(self.path)
+                parts = [unquote(p) for p in url.path.strip("/").split("/") if p]
                 try:
                     if parts == ["stores"]:
                         return self._json(200, reg.stores())
                     if len(parts) >= 2 and parts[0] == "stores":
                         store = reg.store(parts[1])
-                        if len(parts) == 2:          # full scan
-                            rows = [r.asDict() for r in store.get_all().collect()]
+                        if len(parts) == 2:          # full scan (capped)
+                            q = parse_qs(url.query)
+                            limit = int(q.get("limit", [DEFAULT_SCAN_LIMIT])[0])
+                            rows = [r.asDict() for r in
+                                    store.get_all().limit(limit).collect()]
                             return self._json(200, rows)
                         if len(parts) == 3:          # point lookup
                             key: object = parts[2]

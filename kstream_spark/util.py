@@ -15,10 +15,21 @@ def _plan_size_bytes(df: DataFrame) -> int | None:
     every caller must tolerate ``None``.  Any attribute/py4j change on a
     Spark upgrade lands in the except and degrades to the conservative
     no-stats path instead of crashing — the Spark-Connect case (no _jdf at
-    all) degrades the same way."""
+    all) degrades the same way.
+
+    Relations Catalyst cannot size (in-memory createDataFrame rows, some
+    views) report ``spark.sql.defaultSizeInBytes`` — a Long.MaxValue-ish
+    SENTINEL meaning "unknown", not a real estimate.  Returning it as a
+    size made gates read "huge" (an 8 EiB warning for a 3-row relation),
+    so the sentinel maps to ``None`` like every other no-stats case."""
     try:
-        return int(df._jdf.queryExecution().optimizedPlan().stats()
+        size = int(df._jdf.queryExecution().optimizedPlan().stats()
                    .sizeInBytes())
+        sentinel = int(df.sparkSession.conf.get(
+            "spark.sql.defaultSizeInBytes", str((1 << 63) - 1)))
+        if size >= sentinel:
+            return None
+        return size
     except Exception:
         return None
 

@@ -204,3 +204,13 @@ def test_shard_manifest_checksum_is_order_insensitive_and_sensitive(spark):
           C.shard_manifest(df3, "doc_id", "text").collect()}
     assert m3[0]["content_checksum"] != m1[0]["content_checksum"]
     assert m3[1]["content_checksum"] == m1[1]["content_checksum"]
+    # even-multiplicity sensitivity (why the checksum is a SUM, not XOR):
+    # two copies of content "a" vs two copies of content "b" must differ —
+    # an XOR checksum cancels both to the same value
+    da = spark.createDataFrame([(1, "a", 0), (2, "a", 0)],
+                               "doc_id long, text string, shard int")
+    db = spark.createDataFrame([(1, "b", 0), (2, "b", 0)],
+                               "doc_id long, text string, shard int")
+    ca = C.shard_manifest(da, "doc_id", "text").collect()[0]["content_checksum"]
+    cb = C.shard_manifest(db, "doc_id", "text").collect()[0]["content_checksum"]
+    assert ca != cb

@@ -444,6 +444,41 @@ def test_semantic_dedup_never_crosses_clusters(spark):
     assert {r["vec_id"] for r in out.collect()} == {0, 1, 2}
 
 
+def test_similarity_generic_over_string_ids(spark):
+    """lsh_cosine_pairs / semantic_dedup / embedding_dedup_survivors work
+    on string-keyed corpora: the applyInPandas output schema derives the
+    id type from the input instead of hard-coding long (r4 advice)."""
+    rows = [
+        ("doc-a", [1.0, 0.0, 0.0, 0.0]),
+        ("doc-b", [0.999, 0.01, 0.0, 0.0]),   # near-dup of doc-a
+        ("doc-c", [0.0, 1.0, 0.0, 0.0]),
+        ("doc-d", [0.01, 0.999, 0.0, 0.0]),   # near-dup of doc-c
+    ]
+    emb = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    pairs = {(r.id_a, r.id_b) for r in
+             S.lsh_cosine_pairs(emb, "vec_id", "embedding", threshold=0.95,
+                                planes=4, tables=8).collect()}
+    assert ("doc-a", "doc-b") in pairs and ("doc-c", "doc-d") in pairs
+    surv = S.embedding_dedup_survivors(emb, "vec_id", "embedding",
+                                       threshold=0.95,
+                                       pair_fn=S.lsh_cosine_pairs)
+    assert {r.vec_id for r in surv.collect()} == {"doc-a", "doc-c"}
+    sem = S.semantic_dedup(emb, "vec_id", "embedding", k=2, iters=2,
+                           threshold=0.95)
+    assert {r.vec_id for r in sem.collect()} == {"doc-a", "doc-c"}
+
+
+def test_np_round6_half_up_matches_sql_convention():
+    """numpy default rounding is half-to-even; the helper must round half
+    AWAY FROM ZERO to match Spark F.round / DuckDB round()."""
+    import numpy as np
+    a = np.array([0.0000005, 0.0000015, -0.0000005, 1.2345675, 0.1])
+    out = S.np_round6_half_up(a)
+    assert out.tolist() == [0.000001, 0.000002, -0.000001, 1.234568, 0.1]
+    # np.round would give 0.0 / 0.000002 / -0.0 (banker's) for the first 3
+    assert np.round(a[0], 6) == 0.0
+
+
 def test_winnow_guarantee_and_offset_invariance(spark):
     from kstream_spark.operators.dedup import winnow_pairs
     # docs 1/2 share a verbatim 8-token run at DIFFERENT offsets; with

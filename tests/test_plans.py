@@ -192,6 +192,31 @@ def test_plan_stats_unavailable_degrades_gracefully(spark):
 
     assert _plan_size_bytes(NoJdf()) is None
 
+    # unknown-stats SENTINEL (spark.sql.defaultSizeInBytes ~= Long.Max):
+    # Catalyst reports it for relations it cannot size; it must read as
+    # "unknown" (None), never as a real 8 EiB estimate (r4 verdict bug —
+    # embedding_dedup_survivors warned '~8796093022207 MiB' on a 3-row
+    # in-memory relation)
+    class _Chain:
+        def __init__(self, size):
+            self._size = size
+        def queryExecution(self):
+            return self
+        def optimizedPlan(self):
+            return self
+        def stats(self):
+            return self
+        def sizeInBytes(self):
+            return self._size
+
+    class FakeDF:
+        def __init__(self, size):
+            self.sparkSession = spark
+            self._jdf = _Chain(size)
+
+    assert _plan_size_bytes(FakeDF((1 << 63) - 1)) is None     # the sentinel
+    assert _plan_size_bytes(FakeDF(12345)) == 12345            # real estimate
+
     # real frame, stats path monkey-stripped: ensure_parallelism falls
     # through to the partition-count check instead of crashing
     df = spark.range(100).repartition(2)

@@ -66,14 +66,18 @@ def bench_materialize(spark, b, tmp: str, n: int) -> dict:
             "distinct_keys_materialized": keys}
 
 
-def bench_stream_join(spark, tmp: str, n: int) -> dict:
+def bench_stream_join(spark, tmp: str, n: int,
+                      buckets: int | None = None) -> dict:
     """Both sides stream; per-key buffers in keyed state.  Keys are wide
     (n/5 distinct) so per-key buffers stay small — the throughput number
-    measures state machinery, not a deliberate cross-product blowup."""
+    measures state machinery, not a deliberate cross-product blowup.
+    ``buckets`` benches the bucketed-state production arm (per-bucket
+    state groups, per-key buffers inside — the high-cardinality dial)."""
     import pyspark.sql.functions as F
     from kstream_spark.streaming.core import read_stream_parquet
     from kstream_spark.streaming.join import stateful_stream_join
-    src = f"{tmp}/jin"
+    tag = "b" if buckets else "k"
+    src = f"{tmp}/jin_{tag}"
     _seed(spark, src, n)
     base = read_stream_parquet(spark, src).withColumn(
         "k5", (F.col("uuid") % (n // 5)).alias("k5"))
@@ -81,16 +85,18 @@ def bench_stream_join(spark, tmp: str, n: int) -> dict:
         F.col("k5").alias("k"), F.col("v").alias("lv"))
     right = base.filter(F.col("uuid") % 2 == 1).select(
         F.col("k5").alias("k"), F.col("v").alias("rv"))
-    joined = stateful_stream_join(left, right, "k", ["lv"], ["rv"])
+    joined = stateful_stream_join(left, right, "k", ["lv"], ["rv"],
+                                  buckets=buckets)
     t0 = time.time()
     q = (joined.writeStream.format("noop")
-         .option("checkpointLocation", f"{tmp}/jck").start())
+         .option("checkpointLocation", f"{tmp}/jck_{tag}").start())
     q.processAllAvailable()
     q.stop()
     q.awaitTermination(30)
     dt = time.time() - t0
     return {"records_per_sec": round(n / dt), "records": n,
-            "seconds": round(dt, 2)}
+            "seconds": round(dt, 2),
+            **({"buckets": buckets} if buckets else {})}
 
 
 def bench_windowed_agg(spark, tmp: str, n: int) -> dict:
@@ -109,7 +115,11 @@ def bench_windowed_agg(spark, tmp: str, n: int) -> dict:
            .agg(F.count("*").alias("n"), F.sum("v").alias("sv"),
                 F.approx_count_distinct("uuid").alias("du")))
     t0 = time.time()
-    q = (agg.writeStream.format("noop").outputMode("append")
+    # update mode, not append: with a bounded seed the watermark never
+    # passes most window ends, so append would emit ~nothing and the
+    # number would measure ingestion only — update emits every batch's
+    # changed windows, exercising the full state+emission path (r4 advice)
+    q = (agg.writeStream.format("noop").outputMode("update")
          .option("checkpointLocation", f"{tmp}/wck").start())
     q.processAllAvailable()
     q.stop()
@@ -152,6 +162,8 @@ def main():
         shapes["materialize"] = bench_materialize(spark, b, tmp, n)
         shapes["windowed_agg"] = bench_windowed_agg(spark, tmp, n)
         shapes["stream_join"] = bench_stream_join(spark, tmp, n)
+        shapes["stream_join_bucketed"] = bench_stream_join(
+            spark, tmp, n, buckets=1024)
         shapes["sessionize"] = bench_sessionize(spark, tmp, n)
 
     m = shapes["materialize"]
