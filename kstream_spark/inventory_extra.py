@@ -402,7 +402,14 @@ EXTRA_INVENTORY["fn_array_ops"] = (q_fn_array_ops, SQL_FN_ARRAY_OPS)
 
 def q_wf_ntile(spark: SparkSession, sf: str) -> DataFrame:
     """Quartile bucketing + percent_rank over per-customer order totals —
-    the ranking-window surface beyond row_number/lag (wf_lag_lead)."""
+    the ranking-window surface beyond row_number/lag (wf_lag_lead).
+
+    CONTRACT: the global (unpartitioned) window serializes its input onto
+    one task, so this form is only for AGGREGATE inputs — here the
+    per-customer rollup, orders of magnitude smaller than the fact table.
+    When the ranked relation is itself large, use the two-phase
+    ``operators/ranking.with_ntile_percent_rank`` (registered as
+    ``wf_ntile_dist`` — identical output, no single-partition sort)."""
     from pyspark.sql import Window as W
     orders = StreamBuilder(spark).table(f"{sf}/orders.parquet").to_df()
     per = orders.groupBy("o_custkey").agg(
@@ -425,3 +432,21 @@ WINDOW w AS (ORDER BY total DESC, o_custkey ASC)
 """
 
 EXTRA_INVENTORY["wf_ntile"] = (q_wf_ntile, SQL_WF_NTILE)
+
+
+def q_wf_ntile_dist(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-phase distributed ntile/percent_rank — output-identical to
+    wf_ntile but with NO single-partition sort of the ranked data: range
+    shuffle + local sort + monotonic-id local ranks + broadcast offsets
+    (operators/ranking.py).  The registered proof that global ranking
+    survives a ranked relation too big for one task."""
+    from kstream_spark.operators.ranking import with_ntile_percent_rank
+    orders = StreamBuilder(spark).table(f"{sf}/orders.parquet").to_df()
+    per = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total"))
+    return with_ntile_percent_rank(
+        per, [F.desc("total"), F.asc("o_custkey")], n_buckets=4) \
+        .select("o_custkey", "total", "quartile", "pct_rank")
+
+
+EXTRA_INVENTORY["wf_ntile_dist"] = (q_wf_ntile_dist, SQL_WF_NTILE)

@@ -11,6 +11,21 @@ with a custom stateful operator: both streams are tagged and unioned, then
 ``applyInPandasWithState`` keeps the two per-key buffers in keyed state and
 emits the cross-matches exactly as the reference's SideJoiner does.
 
+Payloads stay TYPED COLUMNS end-to-end — no JSON anywhere (r4 verdict:
+the previous to_json/from_json round-trip plus JSON-string state was the
+dominant per-record cost).  The union carries each side's payload columns
+(other side null), keyed state holds ONE pickled block of numpy column
+arrays per side (a buffer serializes/deserializes as a handful of
+vectorized memcpys per key per batch, not a parse per record), and the
+output schema is the payload columns themselves, so downstream reads typed
+data with zero decode step.
+
+Caveat: integral payload columns ride through pandas as float64 when a
+micro-batch mixes sides (Arrow null-widening), so integer payloads are
+exact up to 2^53 — use string/binary payload columns if you need full
+64-bit identity through this operator (the reference's payloads are
+opaque bytes, so this matches its contract).
+
 State growth: O(records per key) — the reference has the same unbounded
 growth (its maps leak identically); ``ttl_ms`` bounds it with a per-key
 processing-time timeout for production use (the recommended mode at scale;
@@ -18,8 +33,6 @@ None reproduces the reference exactly).
 """
 
 from __future__ import annotations
-
-import json
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -30,19 +43,28 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 def tag_sides(left: DataFrame, right: DataFrame, key: str,
               left_payload: list[str], right_payload: list[str]) -> DataFrame:
-    """Union-tag the two streams: (key, side, payload_json)."""
+    """Union-tag the two streams: (k, side, __l_*..., __r_*...) with the
+    other side's payload columns typed-null — the payload columns keep
+    their source types through the union (no serialization)."""
+    l_types = {f.name: f.dataType for f in left.schema.fields}
+    r_types = {f.name: f.dataType for f in right.schema.fields}
     l = left.select(
         F.col(key).alias("k"), F.lit("L").alias("side"),
-        F.to_json(F.struct(*left_payload)).alias("payload"))
+        *[F.col(c).alias(f"__l_{c}") for c in left_payload],
+        *[F.lit(None).cast(r_types[c]).alias(f"__r_{c}")
+          for c in right_payload])
     r = right.select(
         F.col(key).alias("k"), F.lit("R").alias("side"),
-        F.to_json(F.struct(*right_payload)).alias("payload"))
+        *[F.lit(None).cast(l_types[c]).alias(f"__l_{c}")
+          for c in left_payload],
+        *[F.col(c).alias(f"__r_{c}") for c in right_payload])
     return l.unionByName(r)
 
 
 def stateful_stream_join(left: DataFrame, right: DataFrame, key: str,
                          left_payload: list[str], right_payload: list[str],
-                         ttl_ms: int | None = None) -> DataFrame:
+                         ttl_ms: int | None = None,
+                         buckets: int | None = None) -> DataFrame:
     """Unbounded-buffer stream-stream inner join (reference parity).
 
     Emits one row per (left record, right record) cross-match per key —
@@ -56,67 +78,189 @@ def stateful_stream_join(left: DataFrame, right: DataFrame, key: str,
     whose buffers hold B records costs O(B) numpy ops per batch, not
     O(B^2) interpreter iterations.
 
-    Output: (k, left_json, right_json).
+    ``buckets``: the high-key-cardinality scale dial.  Keyed-state
+    operators pay a fixed per-GROUP cost each micro-batch (Arrow slicing,
+    state get/put protocol) — at millions of mostly-tiny keys that fixed
+    cost dwarfs the actual matching.  With ``buckets=B`` the state is
+    keyed by ``xxhash64(k) % B`` and each bucket keeps a dict of per-key
+    buffers, so the per-group cost is paid B times per batch instead of
+    once per live key, while matching stays exactly per-key (each key's
+    slice is cross-matched independently inside the bucket).  Match-set
+    semantics are IDENTICAL either way; the deltas are operational: a
+    TTL expires a whole bucket at once (not one key), and a bucket's
+    state (de)serializes as one blob per batch, so pick B large enough
+    that state/B fits comfortably in task memory (thousands to tens of
+    thousands at scale).  Default None = one state group per key, the
+    reference-exact granularity.
+
+    Output: (k, __l_<left_payload cols>..., __r_<right_payload cols>...),
+    all typed — ``parse_joined`` regroups them into (k, l struct, r struct).
     """
     tagged = tag_sides(left, right, key, left_payload, right_payload)
+    l_types = {f.name: f.dataType for f in left.schema.fields}
+    r_types = {f.name: f.dataType for f in right.schema.fields}
+    lcols = [f"__l_{c}" for c in left_payload]
+    rcols = [f"__r_{c}" for c in right_payload]
 
-    out_schema = T.StructType([
-        T.StructField("k", T.LongType()),
-        T.StructField("left_json", T.StringType()),
-        T.StructField("right_json", T.StringType()),
-    ])
+    out_schema = T.StructType(
+        [T.StructField("k", left.schema[key].dataType)]
+        + [T.StructField(f"__l_{c}", l_types[c]) for c in left_payload]
+        + [T.StructField(f"__r_{c}", r_types[c]) for c in right_payload])
+    # one binary blob per side: pickle of a list of numpy column arrays —
+    # vectorized (de)serialization, no per-record parse
     state_schema = T.StructType([
-        T.StructField("lefts", T.ArrayType(T.StringType())),
-        T.StructField("rights", T.ArrayType(T.StringType())),
+        T.StructField("lbuf", T.BinaryType()),
+        T.StructField("rbuf", T.BinaryType()),
     ])
 
     def update(pkey, pdfs, state: GroupState):
+        import pickle
+
         import numpy as np
         (k,) = pkey
         if state.hasTimedOut:
             state.remove()
             return
-        lefts, rights = state.get if state.exists else ([], [])
-        new_l, new_r = [], []
+        # split the incoming micro-batch into per-side column blocks
+        nl_parts: list[list] = []
+        nr_parts: list[list] = []
         for pdf in pdfs:
-            side = pdf["side"].to_numpy()
-            payload = pdf["payload"].to_numpy()
-            is_l = side == "L"
+            is_l = pdf["side"].to_numpy() == "L"
             if is_l.any():
-                new_l.append(payload[is_l])
+                nl_parts.append([pdf[c].to_numpy()[is_l] for c in lcols])
             if not is_l.all():
-                new_r.append(payload[~is_l])
-        empty = np.empty(0, dtype=object)
-        bl = np.concatenate(new_l) if new_l else empty
-        br = np.concatenate(new_r) if new_r else empty
-        ol = np.asarray(lefts, dtype=object)
-        orr = np.asarray(rights, dtype=object)
+                keep = ~is_l
+                nr_parts.append([pdf[c].to_numpy()[keep] for c in rcols])
+        bl = ([np.concatenate(p) for p in zip(*nl_parts)]
+              if nl_parts else None)
+        br = ([np.concatenate(p) for p in zip(*nr_parts)]
+              if nr_parts else None)
+        if state.exists:
+            lb, rb = state.get
+            ol = pickle.loads(lb) if lb is not None else None
+            orr = pickle.loads(rb) if rb is not None else None
+        else:
+            ol = orr = None
+
         # three vectorized pair blocks — see docstring; repeat/tile keeps
         # duplicate payload multiplicity identical to the per-record loop
-        lp, rp = [], []
+        out_l: list[list] = []
+        out_r: list[list] = []
         for lv, rv in ((bl, orr), (ol, br), (bl, br)):
-            if len(lv) and len(rv):
-                lp.append(np.repeat(lv, len(rv)))
-                rp.append(np.tile(rv, len(lv)))
-        state.update((list(lefts) + bl.tolist(), list(rights) + br.tolist()))
+            if lv is not None and rv is not None:
+                nlft, nrgt = len(lv[0]), len(rv[0])
+                if nlft and nrgt:
+                    out_l.append([np.repeat(a, nrgt) for a in lv])
+                    out_r.append([np.tile(a, nlft) for a in rv])
+
+        def merged(old, new):
+            if old is None:
+                return new
+            if new is None:
+                return old
+            return [np.concatenate((o, n)) for o, n in zip(old, new)]
+
+        nol, norr = merged(ol, bl), merged(orr, br)
+        state.update((pickle.dumps(nol) if nol is not None else None,
+                      pickle.dumps(norr) if norr is not None else None))
         if ttl_ms is not None:
             state.setTimeoutDuration(ttl_ms)
-        if lp:
-            lj = np.concatenate(lp)
-            yield pd.DataFrame({"k": np.full(len(lj), k, dtype=np.int64),
-                                "left_json": lj,
-                                "right_json": np.concatenate(rp)})
+        if out_l:
+            lblk = [np.concatenate(p) for p in zip(*out_l)]
+            rblk = [np.concatenate(p) for p in zip(*out_r)]
+            n = len(lblk[0])
+            kv = np.full(n, k, dtype=object) if isinstance(k, str) \
+                else np.full(n, k)
+            data = {"k": kv}
+            data.update(zip(lcols, lblk))
+            data.update(zip(rcols, rblk))
+            yield pd.DataFrame(data)
+
+    # bucketed mode: one state group per hash bucket, per-key buffer dict
+    # inside — same match set, per-group overhead paid B times per batch
+    bucket_state_schema = T.StructType([T.StructField("buf", T.BinaryType())])
+
+    def update_bucketed(pkey, pdfs, state: GroupState):
+        import pickle
+
+        import numpy as np
+        if state.hasTimedOut:
+            state.remove()
+            return
+        store: dict = pickle.loads(state.get[0]) if state.exists else {}
+
+        def merged(old, new):
+            if old is None:
+                return new
+            if new is None:
+                return old
+            return [np.concatenate((o, n)) for o, n in zip(old, new)]
+
+        out_k: list = []
+        out_l: list[list] = []
+        out_r: list[list] = []
+        for pdf in pdfs:
+            karr = pdf["k"].to_numpy()
+            side = pdf["side"].to_numpy()
+            lvals = [pdf[c].to_numpy() for c in lcols]
+            rvals = [pdf[c].to_numpy() for c in rcols]
+            order = np.argsort(karr, kind="stable")
+            ks = karr[order]
+            starts = np.flatnonzero(
+                np.r_[True, ks[1:] != ks[:-1]]) if len(ks) else []
+            ends = np.r_[starts[1:], len(ks)] if len(ks) else []
+            for s, e in zip(starts, ends):
+                k = ks[s]
+                sl = order[s:e]
+                is_l = side[sl] == "L"
+                bl = [v[sl[is_l]] for v in lvals] if is_l.any() else None
+                keep = sl[~is_l]
+                br = [v[keep] for v in rvals] if len(keep) else None
+                ol, orr = store.get(k, (None, None))
+                for lv, rv in ((bl, orr), (ol, br), (bl, br)):
+                    if lv is not None and rv is not None:
+                        nlft, nrgt = len(lv[0]), len(rv[0])
+                        if nlft and nrgt:
+                            out_k.append((k, nlft * nrgt))
+                            out_l.append([np.repeat(a, nrgt) for a in lv])
+                            out_r.append([np.tile(a, nlft) for a in rv])
+                store[k] = (merged(ol, bl), merged(orr, br))
+        state.update((pickle.dumps(store),))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        if out_k:
+            n = sum(c for _, c in out_k)
+            kv = np.empty(n, dtype=object)
+            pos = 0
+            for k, c in out_k:
+                kv[pos:pos + c] = k
+                pos += c
+            data = {"k": kv}
+            data.update(zip(lcols,
+                            (np.concatenate(p) for p in zip(*out_l))))
+            data.update(zip(rcols,
+                            (np.concatenate(p) for p in zip(*out_r))))
+            yield pd.DataFrame(data)
 
     timeout = GroupStateTimeout.ProcessingTimeTimeout if ttl_ms is not None \
         else GroupStateTimeout.NoTimeout
+    if buckets is not None:
+        bucketed = tagged.withColumn(
+            "__b", F.pmod(F.xxhash64("k"), F.lit(buckets)))
+        return (bucketed.groupBy("__b").applyInPandasWithState(
+            update_bucketed, out_schema, bucket_state_schema, "append",
+            timeout))
     return tagged.groupBy("k").applyInPandasWithState(
         update, out_schema, state_schema, "append", timeout)
 
 
 def parse_joined(df: DataFrame, left_schema: T.StructType,
                  right_schema: T.StructType) -> DataFrame:
-    """Decode the json payloads back to typed columns."""
+    """Regroup the flat typed output back into (k, l struct, r struct) —
+    a pure projection (the decode step JSON payloads used to need is gone)."""
     return df.select(
         "k",
-        F.from_json("left_json", left_schema).alias("l"),
-        F.from_json("right_json", right_schema).alias("r"))
+        F.struct(*[F.col(f"__l_{f.name}").cast(f.dataType).alias(f.name)
+                   for f in left_schema.fields]).alias("l"),
+        F.struct(*[F.col(f"__r_{f.name}").cast(f.dataType).alias(f.name)
+                   for f in right_schema.fields]).alias("r"))

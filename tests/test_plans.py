@@ -262,3 +262,39 @@ def test_span_dedup_hot_set_broadcasts(spark):
     docs = StreamBuilder(spark).table(f"{SF}/documents.parquet").to_df()
     df = span_dedup(docs, "doc_id", "text", span=8, max_docs=1)
     P.assert_broadcast(df, 1)
+
+
+def test_distributed_rank_matches_window_and_avoids_global_sort(spark):
+    """with_ntile_percent_rank == the unpartitioned-window version on a
+    total order, and its executed plan contains NO global sort (every
+    Sort is partition-local), ranks via ONE range shuffle (the counts
+    pass reads a ReusedExchange), and confines SinglePartition exchanges
+    to the driver-sized per-partition-count aggregates."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W
+    from kstream_spark.operators.ranking import with_ntile_percent_rank
+
+    df = spark.range(10_000).select(
+        F.col("id"),
+        # duplicated score values: the id tie-break makes the order total
+        (F.col("id") % 997).cast("double").alias("score"))
+    order = [F.desc("score"), F.asc("id")]
+    two_phase = with_ntile_percent_rank(df, order, n_buckets=7,
+                                        ntile_col="b", pct_col="p")
+    w = W.orderBy(*order)
+    window = df.select(
+        "id", "score",
+        F.ntile(7).over(w).cast("long").alias("b"),
+        F.round(F.percent_rank().over(w), 6).alias("p"))
+    got = {(r.id, r.b, r.p) for r in two_phase.collect()}
+    want = {(r.id, r.b, r.p) for r in window.collect()}
+    assert got == want
+
+    plan = two_phase._jdf.queryExecution().executedPlan().toString()
+    # Sort nodes print "Sort [keys], <global>, 0" — a single-task sort of
+    # the data would be "true"
+    assert ", true, 0" not in plan, plan
+    assert "rangepartitioning" in plan
+    # the counts pass must read the SAME range exchange (rank consistency
+    # depends on it: boundaries are sampled, a re-run could differ)
+    assert "ReusedExchange" in plan, plan

@@ -371,6 +371,51 @@ def test_stateful_join_equals_batch_unbounded_join(spark, tmp_path):
     assert len(batch_set) == 3 * 3 * 2     # keys 0..2: 3 lefts x 2 rights
 
 
+def test_stateful_join_bucketed_mode_same_match_set(spark, tmp_path):
+    """buckets=N (per-bucket state, per-key buffers inside) must produce
+    the IDENTICAL match set as per-key state — including cross-batch
+    matches against still-buffered entries."""
+    import pyspark.sql.functions as F
+    import pyspark.sql.types as T
+    from kstream_spark.streaming import core as SC
+    from kstream_spark.streaming.join import parse_joined, stateful_stream_join
+
+    def run(buckets, name):
+        ldir, rdir = tmp_path / f"l_{name}", tmp_path / f"r_{name}"
+        spark.createDataFrame(
+            [(k, f"l{k}-{i}") for k in range(5) for i in range(2)],
+            "k long, lv string").coalesce(1) \
+            .write.mode("append").parquet(str(ldir))
+        spark.createDataFrame(
+            [(k, f"r{k}-{i}") for k in range(4) for i in range(2)],
+            "k long, rv string").coalesce(1) \
+            .write.mode("append").parquet(str(rdir))
+        joined = stateful_stream_join(
+            SC.read_stream_parquet(spark, str(ldir)),
+            SC.read_stream_parquet(spark, str(rdir)), "k", ["lv"], ["rv"],
+            buckets=buckets)
+        q = (joined.writeStream.format("memory").queryName(name)
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+             .start())
+        q.processAllAvailable()
+        # second batch: late lefts must match the still-buffered rights
+        spark.createDataFrame([(0, "late-0"), (3, "late-3")],
+                              "k long, lv string").coalesce(1) \
+            .write.mode("append").parquet(str(ldir))
+        q.processAllAvailable(); q.stop(); q.awaitTermination(10)
+        return {(r.k, r.l.lv, r.r.rv) for r in parse_joined(
+            spark.sql(f"SELECT * FROM {name}"),
+            T.StructType([T.StructField("lv", T.StringType())]),
+            T.StructType([T.StructField("rv", T.StringType())])).collect()}
+
+    per_key = run(None, "bm_perkey")
+    bucketed = run(2, "bm_bucketed")
+    assert bucketed == per_key
+    assert ("0", "late-0", "r0-1") not in bucketed  # sanity: typed keys
+    assert (0, "late-0", "r0-1") in bucketed
+
+
 def test_encode_records_struct_value_not_double_wrapped(spark):
     from kstream_spark.sources.kafka import encode_records
     import json
