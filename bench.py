@@ -69,6 +69,7 @@ HEADLINE = [
     "agg_rollup",
     "fn_array_ops",
     "wf_ntile",
+    "wf_ntile_dist",
 ]
 
 
@@ -119,6 +120,52 @@ def bench_incremental_state(spark, sf_dir: str, iters: int) -> dict:
     return out
 
 
+def bench_ivf_state(spark, sf_dir: str, iters: int) -> dict:
+    """Time the IVF search lifecycle both ways (same story as
+    bench_incremental_state, for the ANN index):
+
+      * retrain — centroids re-learned per run (the registered
+        sim_ivf_kmeans_topk shape; oracle-required, since the SQL oracle
+        replays the training);
+      * state — centroids loaded from the persisted quantizer
+        (save_centroids/load_centroids), the production shape: train once,
+        search many.
+
+    The gap is the per-query-batch cost of NOT persisting the quantizer —
+    at 100 TB the retrain arm re-scans the corpus iters times per batch."""
+    import shutil
+
+    from kstream_spark.operators.similarity import (ivf_topk,
+                                                    kmeans_centroids,
+                                                    load_centroids,
+                                                    save_centroids)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cent_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            ".bench_tmp", "ivf_centroids")
+    # untimed: production trains once
+    save_centroids(spark, kmeans_centroids(emb, "embedding", k=8, iters=3,
+                                           id_col="vec_id"), cent_dir)
+    out = {}
+    for variant in ("retrain", "state"):
+        best = None
+        for _ in range(max(1, iters)):
+            t0 = time.time()
+            cents = (load_centroids(spark, cent_dir) if variant == "state"
+                     else kmeans_centroids(emb, "embedding", k=8, iters=3,
+                                           id_col="vec_id"))
+            res = ivf_topk(emb, "vec_id", "embedding",
+                           query_ids=list(range(5)), k=10, n_probe=3,
+                           centroids=cents)
+            res.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+            spark.catalog.clearCache()
+        out[f"sim_ivf_prod_{variant}"] = round(best, 3)
+    shutil.rmtree(os.path.dirname(cent_dir), ignore_errors=True)
+    return out
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.1
@@ -151,6 +198,7 @@ def main():
         spark.catalog.clearCache()
 
     timings.update(bench_incremental_state(spark, sf_dir, iters))
+    timings.update(bench_ivf_state(spark, sf_dir, iters))
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -320,3 +320,67 @@ FROM packed
 
 CORPUS_INVENTORY["pipeline_pretraining_corpus"] = (
     q_pipeline_pretraining_corpus, SQL_PIPELINE_PRETRAINING_CORPUS)
+
+
+# -- tokenizer-training statistics -------------------------------------------
+def q_text_vocab_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary construction: global token counts, top-200 — one
+    map-side-combinable aggregation + TakeOrdered (operators/text.py
+    vocab_top_terms)."""
+    from kstream_spark.operators.text import vocab_top_terms
+    return vocab_top_terms(_docs(spark, sf), "text", top_v=200)
+
+
+SQL_TEXT_VOCAB_TOPK = r"""
+WITH t AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+           FROM documents)
+SELECT token, CAST(count(*) AS BIGINT) AS cnt
+FROM t WHERE token <> ''
+GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 200
+"""
+
+CORPUS_INVENTORY["text_vocab_topk"] = (q_text_vocab_topk, SQL_TEXT_VOCAB_TOPK)
+
+
+def q_text_bpe_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE merge statistics: adjacent char-pair frequencies weighted by
+    word frequency, top-50 — the per-round aggregation of BPE tokenizer
+    training, run over DISTINCT words (operators/text.bpe_pair_counts)."""
+    from kstream_spark.operators.text import bpe_pair_counts
+    return bpe_pair_counts(_docs(spark, sf), "text", top_k=50)
+
+
+SQL_TEXT_BPE_PAIRS = r"""
+WITH t AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+           FROM documents),
+wf AS (SELECT w, CAST(count(*) AS BIGINT) AS wf
+       FROM t WHERE length(w) >= 2 GROUP BY w),
+p AS (SELECT unnest(list_transform(range(1, length(w)),
+                                   i -> substr(w, i, 2))) AS pair, wf
+      FROM wf)
+SELECT pair, CAST(sum(wf) AS BIGINT) AS cnt
+FROM p GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 50
+"""
+
+CORPUS_INVENTORY["text_bpe_pairs"] = (q_text_bpe_pairs, SQL_TEXT_BPE_PAIRS)
+
+
+def q_sample_group_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-safe holdout: split assigned per SOURCE (group), so
+    same-source near-duplicates never straddle train/val
+    (operators/sampling.group_split)."""
+    from kstream_spark.operators.sampling import group_split
+    return group_split(_docs(spark, sf), "source", val_pct=20) \
+        .select("doc_id", "source", "split")
+
+
+SQL_SAMPLE_GROUP_SPLIT = """
+SELECT doc_id, source,
+       CASE WHEN CAST(CAST(('0x' || substr(md5('gsplit:' || source), 1, 8))
+                           AS UBIGINT) AS BIGINT) % 100 < 20
+            THEN 'val' ELSE 'train' END AS split
+FROM documents
+"""
+
+CORPUS_INVENTORY["sample_group_split"] = (q_sample_group_split,
+                                          SQL_SAMPLE_GROUP_SPLIT)

@@ -115,3 +115,24 @@ def stratified_cap(df: DataFrame, id_col: str, strat_col: str,
     w = W.partitionBy(strat_col).orderBy(h.asc(), F.col(id_col).asc())
     return (df.withColumn("rn", F.row_number().over(w).cast("long"))
             .filter(F.col("rn") <= cap).drop("rn"))
+
+
+def group_split(df: DataFrame, group_col: str, val_pct: int = 10,
+                test_pct: int = 0, seed: str = "gsplit",
+                split_col: str = "split") -> DataFrame:
+    """Leakage-safe train/val/test split: the split is a pure function of
+    the GROUP (source domain, url host, dedup-cluster id), never the
+    document — so near-duplicates and same-source documents always land in
+    the SAME split, and holdout leakage through intra-group duplication is
+    structurally impossible.  (train_val_split hashes the document id:
+    two near-identical docs can land on opposite sides of the split, and
+    the val metric silently trains on its own test set.)
+
+    Same determinism contract as every sampler here: md5-bucketed, stable
+    under reruns, incremental arrival, and engine swaps.  A projection —
+    no shuffle, no group materialization."""
+    b = hash_bucket(F.col(group_col), 100, seed)
+    label = (F.when(b < val_pct, "val")
+             .when(b < val_pct + test_pct, "test")
+             .otherwise("train"))
+    return df.withColumn(split_col, label)

@@ -194,3 +194,45 @@ def bm25_topk(df: DataFrame, id_col: str, text_col: str,
         score = contrib if score is None else score + contrib
     return (d.select(F.col(id_col), F.round(score, 6).alias("score"))
             .orderBy(F.desc("score"), F.asc(id_col)).limit(k))
+
+
+def vocab_top_terms(df: DataFrame, text_col: str, top_v: int = 1000) -> DataFrame:
+    """Corpus vocabulary: global token counts, top-V by (count desc, token
+    asc) — the vocabulary-construction stage of tokenizer training.
+
+    Scale shape: explode -> ONE map-side-combinable hash aggregation keyed
+    on the token (partial counts combine before the shuffle, so the wire
+    carries |vocab| rows per task, not |corpus tokens|), then a global
+    order+limit that Spark executes as per-partition TakeOrdered — no full
+    sort of the vocabulary materializes.  Returns (token, cnt)."""
+    w = words(F.col(text_col))
+    tok = df.select(F.explode(w).alias("token")).filter(F.col("token") != "")
+    return (tok.groupBy("token").agg(F.count("*").cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("token")).limit(top_v))
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str, top_k: int = 50) -> DataFrame:
+    """One round of byte-pair-encoding pair statistics: adjacent
+    CHARACTER-pair frequencies across the corpus, weighted by word
+    frequency — the inner statistic of BPE tokenizer training (Sennrich et
+    al. 2016), expressed as one distributed aggregation per merge round.
+
+    The standard BPE efficiency trick is built in: the corpus first
+    compresses to (distinct word, frequency) — one hash aggregation — and
+    the pair explosion then runs over DISTINCT WORDS only, so a 100 TB
+    corpus whose vocabulary is millions of words explodes millions of
+    short arrays, not trillions of tokens.  Returns the top-k
+    (pair, cnt) by (count desc, pair asc) — the would-be next merges."""
+    w = words(F.col(text_col))
+    word_freq = (df.select(F.explode(w).alias("w"))
+                 .filter(F.length("w") >= 2)
+                 .groupBy("w").agg(F.count("*").cast("long").alias("wf")))
+    # adjacent char pairs: substr(w, i, 2) for i in 1..len-1 (codegen
+    # higher-order transform; no UDF)
+    pairs = word_freq.select(
+        "wf",
+        F.explode(F.expr(
+            "transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))"
+        )).alias("pair"))
+    return (pairs.groupBy("pair").agg(F.sum("wf").cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair")).limit(top_k))

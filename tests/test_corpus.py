@@ -214,3 +214,38 @@ def test_shard_manifest_checksum_is_order_insensitive_and_sensitive(spark):
     ca = C.shard_manifest(da, "doc_id", "text").collect()[0]["content_checksum"]
     cb = C.shard_manifest(db, "doc_id", "text").collect()[0]["content_checksum"]
     assert ca != cb
+
+
+def test_vocab_and_bpe_pair_counts(spark):
+    from kstream_spark.operators.text import bpe_pair_counts, vocab_top_terms
+    df = spark.createDataFrame(
+        [(1, "ab ab cd"), (2, "ab x")], "doc_id long, text string")
+    vocab = vocab_top_terms(df, "text", top_v=10).collect()
+    assert [(r.token, r.cnt) for r in vocab] == \
+        [("ab", 3), ("cd", 1), ("x", 1)]          # count desc, token asc
+    # BPE: distinct words {ab: 3, cd: 1}; 'x' (len 1) contributes nothing
+    pairs = bpe_pair_counts(df, "text", top_k=10).collect()
+    assert [(r.pair, r.cnt) for r in pairs] == [("ab", 3), ("cd", 1)]
+    # multi-char words explode every adjacent pair, weighted by word freq
+    df2 = spark.createDataFrame([(1, "abc abc abd")],
+                                "doc_id long, text string")
+    got = {(r.pair, r.cnt) for r in bpe_pair_counts(df2, "text").collect()}
+    assert got == {("ab", 3), ("bc", 2), ("bd", 1)}
+
+
+def test_group_split_never_splits_a_group(spark):
+    from kstream_spark.operators.sampling import group_split, train_val_split
+    rows = [(i, f"src{i % 7}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = group_split(df, "source", val_pct=30).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r.source, set()).add(r.split)
+    # every group lands wholly on one side — the leakage-safety property
+    assert all(len(s) == 1 for s in by_group.values())
+    assert {s for v in by_group.values() for s in v} == {"train", "val"}
+    # determinism across partitionings
+    out2 = {(r.doc_id, r.split)
+            for r in group_split(df.repartition(13), "source",
+                                 val_pct=30).collect()}
+    assert out2 == {(r.doc_id, r.split) for r in out}

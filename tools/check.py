@@ -5,13 +5,26 @@ oracle_sql() in DuckDB over the same parquet views, and compares:
 row count, column names, and an order-insensitive value hash (doubles rounded
 to 9 significant-ish decimals to absorb float summation-order noise).
 
-Usage:  python tools/check.py [sf_dir] [query ...]
+Usage:  python tools/check.py [sf_dir] [query ...] [--sample] [--json out]
+
+--sample: queries in SAMPLED_QUERIES (the ones whose ORACLES are quadratic
+in the embedding count — the Spark side is bucketed, the DuckDB replay is
+not) run against a derived fixture dir whose embeddings table is sliced to
+a deterministic id range (vec_id < SAMPLE_VEC_CAP); every other table is
+the full fixture.  This is what lets the full inventory sweep at sf1: the
+bound is DuckDB's brute-force pair space, not the Spark queries
+(COVERAGE.md).  The slice is still a real hash compare on sf1-derived
+data — just on a bounded id range.
+
+--json PATH: also write {name: {pass, rows, seconds, sampled}} for a
+committable sweep artifact.
 """
 
 from __future__ import annotations
 
 import hashlib
-import math
+import json
+import os
 import sys
 import time
 
@@ -19,6 +32,10 @@ import duckdb
 import pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+# oracle cost is O(|embeddings|^2) — all-pairs / within-cell-pairs replays
+SAMPLED_QUERIES = {"sim_cosine_pairs", "dedup_embedding", "dedup_semantic"}
+SAMPLE_VEC_CAP = 2000  # sf0.1 cardinality — the largest swept-green size
 
 
 def canonical(df: pd.DataFrame) -> str:
@@ -35,47 +52,94 @@ def canonical(df: pd.DataFrame) -> str:
     return hashlib.md5(str(rows).encode()).hexdigest()
 
 
+def _table_path(sf_dir: str, t: str) -> str:
+    path = f"{sf_dir}/{t}.parquet"
+    if os.path.isdir(path):
+        path = f"{path}/*.parquet"
+    return path
+
+
+def make_slice_dir(sf_dir: str) -> str:
+    """Derive a slice fixture under the repo's .data/ (NEVER next to the
+    source fixture — /root/testdata is read-only): embeddings restricted
+    to vec_id < SAMPLE_VEC_CAP (one deterministic id range), all other
+    tables symlinked to the full fixture."""
+    base = os.path.basename(sf_dir.rstrip("/"))
+    dst = os.path.join("/root/repo/.data/slices", f"{base}_slice")
+    os.makedirs(dst, exist_ok=True)
+    for t in TABLES:
+        link = f"{dst}/{t}.parquet"
+        if t == "embeddings":
+            if not os.path.exists(link):
+                duckdb.sql(
+                    f"COPY (SELECT * FROM '{_table_path(sf_dir, t)}' "
+                    f"WHERE vec_id < {SAMPLE_VEC_CAP}) TO '{link}' "
+                    f"(FORMAT PARQUET)")
+        elif not os.path.lexists(link):
+            os.symlink(os.path.abspath(f"{sf_dir}/{t}.parquet"), link)
+    return dst
+
+
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sample = "--sample" in sys.argv
+    json_out = None
+    if "--json" in sys.argv:
+        json_out = sys.argv[sys.argv.index("--json") + 1]
+        if json_out in args:
+            args.remove(json_out)
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entry
     from kstream_spark import get_spark
 
     spark = get_spark()
-    con = duckdb.connect()
-    for t in TABLES:
-        # driver fixtures are single parquet FILES; Spark-written fixtures
-        # (tools/gen_sf.py output) are DIRECTORIES of part files
-        import os
-        path = f"{sf_dir}/{t}.parquet"
-        if os.path.isdir(path):
-            path = f"{path}/*.parquet"
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    slice_dir = make_slice_dir(sf_dir) if sample else None
+
+    def connect(d: str):
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{_table_path(d, t)}'")
+        return con
+
+    con_full = connect(sf_dir)
+    con_slice = connect(slice_dir) if slice_dir else None
 
     queries = entry.queries()
     oracles = entry.oracle_sql()
     failures = []
+    results = {}
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        sampled = sample and name in SAMPLED_QUERIES
+        q_dir = slice_dir if sampled else sf_dir
+        con = con_slice if sampled else con_full
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            sdf = fn(spark, q_dir).toPandas()
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: spark error: {e}")
+            results[name] = {"pass": False, "err": f"spark: {e}"}
             continue
         dt = time.time() - t0
+        tag = " [sampled]" if sampled else ""
         if name not in oracles:
-            print(f"ok?  {name}: rows={len(sdf)} ({dt:.1f}s) [no oracle — rows-only]")
+            print(f"ok?  {name}: rows={len(sdf)} ({dt:.1f}s) [no oracle — rows-only]{tag}")
+            results[name] = {"pass": True, "rows": len(sdf),
+                             "seconds": round(dt, 1), "rows_only": True,
+                             "sampled": sampled}
             continue
         try:
             odf = con.execute(oracles[name]).fetchdf()
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: oracle error: {e}")
+            results[name] = {"pass": False, "err": f"oracle: {e}"}
             continue
         problems = []
         if len(sdf) != len(odf):
@@ -87,11 +151,24 @@ def main():
             merged = sdf[sorted(sdf.columns)].round(6) if len(sdf) else sdf
             print(merged.head(3))
             print(odf[sorted(odf.columns)].head(3))
+        dt = time.time() - t0
         if problems:
             failures.append(name)
             print(f"FAIL {name}: {'; '.join(problems)}")
+            results[name] = {"pass": False, "err": "; ".join(problems),
+                             "sampled": sampled}
         else:
-            print(f"PASS {name}: rows={len(sdf)} ({dt:.1f}s)")
+            print(f"PASS {name}: rows={len(sdf)} ({dt:.1f}s){tag}", flush=True)
+            results[name] = {"pass": True, "rows": len(sdf),
+                             "seconds": round(dt, 1), "sampled": sampled}
+    if json_out:
+        with open(json_out, "w") as fh:
+            json.dump({"sf_dir": sf_dir, "sample_mode": sample,
+                       "sampled_queries": sorted(SAMPLED_QUERIES & set(results)),
+                       "vec_cap": SAMPLE_VEC_CAP if sample else None,
+                       "passed": sum(1 for r in results.values() if r["pass"]),
+                       "total": len(results),
+                       "results": results}, fh, indent=1)
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     sys.exit(1 if failures else 0)
 
