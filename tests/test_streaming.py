@@ -752,3 +752,37 @@ def test_windowed_agg_streaming_approx_distinct(spark, stream_dir, tmp_path):
     _run(q)
     cols = set(spark.sql("SELECT * FROM win_hll_out").columns)
     assert cols == {"window_start", "window_end", "t", "approx_users", "n"}
+
+
+def test_stateful_join_bucketed_ttl_smoke(spark, tmp_path):
+    """ttl_ms composes with buckets (timeout granularity becomes the
+    bucket — documented in the docstring); smoke: query runs, state
+    timeout registered without error, matches still emitted.
+
+    NOTE: with ProcessingTimeTimeout the micro-batch engine keeps
+    scheduling batches to service pending timeouts, so
+    processAllAvailable never returns on a TTL query — poll the sink
+    with a deadline and stop explicitly (the production pattern for
+    TTL'd queries is a trigger interval, not processAllAvailable)."""
+    from kstream_spark.streaming import core as SC
+    from kstream_spark.streaming.join import stateful_stream_join
+
+    ldir, rdir = tmp_path / "l", tmp_path / "r"
+    spark.createDataFrame([(1, "a")], "k long, lv string").coalesce(1) \
+        .write.parquet(str(ldir))
+    spark.createDataFrame([(1, "b")], "k long, rv string").coalesce(1) \
+        .write.parquet(str(rdir))
+    joined = stateful_stream_join(
+        SC.read_stream_parquet(spark, str(ldir)),
+        SC.read_stream_parquet(spark, str(rdir)), "k", ["lv"], ["rv"],
+        ttl_ms=60_000, buckets=4)
+    q = (joined.writeStream.format("memory").queryName("bt_out")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if spark.sql("SELECT * FROM bt_out").count() >= 1:
+            break
+        time.sleep(0.5)
+    q.stop(); q.awaitTermination(10)
+    assert spark.sql("SELECT * FROM bt_out").count() == 1

@@ -43,7 +43,14 @@ def canonical(df: pd.DataFrame) -> str:
     for c in df.columns:
         s = df[c]
         if s.dtype.kind == "f":
-            df[c] = s.round(6)
+            # absolute 6 dp THEN 9 significant digits: engines sum in
+            # different orders, and for a ~1e9-scale sum over ~1e6 rows the
+            # accumulated last-ulp drift (~1e-4) exceeds an absolute 1e-6
+            # grid while staying far inside 9 sig figs — absolute round-6
+            # alone only worked while fixtures kept sums small (the sf1
+            # sweep's tpch_q14 exposed it); the 6-dp step keeps the old
+            # tolerance for sub-1 values the query didn't round itself.
+            df[c] = s.round(6).map(lambda v: f"{v:.9g}")
         elif s.dtype.kind == "M":
             df[c] = s.dt.strftime("%Y-%m-%d %H:%M:%S.%f")
         elif s.dtype == object:
