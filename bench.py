@@ -70,6 +70,9 @@ HEADLINE = [
     "fn_array_ops",
     "wf_ntile",
     "wf_ntile_dist",
+    "text_vocab_topk",
+    "text_bpe_pairs",
+    "sample_group_split",
 ]
 
 

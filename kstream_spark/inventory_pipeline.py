@@ -1261,3 +1261,89 @@ FROM hits GROUP BY query_id
 
 
 PIPELINE_INVENTORY["sim_ivf_recall"] = (q_sim_ivf_recall, _ivf_recall_sql())
+
+
+def _pq_adc_sql(dim: int = 64, m: int = 4, k: int = 16, iters: int = 2,
+                topk: int = 10, query_ids: str = "0, 1, 2, 3, 4") -> str:
+    """DuckDB replay of pq_codebooks + pq_encode + pq_adc_topk: per-subspace
+    Euclidean Lloyd's unrolled ``iters`` times (seed codewords = the k
+    lowest-vec_id rows' subvectors; assignment by round-6 squared distance
+    with lowest-code ties; cell means round-6; empty codes keep the previous
+    codeword), then codes for every vector and ADC ranking — identical
+    round-6 discipline to the Spark operator at every step."""
+    sub = dim // m
+    its = []
+    for t in range(iters):
+        its.append(f"""
+dist{t} AS (SELECT sc.vec_id, sc.j, b.code,
+              round(sum((sc.x - b.c) * (sc.x - b.c)), 6) AS dist
+            FROM scomp sc JOIN b{t} b ON b.j = sc.j AND b.sd = sc.sd
+            GROUP BY sc.vec_id, sc.j, b.code),
+asg{t} AS (SELECT vec_id, j, code FROM (
+             SELECT vec_id, j, code,
+                    row_number() OVER (PARTITION BY vec_id, j
+                                       ORDER BY dist ASC, code ASC) AS rn
+             FROM dist{t}) WHERE rn = 1),
+mean{t} AS (SELECT a.j, a.code, sc.sd, round(avg(sc.x), 6) AS mn
+            FROM asg{t} a JOIN scomp sc ON sc.vec_id = a.vec_id
+                                       AND sc.j = a.j
+            GROUP BY a.j, a.code, sc.sd),
+b{t + 1} AS (SELECT p.code, p.j, p.sd, coalesce(me.mn, p.c) AS c
+             FROM b{t} p LEFT JOIN mean{t} me ON me.j = p.j
+               AND me.code = p.code AND me.sd = p.sd)""")
+    lloyd = ",".join(its)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+comp AS (SELECT vec_id, dd.d AS d, v[dd.d + 1] AS x
+         FROM e CROSS JOIN range(0, {dim}) dd(d)),
+scomp AS (SELECT vec_id, CAST(d // {sub} AS INT) AS j, d % {sub} AS sd, x
+          FROM comp),
+seeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS code
+          FROM e ORDER BY vec_id LIMIT {k}),
+b0 AS (SELECT s.code, sc.j, sc.sd, sc.x AS c
+       FROM seeds s JOIN scomp sc USING (vec_id)),{lloyd},
+books AS (SELECT code, j, sd, c FROM b{iters}),
+-- encode every vector with the trained books
+encd AS (SELECT sc.vec_id, sc.j, b.code,
+           round(sum((sc.x - b.c) * (sc.x - b.c)), 6) AS dist
+         FROM scomp sc JOIN books b ON b.j = sc.j AND b.sd = sc.sd
+         GROUP BY sc.vec_id, sc.j, b.code),
+codes AS (SELECT vec_id, j, code FROM (
+            SELECT vec_id, j, code,
+                   row_number() OVER (PARTITION BY vec_id, j
+                                      ORDER BY dist ASC, code ASC) AS rn
+            FROM encd) WHERE rn = 1),
+-- per-query subvector-to-codeword distance tables
+qtab AS (SELECT sc.vec_id AS query_id, sc.j, b.code,
+           round(sum((sc.x - b.c) * (sc.x - b.c)), 6) AS dist
+         FROM scomp sc JOIN books b ON b.j = sc.j AND b.sd = sc.sd
+         WHERE sc.vec_id IN ({query_ids})
+         GROUP BY sc.vec_id, sc.j, b.code),
+scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+             round(sum(q.dist), 6) AS adist
+           FROM codes c JOIN qtab q ON q.j = c.j AND q.code = c.code
+           WHERE q.query_id <> c.vec_id
+           GROUP BY q.query_id, c.vec_id)
+SELECT query_id, neighbor_id, adist,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY adist ASC, neighbor_id) AS BIGINT)
+         AS rank
+FROM scored QUALIFY rank <= {topk}
+"""
+
+
+def q_sim_pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Product quantization end-to-end: train m=4 x k=16 Euclidean
+    codebooks (2 Lloyd's rounds), encode the corpus to 4-byte codes, rank
+    by asymmetric distance (per-query lookup tables, m element_at sums) —
+    the compressed-index ANN path that pairs with IVF at billion scale.
+    Fully deterministic (lowest-id seeds, round-6 HALF_UP distances/means,
+    lowest-code ties), so the oracle replays training+encode+ADC exactly."""
+    emb = _embs(StreamBuilder(spark), sf)
+    books = S.pq_codebooks(emb, "embedding", m=4, k=16, iters=2,
+                           id_col="vec_id")
+    return S.pq_adc_topk(emb, "vec_id", "embedding",
+                         query_ids=[0, 1, 2, 3, 4], codebooks=books, k=10)
+
+
+PIPELINE_INVENTORY["sim_pq_adc_topk"] = (q_sim_pq_adc_topk, _pq_adc_sql())

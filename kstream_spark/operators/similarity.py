@@ -548,3 +548,164 @@ def load_centroids(spark, path: str) -> list:
     order, ready to pass to ivf_topk(centroids=...)."""
     rows = spark.read.parquet(path).orderBy("cell_id").collect()
     return [r["cv"] for r in rows]
+
+
+def pq_codebooks(emb: DataFrame, vec_col: str, m: int = 4, k: int = 16,
+                 iters: int = 2, id_col: str | None = None) -> list:
+    """Train product-quantization codebooks: the vector space splits into
+    ``m`` contiguous subspaces (dim/m components each) and each learns an
+    independent ``k``-codeword Euclidean k-means codebook (Jegou et al.
+    2011) — the compressed-index half of a classical IVF-PQ ANN stack
+    (operators/similarity.ivf_topk is the coarse half).
+
+    Same scale + determinism discipline as kmeans_centroids: the heavy
+    assign step is one Arrow-batched numpy pass per batch emitting at most
+    m*k partial sums (driver traffic is O(partitions * m * k), corpus-size
+    independent), seeds are the k lowest-``id_col`` rows' subvectors, and
+    every distance/mean is rounded to 6 dp HALF_UP with ties toward the
+    lowest code — so a SQL oracle replays training bit-for-bit.  Returns
+    ``m`` lists of ``k`` codewords (list of lists of floats).
+    """
+    import numpy as np
+
+    sort_key = id_col if id_col is not None else vec_col
+    first = (emb.orderBy(sort_key).limit(k)
+             .select(as_double(F.col(vec_col)).alias("v")).collect())
+    seed_mat = np.array([r["v"] for r in first], dtype=np.float64)
+    dim = seed_mat.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    # books[j]: (k, sub) codewords for subspace j — raw data, no rounding
+    books = [seed_mat[:, j * sub:(j + 1) * sub].copy() for j in range(m)]
+
+    vecs = emb.select(as_double(F.col(vec_col)).alias("v")).persist()
+    schema = "j int, code int, n long, s array<double>"
+    for _ in range(iters):
+        bks = [b.copy() for b in books]
+
+        def partials(batches):
+            import numpy as np  # noqa: F811 — runs on executors
+            for pdf in batches:
+                mat = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+                out = {"j": [], "code": [], "n": [], "s": []}
+                for j, cb in enumerate(bks):
+                    x = mat[:, j * sub:(j + 1) * sub]
+                    # sum((x - c)^2) per (row, code); HALF_UP round-6 then
+                    # argmin with first-minimum tie-break == the oracle's
+                    # ORDER BY dist ASC, code ASC
+                    raw = ((x[:, None, :] - cb[None, :, :]) ** 2).sum(-1)
+                    d = np.copysign(
+                        np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6, raw)
+                    codes = np.argmin(d, axis=1)
+                    for c in np.unique(codes):
+                        sel = x[codes == c]
+                        out["j"].append(j)
+                        out["code"].append(int(c))
+                        out["n"].append(int(sel.shape[0]))
+                        out["s"].append(sel.sum(axis=0).tolist())
+                yield pd.DataFrame(out)
+
+        import numpy as np  # reimport for driver scope clarity
+        sums: dict = {}
+        counts: dict = {}
+        for r in vecs.mapInPandas(partials, schema=schema).collect():
+            key = (r["j"], r["code"])
+            sums[key] = sums.get(key, np.zeros(sub)) \
+                + np.array(r["s"], dtype=np.float64)
+            counts[key] = counts.get(key, 0) + r["n"]
+        for (j, c), s in sums.items():
+            books[j][c] = np.round(s / counts[(j, c)], 6)
+    vecs.unpersist()
+    return [b.tolist() for b in books]
+
+
+def pq_encode(emb: DataFrame, id_col: str, vec_col: str,
+              codebooks: list) -> DataFrame:
+    """Encode each vector as ``m`` codebook indices — dim*8 bytes become m
+    bytes (the PQ compression step).  Pure Arrow-batched projection: the
+    codebooks ride into the closure as literals, no join, no shuffle.
+    Returns (id, codes array<int>); deterministic (round-6 HALF_UP
+    distances, lowest-code ties) so the oracle re-derives every code."""
+    import numpy as np
+
+    bks = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    sub = bks[0].shape[1]
+    id_dt = emb.schema[id_col].dataType.simpleString()
+    src = emb.select(F.col(id_col).alias("_id"),
+                     as_double(F.col(vec_col)).alias("v"))
+
+    def encode(batches):
+        import numpy as np  # noqa: F811
+        for pdf in batches:
+            mat = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+            cols = []
+            for j, cb in enumerate(bks):
+                x = mat[:, j * sub:(j + 1) * sub]
+                raw = ((x[:, None, :] - cb[None, :, :]) ** 2).sum(-1)
+                d = np.copysign(np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6, raw)
+                cols.append(np.argmin(d, axis=1))
+            codes = np.stack(cols, axis=1)
+            yield pd.DataFrame({"_id": pdf["_id"].to_numpy(dtype=object),
+                                "codes": list(codes.astype(int).tolist())})
+
+    out = src.mapInPandas(encode, schema=f"_id {id_dt}, codes array<int>")
+    return out.withColumnRenamed("_id", id_col)
+
+
+def pq_adc_topk(emb: DataFrame, id_col: str, vec_col: str,
+                query_ids: list, codebooks: list, k: int = 10) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: each query
+    precomputes an m x k lookup table of exact subvector-to-codeword
+    distances, and a candidate's approximate distance is the SUM of m
+    table lookups on its codes — the corpus is scanned as m-byte codes,
+    never as raw vectors (the memory/IO win that makes billion-scale ANN
+    fit in RAM).
+
+    Plan shape: corpus -> pq_encode (projection) -> broadcast-join the
+    tiny query table -> per-pair distance as m array lookups (codegen
+    element_at, no UDF) -> TakeOrdered top-k.  Returns
+    (query_id, neighbor_id, adist, rank) ranked by approximate distance
+    ASC with id tie-breaks — fully deterministic (round-6 HALF_UP at the
+    subvector-distance level, exactly what the encode step used)."""
+    import numpy as np
+
+    bks = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m_, kk = len(bks), bks[0].shape[0]
+    sub = bks[0].shape[1]
+    codes = pq_encode(emb, id_col, vec_col, codebooks) \
+        .withColumnRenamed(id_col, "neighbor_id")
+
+    # per-query distance tables, built driver-side (|Q| x m x k doubles —
+    # tiny) and broadcast as literal arrays
+    qrows = (emb.filter(F.col(id_col).isin(query_ids))
+             .select(F.col(id_col).alias("query_id"),
+                     as_double(F.col(vec_col)).alias("qv")).collect())
+    spark = emb.sparkSession
+    tab_rows = []
+    for r in qrows:
+        qv = np.asarray(r["qv"], dtype=np.float64)
+        tabs = []
+        for j, cb in enumerate(bks):
+            x = qv[j * sub:(j + 1) * sub]
+            raw = ((cb - x[None, :]) ** 2).sum(-1)
+            d = np.copysign(np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6, raw)
+            tabs.append([float(v) for v in d])
+        tab_rows.append((r["query_id"], tabs))
+    id_dt = emb.schema[id_col].dataType.simpleString()
+    tables = F.broadcast(spark.createDataFrame(
+        tab_rows, schema=f"query_id {id_dt}, tabs array<array<double>>"))
+
+    # adist = sum_j tabs[j][codes[j]] — m element_at lookups, codegen only
+    adist = None
+    for j in range(m_):
+        term = F.element_at(F.element_at("tabs", j + 1),
+                            F.element_at("codes", j + 1) + 1)
+        adist = term if adist is None else adist + term
+    scored = (codes.join(tables,
+                         F.col("query_id") != F.col("neighbor_id"))
+              .select("query_id", "neighbor_id",
+                      F.round(adist, 6).alias("adist")))
+    w = W.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k))

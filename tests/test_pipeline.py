@@ -522,3 +522,40 @@ def test_hard_negatives_excludes_same_label(spark):
                            query_ids=[0], k=5).collect()
     ids = [r["neg_id"] for r in sorted(out, key=lambda r: r["rank"])]
     assert ids == [2, 3]
+
+
+def test_pq_roundtrip_recovers_cluster_structure(spark):
+    """PQ codes must separate well-separated clusters: vectors from the
+    same tight cluster share codes; ADC ranks a query's own-cluster
+    members first."""
+    import numpy as np
+    rng = np.random.default_rng(3)
+    rows = []
+    centers = np.eye(4, 8) * 10          # 4 tight clusters in 8-d
+    for i in range(40):
+        c = i % 4
+        v = centers[c] + rng.normal(0, 0.05, 8)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = S.pq_codebooks(emb, "embedding", m=2, k=4, iters=3,
+                           id_col="vec_id")
+    assert len(books) == 2 and len(books[0]) == 4 and len(books[0][0]) == 4
+    out = S.pq_adc_topk(emb, "vec_id", "embedding", [0, 1], books, k=9)
+    for q in (0, 1):
+        neigh = [r.neighbor_id for r in out.collect()
+                 if r.query_id == q and r.rank <= 9]
+        same = [n for n in neigh if n % 4 == q % 4]
+        assert len(same) == 9      # all 9 own-cluster members rank first
+
+
+def test_pq_codebooks_deterministic_and_dim_guard(spark):
+    import pytest
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), float(i % 5), 1.0, 0.0]) for i in range(12)],
+        "vec_id long, embedding array<double>")
+    b1 = S.pq_codebooks(emb, "embedding", m=2, k=3, iters=2, id_col="vec_id")
+    b2 = S.pq_codebooks(emb.repartition(5), "embedding", m=2, k=3, iters=2,
+                        id_col="vec_id")
+    assert b1 == b2
+    with pytest.raises(ValueError):
+        S.pq_codebooks(emb, "embedding", m=3, k=2, iters=1, id_col="vec_id")
