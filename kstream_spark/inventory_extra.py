@@ -450,3 +450,36 @@ def q_wf_ntile_dist(spark: SparkSession, sf: str) -> DataFrame:
 
 
 EXTRA_INVENTORY["wf_ntile_dist"] = (q_wf_ntile_dist, SQL_WF_NTILE)
+
+
+def q_wf_value_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """first_value / last_value / nth_value over per-customer order
+    history — the frame-dependent value-window surface (last_value needs
+    an explicit unbounded-following frame or it reads the running last;
+    both engines agree on the frame here)."""
+    from pyspark.sql import Window as W
+    orders = StreamBuilder(spark).table(f"{sf}/orders.parquet").to_df()
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return orders.select(
+        "o_orderkey", "o_custkey",
+        F.first_value("o_totalprice").over(wfull).alias("first_price"),
+        F.last_value("o_totalprice").over(wfull).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(wfull).alias("second_price"),
+        F.cume_dist().over(w).alias("cd"))
+
+
+SQL_WF_VALUE_FUNCTIONS = """
+SELECT o_orderkey, o_custkey,
+       first_value(o_totalprice) OVER wf AS first_price,
+       last_value(o_totalprice) OVER wf AS last_price,
+       nth_value(o_totalprice, 2) OVER wf AS second_price,
+       cume_dist() OVER w AS cd
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+EXTRA_INVENTORY["wf_value_functions"] = (q_wf_value_functions,
+                                         SQL_WF_VALUE_FUNCTIONS)
