@@ -1263,45 +1263,45 @@ FROM hits GROUP BY query_id
 PIPELINE_INVENTORY["sim_ivf_recall"] = (q_sim_ivf_recall, _ivf_recall_sql())
 
 
-def _pq_adc_sql(dim: int = 64, m: int = 4, k: int = 16, iters: int = 2,
-                topk: int = 10, query_ids: str = "0, 1, 2, 3, 4") -> str:
-    """DuckDB replay of pq_codebooks + pq_encode + pq_adc_topk: per-subspace
-    Euclidean Lloyd's unrolled ``iters`` times (seed codewords = the k
-    lowest-vec_id rows' subvectors; assignment by round-6 squared distance
-    with lowest-code ties; cell means round-6; empty codes keep the previous
-    codeword), then codes for every vector and ADC ranking — identical
-    round-6 discipline to the Spark operator at every step."""
+def _pq_train_encode_cte(dim: int = 64, m: int = 4, k: int = 16,
+                         iters: int = 2,
+                         query_ids: str = "0, 1, 2, 3, 4") -> str:
+    """CTE fragment replaying pq_codebooks + pq_encode + the per-query ADC
+    tables: per-subspace Euclidean Lloyd's unrolled ``iters`` times (seed
+    codewords = the k lowest-vec_id rows' subvectors; assignment by round-6
+    squared distance with lowest-code ties; cell means round-6; empty codes
+    keep the previous codeword).  Requires ``e`` (vec_id, v DOUBLE[]) and
+    ``comp`` (vec_id, d, x) CTEs upstream; yields ``codes`` (vec_id, j,
+    code) and ``qtab`` (query_id, j, code, dist) for the consumer —
+    _pq_adc_sql ranks the whole corpus, _ivfpq_sql only probed cells."""
     sub = dim // m
     its = []
     for t in range(iters):
         its.append(f"""
-dist{t} AS (SELECT sc.vec_id, sc.j, b.code,
-              round(sum((sc.x - b.c) * (sc.x - b.c)), 6) AS dist
-            FROM scomp sc JOIN b{t} b ON b.j = sc.j AND b.sd = sc.sd
-            GROUP BY sc.vec_id, sc.j, b.code),
-asg{t} AS (SELECT vec_id, j, code FROM (
-             SELECT vec_id, j, code,
-                    row_number() OVER (PARTITION BY vec_id, j
-                                       ORDER BY dist ASC, code ASC) AS rn
-             FROM dist{t}) WHERE rn = 1),
-mean{t} AS (SELECT a.j, a.code, sc.sd, round(avg(sc.x), 6) AS mn
-            FROM asg{t} a JOIN scomp sc ON sc.vec_id = a.vec_id
-                                       AND sc.j = a.j
-            GROUP BY a.j, a.code, sc.sd),
+pdist{t} AS (SELECT sc.vec_id, sc.j, b.code,
+               round(sum((sc.x - b.c) * (sc.x - b.c)), 6) AS dist
+             FROM scomp sc JOIN b{t} b ON b.j = sc.j AND b.sd = sc.sd
+             GROUP BY sc.vec_id, sc.j, b.code),
+pasg{t} AS (SELECT vec_id, j, code FROM (
+              SELECT vec_id, j, code,
+                     row_number() OVER (PARTITION BY vec_id, j
+                                        ORDER BY dist ASC, code ASC) AS rn
+              FROM pdist{t}) WHERE rn = 1),
+pmean{t} AS (SELECT a.j, a.code, sc.sd, round(avg(sc.x), 6) AS mn
+             FROM pasg{t} a JOIN scomp sc ON sc.vec_id = a.vec_id
+                                         AND sc.j = a.j
+             GROUP BY a.j, a.code, sc.sd),
 b{t + 1} AS (SELECT p.code, p.j, p.sd, coalesce(me.mn, p.c) AS c
-             FROM b{t} p LEFT JOIN mean{t} me ON me.j = p.j
+             FROM b{t} p LEFT JOIN pmean{t} me ON me.j = p.j
                AND me.code = p.code AND me.sd = p.sd)""")
     lloyd = ",".join(its)
-    return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-comp AS (SELECT vec_id, dd.d AS d, v[dd.d + 1] AS x
-         FROM e CROSS JOIN range(0, {dim}) dd(d)),
-scomp AS (SELECT vec_id, CAST(d // {sub} AS INT) AS j, d % {sub} AS sd, x
+    return f"""scomp AS (SELECT vec_id, CAST(d // {sub} AS INT) AS j,
+                  d % {sub} AS sd, x
           FROM comp),
-seeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS code
-          FROM e ORDER BY vec_id LIMIT {k}),
+pseeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS code
+           FROM e ORDER BY vec_id LIMIT {k}),
 b0 AS (SELECT s.code, sc.j, sc.sd, sc.x AS c
-       FROM seeds s JOIN scomp sc USING (vec_id)),{lloyd},
+       FROM pseeds s JOIN scomp sc USING (vec_id)),{lloyd},
 books AS (SELECT code, j, sd, c FROM b{iters}),
 -- encode every vector with the trained books
 encd AS (SELECT sc.vec_id, sc.j, b.code,
@@ -1318,7 +1318,18 @@ qtab AS (SELECT sc.vec_id AS query_id, sc.j, b.code,
            round(sum((sc.x - b.c) * (sc.x - b.c)), 6) AS dist
          FROM scomp sc JOIN books b ON b.j = sc.j AND b.sd = sc.sd
          WHERE sc.vec_id IN ({query_ids})
-         GROUP BY sc.vec_id, sc.j, b.code),
+         GROUP BY sc.vec_id, sc.j, b.code)"""
+
+
+def _pq_adc_sql(dim: int = 64, m: int = 4, k: int = 16, iters: int = 2,
+                topk: int = 10, query_ids: str = "0, 1, 2, 3, 4") -> str:
+    """DuckDB replay of pq_codebooks + pq_encode + pq_adc_topk over the
+    WHOLE corpus (see _pq_train_encode_cte for the shared chain)."""
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+comp AS (SELECT vec_id, dd.d AS d, v[dd.d + 1] AS x
+         FROM e CROSS JOIN range(0, {dim}) dd(d)),
+{_pq_train_encode_cte(dim, m, k, iters, query_ids)},
 scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
              round(sum(q.dist), 6) AS adist
            FROM codes c JOIN qtab q ON q.j = c.j AND q.code = c.code
@@ -1330,6 +1341,59 @@ SELECT query_id, neighbor_id, adist,
          AS rank
 FROM scored QUALIFY rank <= {topk}
 """
+
+
+def _ivfpq_sql(dim: int = 64, cells: int = 8, cell_iters: int = 3,
+               m: int = 4, k: int = 16, pq_iters: int = 2,
+               n_probe: int = 3, topk: int = 10,
+               query_ids: str = "0, 1, 2, 3, 4") -> str:
+    """DuckDB replay of the IVF-PQ composition: the shared Lloyd's cosine
+    cell chain (_lloyd_cells_cte: e/comp/cos_ac/assigned), the shared PQ
+    train+encode chain (_pq_train_encode_cte — reuses e/comp), then
+    probe -> candidate -> ADC-rank restricted to probed cells."""
+    return f"""
+WITH {_lloyd_cells_cte(cells, cell_iters, dim)},
+{_pq_train_encode_cte(dim, m, k, pq_iters, query_ids)},
+probes AS (SELECT vec_id AS query_id, cell_id FROM (
+             SELECT vec_id, cell_id,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY cell_cos DESC, cell_id) AS rn
+             FROM cos_ac WHERE vec_id IN ({query_ids}))
+           WHERE rn <= {n_probe}),
+cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+         FROM probes p JOIN assigned a USING (cell_id)
+         WHERE p.query_id <> a.vec_id),
+scored AS (SELECT cn.query_id, cn.neighbor_id,
+             round(sum(q.dist), 6) AS adist
+           FROM cand cn
+           JOIN codes cd ON cd.vec_id = cn.neighbor_id
+           JOIN qtab q ON q.query_id = cn.query_id AND q.j = cd.j
+                      AND q.code = cd.code
+           GROUP BY cn.query_id, cn.neighbor_id)
+SELECT query_id, neighbor_id, adist,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY adist ASC, neighbor_id) AS BIGINT)
+         AS rank
+FROM scored QUALIFY rank <= {topk}
+"""
+
+
+def q_sim_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ composed index: k-means coarse cells (probe 3 of 8) + PQ
+    asymmetric-distance ranking over m-byte codes — the billion-scale ANN
+    architecture end-to-end, fully deterministic and oracle-replayed
+    (train cells -> train codebooks -> assign -> encode -> probe -> ADC)."""
+    emb = _embs(StreamBuilder(spark), sf)
+    cents = S.kmeans_centroids(emb, "embedding", k=8, iters=3,
+                               id_col="vec_id")
+    books = S.pq_codebooks(emb, "embedding", m=4, k=16, iters=2,
+                           id_col="vec_id")
+    return S.ivfpq_topk(emb, "vec_id", "embedding",
+                        query_ids=[0, 1, 2, 3, 4], centroids=cents,
+                        codebooks=books, k=10, n_probe=3)
+
+
+PIPELINE_INVENTORY["sim_ivfpq_topk"] = (q_sim_ivfpq_topk, _ivfpq_sql())
 
 
 def q_sim_pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:

@@ -709,3 +709,108 @@ def pq_adc_topk(emb: DataFrame, id_col: str, vec_col: str,
     w = W.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= k))
+
+
+def ivfpq_topk(emb: DataFrame, id_col: str, vec_col: str,
+               query_ids: list, centroids: list, codebooks: list,
+               k: int = 10, n_probe: int = 3) -> DataFrame:
+    """IVF-PQ: the billion-scale ANN composition — a coarse quantizer
+    restricts the scan to ``n_probe`` probed cells (the IVF half,
+    cosine-assigned as in ivf_topk/semantic_dedup), and within those
+    cells candidates rank by PQ asymmetric distance over m-byte codes
+    (the pq_adc_topk half) instead of raw vectors.
+
+    Plan shape at scale: nearest-cell assignment is a pure PROJECTION
+    (literal centroid matrix — no join), codes are an Arrow projection,
+    the tiny probe table (|Q| x n_probe) and per-query distance tables
+    broadcast, so the corpus crosses ZERO shuffles before the per-query
+    top-k.  Deterministic end-to-end (round-6 HALF_UP everywhere, lowest
+    cell/code/id ties), so the oracle replays train -> assign -> encode ->
+    probe -> ADC-rank exactly.  Returns (query_id, neighbor_id, adist,
+    rank) — ascending approximate distance."""
+    import math
+
+    import numpy as np
+
+    from kstream_spark.functions.vectors import dot, norm
+
+    # --- coarse assignment as a literal projection (semantic_dedup shape)
+    corpus = emb.select(F.col(id_col).alias("neighbor_id"),
+                        as_double(F.col(vec_col)).alias("v")) \
+        .withColumn("n", norm(F.col("v")))
+    cell_scores = F.array(*[
+        F.round(dot(F.col("v"), F.array(*[F.lit(float(x)) for x in c]))
+                / (F.col("n")
+                   * F.lit(math.sqrt(sum(float(x) * float(x) for x in c)))),
+                6)
+        for c in centroids])
+    assigned = corpus.withColumn(
+        "cell_id",
+        (F.array_position(cell_scores, F.array_max(cell_scores)) - 1)
+        .cast("long"))
+
+    # --- PQ codes, carrying cell_id through the Arrow projection
+    bks = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    sub = bks[0].shape[1]
+    id_dt = emb.schema[id_col].dataType.simpleString()
+
+    def encode(batches):
+        import numpy as np  # noqa: F811
+        for pdf in batches:
+            mat = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+            cols = []
+            for j, cb in enumerate(bks):
+                x = mat[:, j * sub:(j + 1) * sub]
+                raw = ((x[:, None, :] - cb[None, :, :]) ** 2).sum(-1)
+                d = np.copysign(np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6, raw)
+                cols.append(np.argmin(d, axis=1))
+            codes = np.stack(cols, axis=1)
+            yield pd.DataFrame(
+                {"neighbor_id": pdf["neighbor_id"].to_numpy(dtype=object),
+                 "cell_id": pdf["cell_id"].to_numpy(dtype=object),
+                 "codes": list(codes.astype(int).tolist())})
+
+    encoded = assigned.select("neighbor_id", "cell_id", "v").mapInPandas(
+        encode, schema=f"neighbor_id {id_dt}, cell_id long, codes array<int>")
+
+    # --- probes + per-query ADC tables, built driver-side (tiny)
+    qrows = (emb.filter(F.col(id_col).isin(query_ids))
+             .select(F.col(id_col).alias("query_id"),
+                     as_double(F.col(vec_col)).alias("qv")).collect())
+    spark = emb.sparkSession
+    cents = np.asarray(centroids, dtype=np.float64)
+    cnorm = np.sqrt((cents ** 2).sum(-1))
+    probe_rows, tab_rows = [], []
+    for r in qrows:
+        qv = np.asarray(r["qv"], dtype=np.float64)
+        raw = (cents @ qv) / (cnorm * float(np.sqrt((qv ** 2).sum())))
+        cos = np.copysign(np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6, raw)
+        # ORDER BY cos DESC, cell ASC — argsort on (-cos, cell) is stable
+        order = np.lexsort((np.arange(len(cos)), -cos))
+        for cell in order[:n_probe]:
+            probe_rows.append((r["query_id"], int(cell)))
+        tabs = []
+        for j, cb in enumerate(bks):
+            x = qv[j * sub:(j + 1) * sub]
+            rawd = ((cb - x[None, :]) ** 2).sum(-1)
+            d = np.copysign(np.floor(np.abs(rawd) * 1e6 + 0.5) / 1e6, rawd)
+            tabs.append([float(v) for v in d])
+        tab_rows.append((r["query_id"], tabs))
+    probes = F.broadcast(spark.createDataFrame(
+        probe_rows, schema=f"query_id {id_dt}, cell_id long"))
+    tables = F.broadcast(spark.createDataFrame(
+        tab_rows, schema=f"query_id {id_dt}, tabs array<array<double>>"))
+
+    adist = None
+    for j in range(len(bks)):
+        term = F.element_at(F.element_at("tabs", j + 1),
+                            F.element_at("codes", j + 1) + 1)
+        adist = term if adist is None else adist + term
+    scored = (encoded.join(probes, "cell_id")
+              .filter(F.col("query_id") != F.col("neighbor_id"))
+              .join(tables, "query_id")
+              .select("query_id", "neighbor_id",
+                      F.round(adist, 6).alias("adist")))
+    w = W.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k))

@@ -559,3 +559,24 @@ def test_pq_codebooks_deterministic_and_dim_guard(spark):
     assert b1 == b2
     with pytest.raises(ValueError):
         S.pq_codebooks(emb, "embedding", m=3, k=2, iters=1, id_col="vec_id")
+
+
+def test_ivfpq_full_probe_equals_plain_adc(spark):
+    """Probing ALL cells makes IVF-PQ's candidate set the whole corpus, so
+    its output must equal plain pq_adc_topk exactly (same books)."""
+    import numpy as np
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.normal(0, 1, 8)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = S.kmeans_centroids(emb, "embedding", k=4, iters=2,
+                               id_col="vec_id")
+    books = S.pq_codebooks(emb, "embedding", m=2, k=8, iters=2,
+                           id_col="vec_id")
+    full = S.ivfpq_topk(emb, "vec_id", "embedding", [0, 1], cents, books,
+                        k=5, n_probe=4)
+    plain = S.pq_adc_topk(emb, "vec_id", "embedding", [0, 1], books, k=5)
+    got = {(r.query_id, r.neighbor_id, r.adist, r.rank)
+           for r in full.collect()}
+    want = {(r.query_id, r.neighbor_id, r.adist, r.rank)
+            for r in plain.collect()}
+    assert got == want

@@ -298,3 +298,22 @@ def test_distributed_rank_matches_window_and_avoids_global_sort(spark):
     # the counts pass must read the SAME range exchange (rank consistency
     # depends on it: boundaries are sampled, a re-run could differ)
     assert "ReusedExchange" in plan, plan
+
+
+def test_ivfpq_corpus_never_shuffles_before_rank(spark):
+    """IVF-PQ at scale: cell assignment is a literal projection, codes an
+    Arrow projection, probes/tables broadcast — the only exchange of
+    corpus-derived rows is the per-query top-k window over candidates."""
+    from kstream_spark.operators import similarity as S
+    emb = StreamBuilder(spark).table(f"{SF}/embeddings.parquet").to_df()
+    cents = S.kmeans_centroids(emb, "embedding", k=4, iters=1,
+                               id_col="vec_id")
+    books = S.pq_codebooks(emb, "embedding", m=4, k=8, iters=1,
+                           id_col="vec_id")
+    df = S.ivfpq_topk(emb, "vec_id", "embedding", [0, 1], cents, books,
+                      k=5, n_probe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    P.assert_no_sort_merge_join(df)
+    P.assert_broadcast(df, 2)          # probes + tables
+    assert P.shuffle_count(df) <= 1    # only the rank window
