@@ -73,6 +73,9 @@ HEADLINE = [
     "text_vocab_topk",
     "text_bpe_pairs",
     "sample_group_split",
+    "sim_pq_adc_topk",
+    "sim_ivfpq_topk",
+    "wf_value_functions",
 ]
 
 

@@ -317,3 +317,27 @@ def test_ivfpq_corpus_never_shuffles_before_rank(spark):
     P.assert_no_sort_merge_join(df)
     P.assert_broadcast(df, 2)          # probes + tables
     assert P.shuffle_count(df) <= 1    # only the rank window
+
+
+def test_partition_pruning_on_hive_layout(spark, tmp_path):
+    """A filter on the partition column must prune at PLANNING time:
+    PartitionFilters carries the predicate, and the scan touches only the
+    matching partition's files (directory-level skipping — the
+    first-order 100 TB technique, ahead of row-group stats)."""
+    from kstream_spark.operators.layout import write_partitioned
+    ev = StreamBuilder(spark).stream(f"{SF}/events.parquet").to_df()
+    path = str(tmp_path / "events_by_type")
+    write_partitioned(ev, path, ["event_type"])
+
+    all_types = spark.read.parquet(path)
+    one = all_types.filter(F.col("event_type") == "purchase")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "purchase" in plan.split(
+        "PartitionFilters")[1][:200]
+    # planning-time pruning: only the purchase partition's files are read
+    touched = set(one.inputFiles())
+    assert touched and all("event_type=purchase" in f for f in touched)
+    assert len(touched) < len(set(all_types.inputFiles()))
+    # correctness unchanged by the layout
+    want = ev.filter(F.col("event_type") == "purchase").count()
+    assert one.count() == want
