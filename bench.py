@@ -76,6 +76,8 @@ HEADLINE = [
     "sim_pq_adc_topk",
     "sim_ivfpq_topk",
     "wf_value_functions",
+    "text_bpe_train",
+    "sim_ivfpq_residual_topk",
 ]
 
 

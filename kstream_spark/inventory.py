@@ -503,12 +503,11 @@ INVENTORY.update(QUALITY_INVENTORY)
 # queries appear in no CORRECTNESS file and land in group 2 automatically.
 
 _TOUCHED_THIS_ROUND = [
-    # r5: LSH/SemDeDup verify matmuls switched np.round -> HALF_UP and the
-    # applyInPandas pair/drop schemas now derive the id type from the input
-    "sim_lsh_pairs", "dedup_embedding_lsh", "dedup_semantic",
-    # r5: shard checksum switched bit_xor -> additive sum mod 2^63 (both
-    # the operator and the oracle changed)
-    "corpus_manifest",
+    # r6: PQ/IVF-PQ rank path rewrote to narrow local-top-k before the
+    # per-query window, and codebook means switched np.round -> HALF_UP
+    "sim_pq_adc_topk", "sim_ivfpq_topk",
+    # r6: with_ntile_percent_rank gained the 1-row percent_rank guard
+    "wf_ntile_dist",
 ]
 
 

@@ -365,6 +365,55 @@ FROM p GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 50
 CORPUS_INVENTORY["text_bpe_pairs"] = (q_text_bpe_pairs, SQL_TEXT_BPE_PAIRS)
 
 
+_BPE_TRAIN_MERGES = 6
+
+
+def q_text_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
+    """Full iterative BPE training loop: merge the top pair, RECOUNT,
+    repeat — one |vocab|-sized aggregation per round
+    (operators/text.bpe_train; text_bpe_pairs is one round's statistic)."""
+    from kstream_spark.operators.text import bpe_train
+    return bpe_train(_docs(spark, sf), "text", n_merges=_BPE_TRAIN_MERGES)
+
+
+def _sql_bpe_train(n: int) -> str:
+    """Unroll n BPE merge rounds as chained CTEs — DuckDB replays the
+    exact count -> pick -> merge -> recount sequence the Spark loop runs
+    (same leftmost-first non-overlapping replace, same (cnt desc, pair
+    asc) winner)."""
+    parts = [r"""
+WITH t AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+           FROM documents),
+wf AS (SELECT w, CAST(count(*) AS BIGINT) AS wf
+       FROM t WHERE length(w) >= 2 GROUP BY w),
+s0 AS (SELECT ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS seq, wf
+       FROM wf)"""]
+    for r in range(1, n + 1):
+        prev = f"s{r - 1}"
+        parts.append(f""",
+p{r} AS (SELECT pair, CAST(sum(wf) AS BIGINT) AS cnt
+  FROM (SELECT wf, unnest(list_transform(
+            range(1, len(string_split(trim(seq), ' '))),
+            i -> string_split(trim(seq), ' ')[i] || ' '
+                 || string_split(trim(seq), ' ')[i + 1])) AS pair
+        FROM {prev} WHERE len(string_split(trim(seq), ' ')) > 1)
+  GROUP BY pair),
+b{r} AS (SELECT pair, replace(pair, ' ', '') AS merged, cnt
+  FROM p{r} ORDER BY cnt DESC, pair ASC LIMIT 1),
+s{r} AS (SELECT replace(seq, ' ' || b.pair || ' ',
+                        ' ' || b.merged || ' ') AS seq, wf
+  FROM {prev}, b{r} b)""")
+    union = "\nUNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_rank, pair, merged, cnt "
+        f"FROM b{r}" for r in range(1, n + 1))
+    parts.append(f"\n{union}")
+    return "".join(parts)
+
+
+CORPUS_INVENTORY["text_bpe_train"] = (q_text_bpe_train,
+                                      _sql_bpe_train(_BPE_TRAIN_MERGES))
+
+
 def q_sample_group_split(spark: SparkSession, sf: str) -> DataFrame:
     """Leakage-safe holdout: split assigned per SOURCE (group), so
     same-source near-duplicates never straddle train/val

@@ -1411,3 +1411,117 @@ def q_sim_pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 PIPELINE_INVENTORY["sim_pq_adc_topk"] = (q_sim_pq_adc_topk, _pq_adc_sql())
+
+
+def _ivfpq_residual_sql(dim: int = 64, cells: int = 8, cell_iters: int = 3,
+                        m: int = 4, k: int = 16, pq_iters: int = 2,
+                        n_probe: int = 3, topk: int = 10,
+                        query_ids: str = "0, 1, 2, 3, 4") -> str:
+    """DuckDB replay of ivfpq_residual_topk: the shared Lloyd's cell chain
+    (_lloyd_cells_cte), then residual components (v - centroid[cell]), PQ
+    training/encoding ON RESIDUALS (same unrolled-Lloyd pattern as
+    _pq_train_encode_cte, r-prefixed), per-(query, probed-cell) ADC
+    tables, and the probe-restricted rank."""
+    sub = dim // m
+    its = []
+    for t in range(pq_iters):
+        its.append(f"""
+rpdist{t} AS (SELECT sc.vec_id, sc.j, b.code,
+                round(sum((sc.x - b.c) * (sc.x - b.c)), 6) AS dist
+              FROM srcomp sc JOIN rb{t} b ON b.j = sc.j AND b.sd = sc.sd
+              GROUP BY sc.vec_id, sc.j, b.code),
+rpasg{t} AS MATERIALIZED (SELECT vec_id, j, code FROM (
+               SELECT vec_id, j, code,
+                      row_number() OVER (PARTITION BY vec_id, j
+                                         ORDER BY dist ASC, code ASC) AS rn
+               FROM rpdist{t}) WHERE rn = 1),
+rpmean{t} AS (SELECT a.j, a.code, sc.sd, round(avg(sc.x), 6) AS mn
+              FROM rpasg{t} a JOIN srcomp sc ON sc.vec_id = a.vec_id
+                                            AND sc.j = a.j
+              GROUP BY a.j, a.code, sc.sd),
+rb{t + 1} AS MATERIALIZED (SELECT p.code, p.j, p.sd, coalesce(me.mn, p.c) AS c
+              FROM rb{t} p LEFT JOIN rpmean{t} me ON me.j = p.j
+                AND me.code = p.code AND me.sd = p.sd)""")
+    lloyd = ",".join(its)
+    # DuckDB inlines CTEs referenced once and only HEURISTICALLY
+    # materializes multi-referenced ones; this chain stacks a second
+    # multiply-referenced pyramid (srcomp/rb*/rbooks) on top of the
+    # lloyd chain, and full inlining re-expands the upstream per
+    # reference — exponential work (observed: >10 min vs 5 s for the
+    # non-residual oracle).  Explicit MATERIALIZED pins linear cost.
+    base = _lloyd_cells_cte(cells, cell_iters, dim)
+    for nm in ("e AS (", "comp AS (", "cent AS (", "cos_ac AS (",
+               "assigned AS ("):
+        base = base.replace(nm, nm[:-1] + "MATERIALIZED (")
+    return f"""
+WITH {base},
+rcomp AS (SELECT cm.vec_id, cm.d, cm.x - ct.c AS x
+          FROM comp cm JOIN assigned a USING (vec_id)
+          JOIN cent ct ON ct.cell_id = a.cell_id AND ct.d = cm.d),
+srcomp AS MATERIALIZED (SELECT vec_id, CAST(d // {sub} AS INT) AS j, d % {sub} AS sd, x
+           FROM rcomp),
+rseeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS code
+           FROM e ORDER BY vec_id LIMIT {k}),
+rb0 AS MATERIALIZED (SELECT s.code, sc.j, sc.sd, sc.x AS c
+        FROM rseeds s JOIN srcomp sc USING (vec_id)),{lloyd},
+rbooks AS MATERIALIZED (SELECT code, j, sd, c FROM rb{pq_iters}),
+rencd AS (SELECT sc.vec_id, sc.j, b.code,
+            round(sum((sc.x - b.c) * (sc.x - b.c)), 6) AS dist
+          FROM srcomp sc JOIN rbooks b ON b.j = sc.j AND b.sd = sc.sd
+          GROUP BY sc.vec_id, sc.j, b.code),
+rcodes AS MATERIALIZED (SELECT vec_id, j, code FROM (
+             SELECT vec_id, j, code,
+                    row_number() OVER (PARTITION BY vec_id, j
+                                       ORDER BY dist ASC, code ASC) AS rn
+             FROM rencd) WHERE rn = 1),
+probes AS MATERIALIZED (SELECT vec_id AS query_id, cell_id FROM (
+             SELECT vec_id, cell_id,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY cell_cos DESC, cell_id) AS rn
+             FROM cos_ac WHERE vec_id IN ({query_ids}))
+           WHERE rn <= {n_probe}),
+qrcomp AS (SELECT p.query_id, p.cell_id,
+             CAST(cm.d // {sub} AS INT) AS j, cm.d % {sub} AS sd,
+             cm.x - ct.c AS x
+           FROM probes p
+           JOIN comp cm ON cm.vec_id = p.query_id
+           JOIN cent ct ON ct.cell_id = p.cell_id AND ct.d = cm.d),
+qrtab AS MATERIALIZED (SELECT qc.query_id, qc.cell_id, qc.j, b.code,
+            round(sum((qc.x - b.c) * (qc.x - b.c)), 6) AS dist
+          FROM qrcomp qc JOIN rbooks b ON b.j = qc.j AND b.sd = qc.sd
+          GROUP BY qc.query_id, qc.cell_id, qc.j, b.code),
+cand AS MATERIALIZED (SELECT p.query_id, p.cell_id, a.vec_id AS neighbor_id
+         FROM probes p JOIN assigned a USING (cell_id)
+         WHERE p.query_id <> a.vec_id),
+scored AS (SELECT cn.query_id, cn.neighbor_id,
+             round(sum(q.dist), 6) AS adist
+           FROM cand cn
+           JOIN rcodes cd ON cd.vec_id = cn.neighbor_id
+           JOIN qrtab q ON q.query_id = cn.query_id
+                       AND q.cell_id = cn.cell_id
+                       AND q.j = cd.j AND q.code = cd.code
+           GROUP BY cn.query_id, cn.neighbor_id)
+SELECT query_id, neighbor_id, adist,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY adist ASC, neighbor_id) AS BIGINT)
+         AS rank
+FROM scored QUALIFY rank <= {topk}
+"""
+
+
+def q_sim_ivfpq_residual_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Residual IVF-PQ (the FAISS IndexIVFPQ formulation): PQ codebooks
+    trained on and encoding v - centroid[cell], per-(query, probed-cell)
+    ADC tables — finer quantization from the same m-byte budget
+    (operators/similarity.ivfpq_residual_topk)."""
+    emb = _embs(StreamBuilder(spark), sf)
+    cents = S.kmeans_centroids(emb, "embedding", k=8, iters=3,
+                               id_col="vec_id")
+    return S.ivfpq_residual_topk(emb, "vec_id", "embedding",
+                                 query_ids=[0, 1, 2, 3, 4],
+                                 centroids=cents, m=4, pq_k=16,
+                                 pq_iters=2, k=10, n_probe=3)
+
+
+PIPELINE_INVENTORY["sim_ivfpq_residual_topk"] = (q_sim_ivfpq_residual_topk,
+                                                 _ivfpq_residual_sql())

@@ -103,5 +103,8 @@ def with_ntile_percent_rank(df: DataFrame, order_by: list[Column],
     ).otherwise(r + F.floor((rk - r * (q + 1) - 1) / q) + 1)
     return (ranked
             .withColumn(ntile_col, ntile.cast("long"))
-            .withColumn(pct_col, F.round((rk - 1) / (n - 1), 6))
+            .withColumn(pct_col,
+                        F.when(n == 1, F.lit(0.0))   # percent_rank() gives
+                        # 0.0 on a 1-row relation; (rk-1)/(n-1) would be 0/0
+                        .otherwise(F.round((rk - 1) / (n - 1), 6)))
             .drop("__grank", "__n"))

@@ -550,6 +550,30 @@ def load_centroids(spark, path: str) -> list:
     return [r["cv"] for r in rows]
 
 
+def save_codebooks(spark, codebooks: list, path: str) -> None:
+    """Persist trained PQ codebooks as parquet — completes the IVF-PQ
+    production lifecycle (train ONCE, encode/probe many): together with
+    save_centroids, a search job can load both halves of the index and
+    skip training entirely.  One row per (subspace j, code c) codeword."""
+    rows = [(j, c, [float(x) for x in cw])
+            for j, book in enumerate(codebooks)
+            for c, cw in enumerate(book)]
+    spark.createDataFrame(
+        rows, schema="j long, code long, cw array<double>") \
+        .write.mode("overwrite").parquet(path)
+
+
+def load_codebooks(spark, path: str) -> list:
+    """Inverse of save_codebooks: returns the m x k codeword structure in
+    (subspace, code) order, ready for pq_encode / pq_adc_topk /
+    ivfpq_topk(codebooks=...)."""
+    rows = spark.read.parquet(path).orderBy("j", "code").collect()
+    books: dict = {}
+    for r in rows:
+        books.setdefault(r["j"], []).append(r["cw"])
+    return [books[j] for j in sorted(books)]
+
+
 def pq_codebooks(emb: DataFrame, vec_col: str, m: int = 4, k: int = 16,
                  iters: int = 2, id_col: str | None = None) -> list:
     """Train product-quantization codebooks: the vector space splits into
@@ -615,7 +639,7 @@ def pq_codebooks(emb: DataFrame, vec_col: str, m: int = 4, k: int = 16,
                 + np.array(r["s"], dtype=np.float64)
             counts[key] = counts.get(key, 0) + r["n"]
         for (j, c), s in sums.items():
-            books[j][c] = np.round(s / counts[(j, c)], 6)
+            books[j][c] = np_round6_half_up(s / counts[(j, c)])
     vecs.unpersist()
     return [b.tolist() for b in books]
 
@@ -653,6 +677,41 @@ def pq_encode(emb: DataFrame, id_col: str, vec_col: str,
     return out.withColumnRenamed("_id", id_col)
 
 
+def _per_query_topk(scored: DataFrame, k: int, score_col: str = "adist",
+                    id_col: str = "neighbor_id", asc: bool = True,
+                    rank_col: str = "rank") -> DataFrame:
+    """Scale-safe per-query top-k: a NARROW (zero-shuffle, same-stage)
+    per-partition top-k pass shrinks the rank window's input from
+    |corpus| rows per query to <= partitions*k, so no reducer ever sorts
+    a corpus-sized slice (the classic top-k-via-window scale killer —
+    ``row_number().over(partitionBy(query))`` alone sends each query's
+    ENTIRE scored corpus to one task).  Exactness: (score, id) is a
+    total order (ids unique within a query), so the global top-k is
+    contained in the union of per-partition top-k's — output is
+    bit-identical to the plain window form."""
+    schema = scored.schema
+
+    def local_topk(batches):
+        import pandas as pd  # noqa: F811
+        best: dict = {}
+        for pdf in batches:
+            for qid, grp in pdf.groupby("query_id", sort=False):
+                cur = best.get(qid)
+                both = grp if cur is None else pd.concat((cur, grp))
+                best[qid] = both.sort_values(
+                    [score_col, id_col], ascending=[asc, True],
+                    kind="mergesort").head(k)
+        if best:
+            yield pd.concat(best.values())
+
+    pruned = scored.mapInPandas(local_topk, schema=schema)
+    order = F.asc(score_col) if asc else F.desc(score_col)
+    w = W.partitionBy("query_id").orderBy(order, F.asc(id_col))
+    return (pruned.withColumn(rank_col,
+                              F.row_number().over(w).cast("long"))
+            .filter(F.col(rank_col) <= k))
+
+
 def pq_adc_topk(emb: DataFrame, id_col: str, vec_col: str,
                 query_ids: list, codebooks: list, k: int = 10) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes: each query
@@ -664,7 +723,9 @@ def pq_adc_topk(emb: DataFrame, id_col: str, vec_col: str,
 
     Plan shape: corpus -> pq_encode (projection) -> broadcast-join the
     tiny query table -> per-pair distance as m array lookups (codegen
-    element_at, no UDF) -> TakeOrdered top-k.  Returns
+    element_at, no UDF) -> narrow per-partition top-k -> final rank
+    window over <= partitions*k rows per query (never a corpus-sized
+    single-task sort; see _per_query_topk).  Returns
     (query_id, neighbor_id, adist, rank) ranked by approximate distance
     ASC with id tie-breaks — fully deterministic (round-6 HALF_UP at the
     subvector-distance level, exactly what the encode step used)."""
@@ -706,9 +767,7 @@ def pq_adc_topk(emb: DataFrame, id_col: str, vec_col: str,
                          F.col("query_id") != F.col("neighbor_id"))
               .select("query_id", "neighbor_id",
                       F.round(adist, 6).alias("adist")))
-    w = W.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
-            .filter(F.col("rank") <= k))
+    return _per_query_topk(scored, k)
 
 
 def ivfpq_topk(emb: DataFrame, id_col: str, vec_col: str,
@@ -811,6 +870,135 @@ def ivfpq_topk(emb: DataFrame, id_col: str, vec_col: str,
               .join(tables, "query_id")
               .select("query_id", "neighbor_id",
                       F.round(adist, 6).alias("adist")))
-    w = W.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
-            .filter(F.col("rank") <= k))
+    return _per_query_topk(scored, k)
+
+
+def ivfpq_residual_topk(emb: DataFrame, id_col: str, vec_col: str,
+                        query_ids: list, centroids: list,
+                        m: int = 4, pq_k: int = 16, pq_iters: int = 2,
+                        k: int = 10, n_probe: int = 3) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding — the accuracy-critical refinement of
+    the classical composition (Jegou et al. 2011 sec. III; what FAISS's
+    IndexIVFPQ actually does): PQ codebooks are trained on, and codes
+    encode, the residual ``v - centroid[cell]`` instead of the raw
+    vector.  Residuals concentrate near the origin, so the same m-byte
+    budget quantizes them far more finely than it can the full-magnitude
+    corpus — and a query builds a SEPARATE ADC table per probed cell
+    (its residual differs per cell), which is exactly n_probe times the
+    tiny table cost.
+
+    Scale shape (same zero-corpus-shuffle discipline as ivfpq_topk):
+    cell assignment is a literal projection; residual + encode is ONE
+    Arrow-batched pass (codes never round-trip through a join back to
+    cells); codebook training sees only the residual column with
+    partition-bounded partial sums; the (query, cell) probe/table
+    relation is |Q| x n_probe rows and broadcasts; ranking goes through
+    the narrow local-top-k (_per_query_topk), never a corpus-sized
+    window.  Deterministic end-to-end: residual subtraction is exact
+    IEEE double arithmetic on round-6 centroid literals, every distance
+    and codeword mean is round-6 HALF_UP with lowest-index ties, so a
+    SQL oracle replays assign -> residual -> train -> encode -> probe ->
+    per-cell ADC bit-for-bit.  Returns (query_id, neighbor_id, adist,
+    rank), ascending approximate distance."""
+    import math
+
+    import numpy as np
+
+    from kstream_spark.functions.vectors import dot, norm
+
+    # --- coarse assignment: literal projection (ivfpq_topk shape)
+    corpus = emb.select(F.col(id_col).alias("neighbor_id"),
+                        as_double(F.col(vec_col)).alias("v")) \
+        .withColumn("n", norm(F.col("v")))
+    cell_scores = F.array(*[
+        F.round(dot(F.col("v"), F.array(*[F.lit(float(x)) for x in c]))
+                / (F.col("n")
+                   * F.lit(math.sqrt(sum(float(x) * float(x) for x in c)))),
+                6)
+        for c in centroids])
+    assigned = corpus.withColumn(
+        "cell_id",
+        (F.array_position(cell_scores, F.array_max(cell_scores)) - 1)
+        .cast("long")).select("neighbor_id", "cell_id", "v")
+    cents = np.asarray(centroids, dtype=np.float64)
+    id_dt = emb.schema[id_col].dataType.simpleString()
+
+    # --- residuals: one Arrow pass (v - centroid[cell], exact doubles)
+    def residual(batches):
+        import numpy as np  # noqa: F811
+        for pdf in batches:
+            mat = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+            cells = pdf["cell_id"].to_numpy().astype(np.int64)
+            res = mat - cents[cells]
+            yield pd.DataFrame(
+                {"neighbor_id": pdf["neighbor_id"].to_numpy(dtype=object),
+                 "cell_id": pdf["cell_id"].to_numpy(dtype=object),
+                 "rv": list(res.tolist())})
+
+    res_df = assigned.mapInPandas(
+        residual,
+        schema=f"neighbor_id {id_dt}, cell_id long, rv array<double>")
+
+    # --- PQ codebooks trained ON RESIDUALS (seeds: k lowest-id residuals)
+    books = pq_codebooks(res_df, "rv", m=m, k=pq_k, iters=pq_iters,
+                         id_col="neighbor_id")
+    bks = [np.asarray(b, dtype=np.float64) for b in books]
+    sub = bks[0].shape[1]
+
+    # --- encode residuals, carrying cell_id (no join back)
+    def encode(batches):
+        import numpy as np  # noqa: F811
+        for pdf in batches:
+            mat = np.vstack(pdf["rv"].to_numpy()).astype(np.float64)
+            cols = []
+            for j, cb in enumerate(bks):
+                x = mat[:, j * sub:(j + 1) * sub]
+                raw = ((x[:, None, :] - cb[None, :, :]) ** 2).sum(-1)
+                d = np.copysign(np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6, raw)
+                cols.append(np.argmin(d, axis=1))
+            codes = np.stack(cols, axis=1)
+            yield pd.DataFrame(
+                {"neighbor_id": pdf["neighbor_id"].to_numpy(dtype=object),
+                 "cell_id": pdf["cell_id"].to_numpy(dtype=object),
+                 "codes": list(codes.astype(int).tolist())})
+
+    encoded = res_df.mapInPandas(
+        encode, schema=f"neighbor_id {id_dt}, cell_id long, codes array<int>")
+
+    # --- driver-side probes + PER-(query, cell) ADC tables (|Q| x n_probe
+    # rows, each m x pq_k doubles — tiny, broadcast)
+    qrows = (emb.filter(F.col(id_col).isin(query_ids))
+             .select(F.col(id_col).alias("query_id"),
+                     as_double(F.col(vec_col)).alias("qv")).collect())
+    spark = emb.sparkSession
+    cnorm = np.sqrt((cents ** 2).sum(-1))
+    tab_rows = []
+    for r in qrows:
+        qv = np.asarray(r["qv"], dtype=np.float64)
+        raw = (cents @ qv) / (cnorm * float(np.sqrt((qv ** 2).sum())))
+        cos = np.copysign(np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6, raw)
+        order = np.lexsort((np.arange(len(cos)), -cos))
+        for cell in order[:n_probe]:
+            qres = qv - cents[int(cell)]
+            tabs = []
+            for j, cb in enumerate(bks):
+                x = qres[j * sub:(j + 1) * sub]
+                rawd = ((cb - x[None, :]) ** 2).sum(-1)
+                d = np.copysign(np.floor(np.abs(rawd) * 1e6 + 0.5) / 1e6,
+                                rawd)
+                tabs.append([float(v) for v in d])
+            tab_rows.append((r["query_id"], int(cell), tabs))
+    tables = F.broadcast(spark.createDataFrame(
+        tab_rows,
+        schema=f"query_id {id_dt}, cell_id long, tabs array<array<double>>"))
+
+    adist = None
+    for j in range(m):
+        term = F.element_at(F.element_at("tabs", j + 1),
+                            F.element_at("codes", j + 1) + 1)
+        adist = term if adist is None else adist + term
+    scored = (encoded.join(tables, on="cell_id")
+              .filter(F.col("query_id") != F.col("neighbor_id"))
+              .select("query_id", "neighbor_id",
+                      F.round(adist, 6).alias("adist")))
+    return _per_query_topk(scored, k)

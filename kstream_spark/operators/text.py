@@ -236,3 +236,67 @@ def bpe_pair_counts(df: DataFrame, text_col: str, top_k: int = 50) -> DataFrame:
         )).alias("pair"))
     return (pairs.groupBy("pair").agg(F.sum("wf").cast("long").alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc("pair")).limit(top_k))
+
+
+# symbol-pair explosion over a space-separated symbol sequence — shared by
+# every bpe_train round (codegen split/transform, no UDF)
+_BPE_PAIRS_EXPR = (
+    "transform(sequence(1, size(split(trim(seq), ' ')) - 1), "
+    "i -> concat(element_at(split(trim(seq), ' '), i), ' ', "
+    "element_at(split(trim(seq), ' '), i + 1)))")
+
+
+def bpe_train(df: DataFrame, text_col: str,
+              n_merges: int = 8) -> DataFrame:
+    """ITERATIVE byte-pair-encoding training (Sennrich et al. 2016): each
+    round counts adjacent SYMBOL-pair frequencies across the corpus,
+    merges the most frequent pair everywhere (leftmost-first,
+    non-overlapping — standard ``replace`` semantics), and recounts —
+    ``bpe_pair_counts`` is one round's statistic; this is the full loop.
+
+    Scale shape: the corpus compresses ONCE to (distinct word, frequency)
+    — after that every round is a single map-side-combinable aggregation
+    over the vocabulary plus a pure projection applying the merge (symbol
+    sequences live as space-separated strings; the merge is one
+    ``replace``), so a 100 TB corpus costs |vocab|-sized rounds, never a
+    token re-scan.  One driver action per round collects exactly the
+    winning pair (1 row) — the irreducible sequential dependency of BPE.
+
+    Deterministic: winner by (count desc, pair asc); an oracle unrolls
+    the same rounds as chained CTEs.  Returns one row per merge:
+    (merge_rank, pair, merged, cnt)."""
+    spark = df.sparkSession
+    w = words(F.col(text_col))
+    word_freq = (df.select(F.explode(w).alias("w"))
+                 .filter(F.length("w") >= 2)
+                 .groupBy("w").agg(F.count("*").cast("long").alias("wf"))
+                 .persist())
+    # " h e l l o " — every symbol flanked by spaces so a merge is a
+    # plain substring replace with no boundary special-cases
+    cur = word_freq.select(
+        F.concat(F.lit(" "),
+                 F.expr(r"regexp_replace(w, '(.)', '$1 ')")).alias("seq"),
+        "wf")
+    merges: list[tuple] = []
+    for r in range(1, n_merges + 1):
+        pairs = (cur.filter(F.size(F.split(F.trim("seq"), " ")) > 1)
+                 .select("wf", F.explode(F.expr(_BPE_PAIRS_EXPR))
+                         .alias("pair")))
+        top = (pairs.groupBy("pair")
+               .agg(F.sum("wf").cast("long").alias("cnt"))
+               .orderBy(F.desc("cnt"), F.asc("pair")).limit(1).collect())
+        if not top:
+            break
+        pair, cnt = top[0]["pair"], int(top[0]["cnt"])
+        merged = pair.replace(" ", "")
+        merges.append((r, pair, merged, cnt))
+        # literals via F.lit (never f-string SQL — corpus words can hold
+        # quotes); replace() is leftmost-first non-overlapping in both
+        # Spark and the oracle engine
+        cur = cur.select(
+            F.replace(F.col("seq"), F.lit(f" {pair} "),
+                      F.lit(f" {merged} ")).alias("seq"), "wf")
+    word_freq.unpersist()
+    return spark.createDataFrame(
+        merges,
+        schema="merge_rank long, pair string, merged string, cnt long")

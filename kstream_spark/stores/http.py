@@ -53,10 +53,33 @@ class StoreHttpServer:
                         store = reg.store(parts[1])
                         if len(parts) == 2:          # full scan (capped)
                             q = parse_qs(url.query)
-                            limit = int(q.get("limit", [DEFAULT_SCAN_LIMIT])[0])
+                            raw = q.get("limit", [DEFAULT_SCAN_LIMIT])[0]
+                            try:
+                                limit = int(raw)
+                            except (TypeError, ValueError):
+                                return self._json(
+                                    400, {"error": f"bad limit: {raw!r}"})
+                            if limit < 0:
+                                return self._json(
+                                    400, {"error": f"bad limit: {limit}"})
+                            # collect limit+1 so a truncated scan is
+                            # distinguishable from a complete one (the
+                            # reference pages the COMPLETE store —
+                            # store/http.go:149-192; we cap but say so)
                             rows = [r.asDict() for r in
-                                    store.get_all().limit(limit).collect()]
-                            return self._json(200, rows)
+                                    store.get_all().limit(limit + 1).collect()]
+                            truncated = len(rows) > limit
+                            self.send_response(200)
+                            body = json.dumps(rows[:limit],
+                                              default=str).encode()
+                            self.send_header("Content-Type",
+                                             "application/json")
+                            self.send_header("X-Truncated",
+                                             "true" if truncated else "false")
+                            self.send_header("Content-Length", str(len(body)))
+                            self.end_headers()
+                            self.wfile.write(body)
+                            return None
                         if len(parts) == 3:          # point lookup
                             key: object = parts[2]
                             try:

@@ -233,7 +233,23 @@ def test_vocab_and_bpe_pair_counts(spark):
     assert got == {("ab", 3), ("bc", 2), ("bd", 1)}
 
 
-def test_group_split_never_splits_a_group(spark):
+def test_bpe_train_iterates_merge_recount(spark):
+    """The full BPE loop: after a merge wins, later rounds count pairs of
+    MERGED symbols — the recount a single-round statistic can't see."""
+    from kstream_spark.operators.text import bpe_train
+    df = spark.createDataFrame(
+        [(1, "aaab aaab ab xy")], "doc_id long, text string")
+    # vocab: aaab:2, ab:1, xy:1
+    # r1: 'a a':4 (two per aaab, leftmost non-overlap), 'a b':3, 'x y':1
+    #     -> merge 'a a' => aaab becomes " aa a b "; 'a a' across the
+    #     merged boundary must NOT double-count (non-overlapping scan)
+    # r2: 'aa a':2, 'a b':3, 'x y':1 -> merge 'a b' => "aa ab", "ab"
+    # r3: 'aa ab':2, 'x y':1 -> merge 'aa ab'
+    # r4: 'x y':1 -> merge; r5: nothing left -> loop stops early
+    out = [(r.merge_rank, r.pair, r.merged, r.cnt)
+           for r in bpe_train(df, "text", n_merges=8).collect()]
+    assert out == [(1, "a a", "aa", 4), (2, "a b", "ab", 3),
+                   (3, "aa ab", "aaab", 2), (4, "x y", "xy", 1)]
     from kstream_spark.operators.sampling import group_split, train_val_split
     rows = [(i, f"src{i % 7}") for i in range(200)]
     df = spark.createDataFrame(rows, "doc_id long, source string")

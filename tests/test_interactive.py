@@ -50,6 +50,27 @@ def test_full_scan_limit(server):
     assert code == 200 and len(rows) == 2
 
 
+def test_full_scan_truncation_signal(server):
+    """A capped scan is distinguishable from a complete one: X-Truncated
+    header flips when rows were dropped (ref returns the complete store,
+    so a silent cap would be a parity lie)."""
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/stores/accounts?limit=1") as r:
+        assert r.status == 200
+        assert r.headers["X-Truncated"] == "true"
+        assert len(json.loads(r.read())) == 1
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/stores/accounts?limit=50") as r:
+        assert r.headers["X-Truncated"] == "false"
+
+
+def test_full_scan_bad_limit_400(server):
+    for bad in ("abc", "-1"):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get(server, f"/stores/accounts?limit={bad}")
+        assert ei.value.code == 400
+
+
 def test_point_lookup_and_miss(server):
     code, row = _get(server, "/stores/accounts/1")
     assert code == 200 and row["payload"] == "alpha2"

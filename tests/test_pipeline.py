@@ -347,6 +347,29 @@ def test_centroid_persistence_roundtrip(spark, tmp_path):
     assert sorted(map(tuple, direct)) == sorted(map(tuple, via_disk))
 
 
+def test_codebook_persistence_roundtrip(spark, tmp_path):
+    """IVF-PQ index lifecycle: train codebooks once -> save -> load ->
+    ADC search must equal searching with the in-memory codebooks (the
+    train-once/encode-many production path; centroid analog above)."""
+    from kstream_spark import StreamBuilder
+    from kstream_spark.operators.similarity import (load_codebooks,
+                                                    pq_adc_topk,
+                                                    pq_codebooks,
+                                                    save_codebooks)
+    emb = StreamBuilder(spark) \
+        .table("/root/testdata/sf0.001/embeddings.parquet").to_df()
+    books = pq_codebooks(emb, "embedding", m=4, k=8, iters=2,
+                         id_col="vec_id")
+    save_codebooks(spark, books, str(tmp_path / "pq_index"))
+    loaded = load_codebooks(spark, str(tmp_path / "pq_index"))
+    assert loaded == books
+    direct = pq_adc_topk(emb, "vec_id", "embedding", [0, 1], books,
+                         k=5).collect()
+    via_disk = pq_adc_topk(emb, "vec_id", "embedding", [0, 1], loaded,
+                           k=5).collect()
+    assert sorted(map(tuple, direct)) == sorted(map(tuple, via_disk))
+
+
 def test_containment_catches_subset_jaccard_misses(spark):
     """A short doc pasted into a much longer one: containment ~1 in the
     short->long direction, while Jaccard sits far below any dedup bar."""

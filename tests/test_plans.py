@@ -319,6 +319,47 @@ def test_ivfpq_corpus_never_shuffles_before_rank(spark):
     assert P.shuffle_count(df) <= 1    # only the rank window
 
 
+def test_ivfpq_residual_corpus_never_shuffles_before_rank(spark):
+    """Residual IVF-PQ keeps the ivfpq_topk scale discipline: assignment
+    is a literal projection, residual+encode are narrow Arrow passes, the
+    per-(query, cell) ADC tables broadcast, and corpus rows cross at most
+    the one rank-window exchange (fed by the narrow local top-k)."""
+    from kstream_spark.operators import similarity as S
+    emb = StreamBuilder(spark).table(f"{SF}/embeddings.parquet").to_df()
+    cents = S.kmeans_centroids(emb, "embedding", k=4, iters=1,
+                               id_col="vec_id")
+    df = S.ivfpq_residual_topk(emb, "vec_id", "embedding", [0, 1], cents,
+                               m=4, pq_k=8, pq_iters=1, k=5, n_probe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    P.assert_no_sort_merge_join(df)
+    P.assert_broadcast(df, 1)          # the (query, cell) ADC tables
+    assert P.shuffle_count(df) <= 1    # only the rank window
+    assert "MapInPandas" in plan       # residual/encode/local-topk passes
+
+
+def test_pq_adc_local_topk_before_rank_window(spark):
+    """pq_adc_topk must never feed a corpus-sized relation into the
+    per-query rank window: a NARROW MapInPandas top-k pass (<= k rows
+    per (partition, query)) sits between the scoring join and the
+    window's exchange, so no reducer sorts a corpus-sized slice.  The
+    plan prints parents before children, so Window -> MapInPandas ->
+    BroadcastHashJoin ordering proves the pruning is inside the window's
+    input, not after it."""
+    from kstream_spark.operators import similarity as S
+    emb = StreamBuilder(spark).table(f"{SF}/embeddings.parquet").to_df()
+    books = S.pq_codebooks(emb, "embedding", m=4, k=8, iters=1,
+                           id_col="vec_id")
+    df = S.pq_adc_topk(emb, "vec_id", "embedding", [0, 1], books, k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan, plan
+    i_win = plan.index("Window")
+    i_map = plan.index("MapInPandas")
+    i_join = plan.index("BroadcastNestedLoopJoin") \
+        if "BroadcastNestedLoopJoin" in plan else plan.index("BroadcastHashJoin")
+    assert i_win < i_map < i_join, (i_win, i_map, i_join)
+
+
 def test_partition_pruning_on_hive_layout(spark, tmp_path):
     """A filter on the partition column must prune at PLANNING time:
     PartitionFilters carries the predicate, and the scan touches only the
@@ -334,10 +375,16 @@ def test_partition_pruning_on_hive_layout(spark, tmp_path):
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "purchase" in plan.split(
         "PartitionFilters")[1][:200]
-    # planning-time pruning: only the purchase partition's files are read
-    touched = set(one.inputFiles())
+    # planning-time pruning: only the purchase partition's files are read.
+    # (inputFiles() resolves from the ANALYZED plan — pre-pushdown — and
+    # always lists every partition; input_file_name() reflects the files
+    # the executed, pruned scan actually opened.)
+    touched = {r[0] for r in
+               one.select(F.input_file_name()).distinct().collect()}
+    total = {r[0] for r in
+             all_types.select(F.input_file_name()).distinct().collect()}
     assert touched and all("event_type=purchase" in f for f in touched)
-    assert len(touched) < len(set(all_types.inputFiles()))
+    assert len(touched) < len(total)
     # correctness unchanged by the layout
     want = ev.filter(F.col("event_type") == "purchase").count()
     assert one.count() == want

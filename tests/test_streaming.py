@@ -786,3 +786,54 @@ def test_stateful_join_bucketed_ttl_smoke(spark, tmp_path):
         time.sleep(0.5)
     q.stop(); q.awaitTermination(10)
     assert spark.sql("SELECT * FROM bt_out").count() == 1
+
+
+def test_stateful_join_bucketed_per_key_ttl_expiry(spark, tmp_path):
+    """Per-key expiry INSIDE a bucket: a hot key must not keep a cold
+    key's buffer alive.  Key 1 stays active (refreshed mid-TTL); key 2
+    goes idle past ttl_ms; when both keys' right records then arrive,
+    key 1's buffered lefts match but key 2's buffer has been pruned —
+    even though both share the single bucket, whose state group WAS
+    invoked throughout (the starvation scenario from the r5 advice)."""
+    from kstream_spark.streaming import core as SC
+    from kstream_spark.streaming.join import stateful_stream_join
+
+    ldir, rdir = tmp_path / "l", tmp_path / "r"
+    spark.createDataFrame([(1, "l1"), (2, "l2")], "k long, lv string") \
+        .coalesce(1).write.mode("append").parquet(str(ldir))
+    spark.createDataFrame([(99, "seed")], "k long, rv string") \
+        .coalesce(1).write.mode("append").parquet(str(rdir))
+    joined = stateful_stream_join(
+        SC.read_stream_parquet(spark, str(ldir)),
+        SC.read_stream_parquet(spark, str(rdir)), "k", ["lv"], ["rv"],
+        ttl_ms=20_000, buckets=1)
+    q = (joined.writeStream.format("memory").queryName("pk_ttl_out")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    # key 1 stays hot (a write every 2s keeps the bucket invoked and
+    # key 1's last-seen fresh); key 2 never reappears, so by t~30s its
+    # age far exceeds ttl_ms=20s.  The TTL must sit WELL ABOVE the
+    # micro-batch latency on a loaded machine (~10s observed): per-key
+    # age is measured between batch invocations, so a ttl below the
+    # batch cadence would prune even the hot key.
+    for i in range(15):
+        time.sleep(2)
+        spark.createDataFrame([(1, f"keep{i}")], "k long, lv string") \
+            .coalesce(1).write.mode("append").parquet(str(ldir))
+    spark.createDataFrame([(1, "r1"), (2, "r2")], "k long, rv string") \
+        .coalesce(1).write.mode("append").parquet(str(rdir))
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        got = {(r["k"], r["__l_lv"], r["__r_rv"])
+               for r in spark.sql("SELECT * FROM pk_ttl_out").collect()}
+        if (1, "l1", "r1") in got:
+            break
+        time.sleep(0.5)
+    time.sleep(3)   # grace: let a (wrong) key-2 match surface if any
+    q.stop(); q.awaitTermination(10)
+    got = {(r["k"], r["__l_lv"], r["__r_rv"])
+           for r in spark.sql("SELECT * FROM pk_ttl_out").collect()}
+    # the hot key's OLD buffered record survived (activity refreshes TTL)
+    assert (1, "l1", "r1") in got, got
+    # the cold key's buffer was pruned: no key-2 match despite l2+r2
+    assert not any(k == 2 for k, *_ in got), got
