@@ -78,6 +78,8 @@ HEADLINE = [
     "wf_value_functions",
     "text_bpe_train",
     "sim_ivfpq_residual_topk",
+    "text_bpe_tokenize",
+    "sim_ivfpq_recall",
 ]
 
 
@@ -174,6 +176,51 @@ def bench_ivf_state(spark, sf_dir: str, iters: int) -> dict:
     return out
 
 
+def bench_pq_state(spark, sf_dir: str, iters: int) -> dict:
+    """Time the PQ/ADC search lifecycle both ways (the codebook analog of
+    bench_ivf_state — closes the r5 "codebook persistence" gap):
+
+      * retrain — codebooks re-learned per run (the registered
+        sim_pq_adc_topk shape; oracle-required);
+      * state — codebooks loaded from the persisted index
+        (save_codebooks/load_codebooks): train once, encode/search many.
+
+    The gap is the per-query-batch cost of NOT persisting the codebooks —
+    at 100 TB the retrain arm re-scans the corpus per batch for partial
+    sums while the state arm's first stage is the encode projection."""
+    import shutil
+
+    from kstream_spark.operators.similarity import (load_codebooks,
+                                                    pq_adc_topk,
+                                                    pq_codebooks,
+                                                    save_codebooks)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    book_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            ".bench_tmp", "pq_codebooks")
+    # untimed: production trains once
+    save_codebooks(spark, pq_codebooks(emb, "embedding", m=4, k=16,
+                                       iters=2, id_col="vec_id"), book_dir)
+    out = {}
+    for variant in ("retrain", "state"):
+        best = None
+        for _ in range(max(1, iters)):
+            t0 = time.time()
+            books = (load_codebooks(spark, book_dir) if variant == "state"
+                     else pq_codebooks(emb, "embedding", m=4, k=16,
+                                       iters=2, id_col="vec_id"))
+            res = pq_adc_topk(emb, "vec_id", "embedding",
+                              query_ids=list(range(5)), codebooks=books,
+                              k=10)
+            res.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+            spark.catalog.clearCache()
+        out[f"sim_pq_prod_{variant}"] = round(best, 3)
+    shutil.rmtree(os.path.dirname(book_dir), ignore_errors=True)
+    return out
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.1
@@ -207,6 +254,7 @@ def main():
 
     timings.update(bench_incremental_state(spark, sf_dir, iters))
     timings.update(bench_ivf_state(spark, sf_dir, iters))
+    timings.update(bench_pq_state(spark, sf_dir, iters))
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

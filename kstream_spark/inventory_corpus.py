@@ -414,6 +414,56 @@ CORPUS_INVENTORY["text_bpe_train"] = (q_text_bpe_train,
                                       _sql_bpe_train(_BPE_TRAIN_MERGES))
 
 
+def q_text_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer INFERENCE with the learned merges: train bpe_train's 6
+    merges, apply them per word across the corpus (operators/
+    text.bpe_tokenize — one codegen projection), and report the top-50
+    (token, cnt) of the resulting corpus tokenization."""
+    from kstream_spark.operators.text import bpe_tokenize, bpe_train
+    from pyspark.sql import functions as F
+    docs = _docs(spark, sf)
+    merges = [r["pair"] for r in
+              bpe_train(docs, "text", n_merges=_BPE_TRAIN_MERGES)
+              .orderBy("merge_rank").collect()]
+    tok = bpe_tokenize(docs, "text", merges)
+    return (tok.select(F.explode("tokens").alias("token"))
+            .groupBy("token").agg(F.count("*").cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("token")).limit(50))
+
+
+def _sql_bpe_tokenize(n: int) -> str:
+    """Replays training (the _sql_bpe_train chain), then applies the n
+    merges IN ORDER to the full vocabulary — including the length-1
+    words training excludes — and counts tokens weighted by word
+    frequency (identical to per-document tokenization, since the merge
+    chain is a pure per-word function)."""
+    train = _sql_bpe_train(n)
+    train_ctes = train.split("\nUNION ALL ")[0]  # keep CTEs, drop SELECT
+    # drop the first bN SELECT line that followed the last CTE
+    train_ctes = train_ctes.rsplit("\nSELECT CAST(", 1)[0]
+    apply_ctes = [f""",
+w0 AS (SELECT w, CAST(count(*) AS BIGINT) AS awf
+       FROM t WHERE w <> '' GROUP BY w),
+a0 AS (SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS seq, awf
+       FROM w0)"""]
+    for r in range(1, n + 1):
+        apply_ctes.append(f""",
+a{r} AS (SELECT replace(seq, ' ' || b.pair || ' ',
+                        ' ' || b.merged || ' ') AS seq, awf
+         FROM a{r - 1}, b{r} b)""")
+    return f"""{train_ctes}{''.join(apply_ctes)}
+SELECT token, CAST(sum(awf) AS BIGINT) AS cnt
+FROM (SELECT unnest(string_split(trim(seq), ' ')) AS token, awf
+      FROM a{n})
+WHERE token <> ''
+GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 50
+"""
+
+
+CORPUS_INVENTORY["text_bpe_tokenize"] = (q_text_bpe_tokenize,
+                                         _sql_bpe_tokenize(_BPE_TRAIN_MERGES))
+
+
 def q_sample_group_split(spark: SparkSession, sf: str) -> DataFrame:
     """Leakage-safe holdout: split assigned per SOURCE (group), so
     same-source near-duplicates never straddle train/val

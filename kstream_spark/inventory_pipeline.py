@@ -1525,3 +1525,44 @@ def q_sim_ivfpq_residual_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 PIPELINE_INVENTORY["sim_ivfpq_residual_topk"] = (q_sim_ivfpq_residual_topk,
                                                  _ivfpq_residual_sql())
+
+
+def q_sim_ivfpq_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN quality audit for the COMPOSED index: recall@10 of IVF-PQ
+    (probe 3/8 cells, rank by ADC over m-byte codes) against brute-force
+    cosine, per query — quantifies what the compression + probing give
+    up, as a driver-provable hash-matched row (the ivf_recall pattern
+    applied to the compressed index)."""
+    emb = _embs(StreamBuilder(spark), sf)
+    cents = S.kmeans_centroids(emb, "embedding", k=8, iters=3,
+                               id_col="vec_id")
+    books = S.pq_codebooks(emb, "embedding", m=4, k=16, iters=2,
+                           id_col="vec_id")
+    approx = S.ivfpq_topk(emb, "vec_id", "embedding",
+                          query_ids=[0, 1, 2, 3, 4], centroids=cents,
+                          codebooks=books, k=10, n_probe=3) \
+        .select("query_id", "neighbor_id")
+    exact = S.cosine_topk(emb, "vec_id", "embedding",
+                          query_ids=[0, 1, 2, 3, 4], k=10) \
+        .select("query_id", "neighbor_id")
+    ind = approx.withColumn("_hit", F.lit(1))
+    return (exact.join(ind, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(F.count("_hit").cast("long").alias("n_hits"))
+            .select("query_id", "n_hits"))
+
+
+def _ivfpq_recall_sql() -> str:
+    return f"""
+WITH ivfpq AS (SELECT query_id, neighbor_id FROM ({_ivfpq_sql()}) t),
+brute AS (SELECT query_id, neighbor_id FROM ({SQL_SIM_COSINE_TOPK}) t),
+hits AS (SELECT b.query_id, i.neighbor_id AS hit
+         FROM brute b LEFT JOIN ivfpq i
+           ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id)
+SELECT query_id, CAST(count(hit) AS BIGINT) AS n_hits
+FROM hits GROUP BY query_id
+"""
+
+
+PIPELINE_INVENTORY["sim_ivfpq_recall"] = (q_sim_ivfpq_recall,
+                                          _ivfpq_recall_sql())

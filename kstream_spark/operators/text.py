@@ -300,3 +300,33 @@ def bpe_train(df: DataFrame, text_col: str,
     return spark.createDataFrame(
         merges,
         schema="merge_rank long, pair string, merged string, cnt long")
+
+
+def bpe_tokenize(df: DataFrame, text_col: str, merges: list,
+                 out_col: str = "tokens") -> DataFrame:
+    """Apply an ORDERED list of learned BPE merges (the ``pair`` column of
+    ``bpe_train``, ascending merge_rank) to tokenize text — the inference
+    half of the tokenizer: each word becomes its character sequence, then
+    every merge replaces its pair leftmost-first non-overlapping, in
+    training order.
+
+    Pure projection, all codegen: words -> char-spaced symbol string ->
+    a chain of ``len(merges)`` replace()s inside a higher-order
+    ``transform`` over the word array -> flatten.  No UDF, no shuffle, no
+    driver loop per row — at 100 TB this is one map-only pass.  Merge
+    literals ride as Column literals (never f-string SQL: corpus text can
+    hold quotes).  Appends ``out_col`` (array<string>) per document."""
+    def seq(wcol):
+        s = F.concat(F.lit(" "),
+                     F.regexp_replace(wcol, "(.)", "$1 "))
+        for pair in merges:
+            s = F.replace(s, F.lit(f" {pair} "),
+                          F.lit(" " + pair.replace(" ", "") + " "))
+        return s
+
+    toks = F.flatten(F.transform(
+        words(F.col(text_col)),
+        lambda w: F.split(F.trim(seq(w)), " ")))
+    # drop the empty-string artifacts of blank words
+    return df.withColumn(
+        out_col, F.filter(toks, lambda t: t != F.lit("")))

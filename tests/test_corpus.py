@@ -233,6 +233,19 @@ def test_vocab_and_bpe_pair_counts(spark):
     assert got == {("ab", 3), ("bc", 2), ("bd", 1)}
 
 
+def test_bpe_tokenize_applies_merges_in_order(spark):
+    """Inference with learned merges: chained replaces collapse a fully
+    merged word to one token; length-1 words (excluded from training)
+    still tokenize as themselves."""
+    from kstream_spark.operators.text import bpe_tokenize, bpe_train
+    df = spark.createDataFrame(
+        [(1, "aaab aaab ab xy z qr")], "doc_id long, text string")
+    merges = [r.pair for r in bpe_train(df, "text", n_merges=8)
+              .orderBy("merge_rank").collect()]
+    out = bpe_tokenize(df, "text", merges).collect()[0]["tokens"]
+    assert out == ["aaab", "aaab", "ab", "xy", "z", "qr"], out
+
+
 def test_bpe_train_iterates_merge_recount(spark):
     """The full BPE loop: after a merge wins, later rounds count pairs of
     MERGED symbols — the recount a single-round statistic can't see."""
