@@ -506,6 +506,9 @@ _TOUCHED_THIS_ROUND = [
     # r6: PQ/IVF-PQ rank path rewrote to narrow local-top-k before the
     # per-query window, and codebook means switched np.round -> HALF_UP
     "sim_pq_adc_topk", "sim_ivfpq_topk",
+    # r6: every per-query ranker now routes through the same local-top-k
+    "sim_cosine_topk", "sim_hard_negatives", "sim_ivf_topk",
+    "sim_ivf_kmeans_topk", "sim_ivf_recall",
     # r6: with_ntile_percent_rank gained the 1-row percent_rank guard
     "wf_ntile_dist",
 ]

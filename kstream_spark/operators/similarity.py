@@ -27,7 +27,11 @@ def cosine_topk(emb: DataFrame, id_col: str, vec_col: str,
     """Exact top-k neighbors by cosine for each query vector.
 
     Returns (query_id, neighbor_id, cos, rank).  The query side is broadcast:
-    the corpus side streams through one scan, no shuffle of the corpus.
+    the corpus side streams through one scan, no shuffle of the corpus, and
+    the rank goes through the narrow per-partition top-k (_per_query_topk)
+    so no reducer ever sorts a corpus-sized slice.  Still O(|Q|*|N|)
+    scoring by design — this is the exact baseline; the scale paths are
+    the LSH/IVF/PQ candidate generators.
     """
     from kstream_spark.util import ensure_parallelism
     emb = ensure_parallelism(emb)
@@ -48,9 +52,7 @@ def cosine_topk(emb: DataFrame, id_col: str, vec_col: str,
                 F.round(dot(F.col("qv"), F.col("nv"))
                         / (F.col("qn") * F.col("nn")), 6).alias("cos"))
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
-            .filter(F.col("rank") <= k))
+    return _per_query_topk(scored, k, score_col="cos", asc=False)
 
 
 def cosine_pairs(emb: DataFrame, id_col: str, vec_col: str,
@@ -109,9 +111,8 @@ def hard_negatives(emb: DataFrame, id_col: str, vec_col: str,
         .select("query_id", "neg_id",
                 F.round(dot(F.col("qv"), F.col("nv"))
                         / (F.col("qn") * F.col("nn")), 6).alias("cos")))
-    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neg_id"))
-    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
-            .filter(F.col("rank") <= k))
+    return _per_query_topk(scored, k, score_col="cos", id_col="neg_id",
+                           asc=False)
 
 
 def np_round6_half_up(a):
@@ -447,9 +448,7 @@ def ivf_topk(emb: DataFrame, id_col: str, vec_col: str,
               .select("query_id", "neighbor_id",
                       F.round(dot(F.col("qv"), F.col("nv"))
                               / (F.col("qn") * F.col("nn")), 6).alias("cos")))
-    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
-            .filter(F.col("rank") <= k))
+    return _per_query_topk(scored, k, score_col="cos", asc=False)
 
 
 def semantic_dedup(emb: DataFrame, id_col: str, vec_col: str,
