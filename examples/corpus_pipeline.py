@@ -2,7 +2,8 @@
 this engine adds beyond the reference's stream DSL (COVERAGE.md "north
 star"): extract -> scrub -> quality gate (heuristics + corpus-self
 unigram LM) -> exact + sub-document + near-dup + semantic dedup ->
-balanced sampling -> deterministic split -> chunk.
+balanced sampling -> deterministic split -> chunk -> tokenizer training
+(iterative BPE) + tokenization of the final corpus.
 
 Every stage is a reusable operator with its own oracle-checked inventory
 query; this example wires them into the one pipeline a corpus build
@@ -97,6 +98,17 @@ def main():
     print("\n== split x lang ==")
     final.groupBy("split", "lang").count() \
         .orderBy("split", "lang").show(20, truncate=False)
+
+    # 5. tokenizer: train BPE merges on the TRAIN split only (no leakage
+    #    of val/test text into the vocabulary), tokenize everything
+    train_docs = final.filter(F.col("split") == "train")
+    merges = [r["pair"] for r in TX.bpe_train(train_docs, "text",
+                                              n_merges=6)
+              .orderBy("merge_rank").collect()]
+    toks = TX.bpe_tokenize(final, "text", merges)
+    print("== learned merges ==", merges)
+    toks.select("doc_id", F.slice("tokens", 1, 8).alias("first_tokens")) \
+        .show(3, truncate=False)
     # no spark.stop(): get_spark() is getOrCreate — callers (tests, REPLs)
     # may share the session
 

@@ -7,7 +7,9 @@ vector tooling):
   3. serve approximate top-k by loading the quantizer and probing cells
      (no re-training per query batch);
   4. mine hard negatives for contrastive fine-tuning from the same index;
-  5. audit index quality: recall@k of the probed search vs brute force.
+  5. audit index quality: recall@k of the probed search vs brute force;
+  6. compress: train+persist PQ codebooks and serve RESIDUAL IVF-PQ —
+     the m-byte-code memory footprint that makes billion-scale ANN fit.
 
 Run:  python examples/vector_search.py
 """
@@ -54,6 +56,16 @@ def main():
         e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
         recall = len(a & e) / len(e)
         print(f"recall@5 vs brute force: {recall:.2f}")
+
+        # 6. compressed index: PQ codebooks persisted, residual IVF-PQ
+        books = S.pq_codebooks(emb, "embedding", m=4, k=8, iters=2,
+                               id_col="vec_id")
+        S.save_codebooks(spark, books, f"{tmp}/pq_codebooks")
+        rtopk = S.ivfpq_residual_topk(
+            emb, "vec_id", "embedding", query_ids=queries,
+            centroids=loaded, m=4, pq_k=8, pq_iters=2, k=5, n_probe=3)
+        print("== residual IVF-PQ top-5 (m-byte codes, 3 cells probed) ==")
+        rtopk.orderBy("query_id", "rank").show(10, truncate=False)
         return recall
 
 
