@@ -1455,7 +1455,7 @@ rb{t + 1} AS MATERIALIZED (SELECT p.code, p.j, p.sd, coalesce(me.mn, p.c) AS c
         base = base.replace(nm, nm[:-1] + "MATERIALIZED (")
     return f"""
 WITH {base},
-rcomp AS (SELECT cm.vec_id, cm.d, cm.x - ct.c AS x
+rcomp AS (SELECT cm.vec_id, cm.d, cm.x / cm.nrm - ct.c AS x
           FROM comp cm JOIN assigned a USING (vec_id)
           JOIN cent ct ON ct.cell_id = a.cell_id AND ct.d = cm.d),
 srcomp AS MATERIALIZED (SELECT vec_id, CAST(d // {sub} AS INT) AS j, d % {sub} AS sd, x
@@ -1482,7 +1482,7 @@ probes AS MATERIALIZED (SELECT vec_id AS query_id, cell_id FROM (
            WHERE rn <= {n_probe}),
 qrcomp AS (SELECT p.query_id, p.cell_id,
              CAST(cm.d // {sub} AS INT) AS j, cm.d % {sub} AS sd,
-             cm.x - ct.c AS x
+             cm.x / cm.nrm - ct.c AS x
            FROM probes p
            JOIN comp cm ON cm.vec_id = p.query_id
            JOIN cent ct ON ct.cell_id = p.cell_id AND ct.d = cm.d),
@@ -1519,12 +1519,12 @@ def q_sim_ivfpq_residual_topk(spark: SparkSession, sf: str) -> DataFrame:
                                id_col="vec_id")
     return S.ivfpq_residual_topk(emb, "vec_id", "embedding",
                                  query_ids=[0, 1, 2, 3, 4],
-                                 centroids=cents, m=4, pq_k=16,
+                                 centroids=cents, m=8, pq_k=32,
                                  pq_iters=2, k=10, n_probe=3)
 
 
-PIPELINE_INVENTORY["sim_ivfpq_residual_topk"] = (q_sim_ivfpq_residual_topk,
-                                                 _ivfpq_residual_sql())
+PIPELINE_INVENTORY["sim_ivfpq_residual_topk"] = (
+    q_sim_ivfpq_residual_topk, _ivfpq_residual_sql(m=8, k=32))
 
 
 def q_sim_ivfpq_recall(spark: SparkSession, sf: str) -> DataFrame:

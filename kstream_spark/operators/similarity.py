@@ -876,15 +876,24 @@ def ivfpq_residual_topk(emb: DataFrame, id_col: str, vec_col: str,
                         query_ids: list, centroids: list,
                         m: int = 4, pq_k: int = 16, pq_iters: int = 2,
                         k: int = 10, n_probe: int = 3) -> DataFrame:
-    """IVF-PQ with RESIDUAL encoding — the accuracy-critical refinement of
-    the classical composition (Jegou et al. 2011 sec. III; what FAISS's
-    IndexIVFPQ actually does): PQ codebooks are trained on, and codes
-    encode, the residual ``v - centroid[cell]`` instead of the raw
-    vector.  Residuals concentrate near the origin, so the same m-byte
-    budget quantizes them far more finely than it can the full-magnitude
-    corpus — and a query builds a SEPARATE ADC table per probed cell
-    (its residual differs per cell), which is exactly n_probe times the
-    tiny table cost.
+    """IVF-PQ with SPHERICAL RESIDUAL encoding — the accuracy-critical
+    refinement of the classical composition (Jegou et al. 2011 sec. III;
+    what FAISS's IndexIVFPQ does, on the unit sphere since the coarse
+    quantizer here is cosine): PQ codebooks are trained on, and codes
+    encode, the residual ``v/||v|| - centroid[cell]`` of the NORMALIZED
+    vector against its (unit-norm) cell centroid.  On the sphere,
+    ADC-L2 distance is monotone in cosine (||a-b||^2 = 2 - 2cos for
+    unit vectors), so the compressed ranking targets the same order as
+    the exact cosine ground truth, and residuals genuinely concentrate
+    near the origin — the same m-byte budget quantizes them far more
+    finely than the full-magnitude corpus.  A query builds a SEPARATE
+    ADC table per probed cell (its residual differs per cell), which is
+    exactly n_probe times the tiny table cost.  Measured at sf0.01
+    (near-random 64-d fixture vectors, n_probe=3): recall@10
+    spherical-residual vs raw-vector ADC is 0.40 vs 0.36 at m=8/k=32
+    and 0.36 vs 0.32 at m=4/k=32 — the residual wins once the code
+    budget can resolve it; below that (m=4/k=16) the two tie within
+    noise on this fixture.
 
     Scale shape (same zero-corpus-shuffle discipline as ivfpq_topk):
     cell assignment is a literal projection; residual + encode is ONE
@@ -918,11 +927,17 @@ def ivfpq_residual_topk(emb: DataFrame, id_col: str, vec_col: str,
     assigned = corpus.withColumn(
         "cell_id",
         (F.array_position(cell_scores, F.array_max(cell_scores)) - 1)
-        .cast("long")).select("neighbor_id", "cell_id", "v")
+        .cast("long")).select(
+            "neighbor_id", "cell_id",
+            # normalize JVM-side: norm() is a left-to-right fold, the
+            # same summation order the oracle's list_sum uses — a numpy
+            # pairwise sum here could differ in the last ulp
+            F.transform(F.col("v"), lambda x: x / F.col("n")).alias("v"))
     cents = np.asarray(centroids, dtype=np.float64)
     id_dt = emb.schema[id_col].dataType.simpleString()
 
-    # --- residuals: one Arrow pass (v - centroid[cell], exact doubles)
+    # --- residuals: one Arrow pass (v/||v|| - centroid[cell], exact
+    # double subtraction on the already-normalized components)
     def residual(batches):
         import numpy as np  # noqa: F811
         for pdf in batches:
@@ -977,8 +992,14 @@ def ivfpq_residual_topk(emb: DataFrame, id_col: str, vec_col: str,
         raw = (cents @ qv) / (cnorm * float(np.sqrt((qv ** 2).sum())))
         cos = np.copysign(np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6, raw)
         order = np.lexsort((np.arange(len(cos)), -cos))
+        # fold-order norm (left-to-right adds, matching the JVM/oracle
+        # fold) — np.sum's pairwise summation can differ in the last ulp
+        acc = 0.0
+        for x in qv:
+            acc += float(x) * float(x)
+        qvn = qv / float(np.sqrt(acc))
         for cell in order[:n_probe]:
-            qres = qv - cents[int(cell)]
+            qres = qvn - cents[int(cell)]
             tabs = []
             for j, cb in enumerate(bks):
                 x = qres[j * sub:(j + 1) * sub]
