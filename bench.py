@@ -80,6 +80,7 @@ HEADLINE = [
     "sim_ivfpq_residual_topk",
     "text_bpe_tokenize",
     "sim_ivfpq_recall",
+    "j_skew_split",
 ]
 
 

@@ -335,3 +335,35 @@ FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
 OLAP_INVENTORY["agg_grouping_sets"] = (q_grouping_sets, SQL_GROUPING_SETS)
 OLAP_INVENTORY["fn_higher_order"] = (q_fn_higher_order, SQL_FN_HIGHER_ORDER)
 OLAP_INVENTORY["ts_gap_fill"] = (q_ts_gap_fill, SQL_TS_GAP_FILL)
+
+
+# Hot-key-split (skew) join: the driver-provable row for util.skew_join —
+# output must be IDENTICAL to the plain join it replaces, while the plan
+# broadcasts the pinned hot keys' slice and shuffles only the tail
+def q_skew_split_join(spark: SparkSession, sf: str) -> DataFrame:
+    from kstream_spark.util import skew_join
+    b = StreamBuilder(spark)
+    li = b.table(f"{sf}/lineitem.parquet").to_df().select(
+        F.col("l_orderkey").alias("okey"),
+        "l_extendedprice", "l_discount")
+    orders = b.table(f"{sf}/orders.parquet").to_df().select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority")
+    joined = skew_join(li, orders, "okey",
+                       hot_keys=[1, 2, 3, 32, 33, 34])
+    return (joined.groupBy("o_orderpriority")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"),
+                 F.count("*").cast("long").alias("n_items"))
+            .orderBy("o_orderpriority"))
+
+
+SQL_SKEW_SPLIT_JOIN = """
+SELECT o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+OLAP_INVENTORY["j_skew_split"] = (q_skew_split_join, SQL_SKEW_SPLIT_JOIN)

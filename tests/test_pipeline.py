@@ -347,6 +347,36 @@ def test_centroid_persistence_roundtrip(spark, tmp_path):
     assert sorted(map(tuple, direct)) == sorted(map(tuple, via_disk))
 
 
+def test_per_query_topk_equals_plain_window(spark):
+    """_per_query_topk must be BIT-IDENTICAL to the plain rank-window
+    form (its exactness argument: (score, id) is a total order, so the
+    global top-k is inside the union of per-partition top-k's) —
+    checked on seeded random scores with duplicate score values and
+    both sort directions, across a multi-partition layout."""
+    import random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from kstream_spark.operators.similarity import _per_query_topk
+
+    rng = random.Random(7)
+    rows = [(q, i, round(rng.choice([0.1, 0.2, 0.3, rng.random()]), 6))
+            for q in range(6) for i in range(400)]
+    scored = spark.createDataFrame(
+        rows, "query_id long, neighbor_id long, adist double") \
+        .repartition(16)
+    for asc in (True, False):
+        order = F.asc("adist") if asc else F.desc("adist")
+        w = W.partitionBy("query_id").orderBy(order, F.asc("neighbor_id"))
+        plain = scored.withColumn(
+            "rank", F.row_number().over(w).cast("long")) \
+            .filter(F.col("rank") <= 7)
+        fast = _per_query_topk(scored, 7, asc=asc)
+        assert sorted(map(tuple, plain.collect())) == \
+            sorted(map(tuple, fast.collect())), f"asc={asc}"
+
+
 def test_codebook_persistence_roundtrip(spark, tmp_path):
     """IVF-PQ index lifecycle: train codebooks once -> save -> load ->
     ADC search must equal searching with the in-memory codebooks (the
