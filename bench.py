@@ -81,6 +81,7 @@ HEADLINE = [
     "text_bpe_tokenize",
     "sim_ivfpq_recall",
     "j_skew_split",
+    "text_lang_id_ngram",
 ]
 
 

@@ -483,3 +483,52 @@ FROM documents
 
 CORPUS_INVENTORY["sample_group_split"] = (q_sample_group_split,
                                           SQL_SAMPLE_GROUP_SPLIT)
+
+
+def q_text_lang_id_ngram(spark: SparkSession, sf: str) -> DataFrame:
+    """Char-trigram language ID (Cavnar-Trenkle shape, the n-gram upgrade
+    of the marker-word text_lang_id): train top-40 trigram profiles per
+    labeled language, predict by distinct-trigram overlap, report the
+    confusion matrix (true lang x predicted lang x doc count)."""
+    from kstream_spark.operators.text import (lang_id_ngram,
+                                              lang_ngram_profiles)
+    docs = _docs(spark, sf)
+    prof = lang_ngram_profiles(docs, "lang", "text", n=3, top_m=40)
+    pred = lang_id_ngram(docs, "doc_id", "text", prof, n=3)
+    return (docs.select("doc_id", "lang").join(pred, "doc_id")
+            .groupBy("lang", "pred_lang")
+            .agg(F.count("*").cast("long").alias("n_docs"))
+            .orderBy("lang", "pred_lang"))
+
+
+SQL_TEXT_LANG_ID_NGRAM = r"""
+WITH src AS (SELECT doc_id, lang, lower(text) AS t
+             FROM documents WHERE length(lower(text)) >= 3),
+g AS (SELECT lang, unnest(list_transform(range(1, length(t) - 1),
+                                         i -> substr(t, i, 3))) AS g
+      FROM src),
+cnt AS (SELECT lang, g, count(*) AS c FROM g GROUP BY lang, g),
+prof AS (SELECT lang, g FROM (
+           SELECT lang, g, row_number() OVER (PARTITION BY lang
+                              ORDER BY c DESC, g ASC) AS rn
+           FROM cnt) WHERE rn <= 40),
+dg AS (SELECT DISTINCT doc_id, g FROM (
+         SELECT doc_id, unnest(list_transform(range(1, length(t) - 1),
+                                              i -> substr(t, i, 3))) AS g
+         FROM src)),
+hits AS (SELECT dg.doc_id, p.lang, count(*) AS h
+         FROM dg JOIN prof p USING (g) GROUP BY dg.doc_id, p.lang),
+best AS (SELECT doc_id, lang AS pred_lang, h FROM (
+           SELECT doc_id, lang, h,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY h DESC, lang ASC) AS rn
+           FROM hits) WHERE rn = 1)
+SELECT d.lang, coalesce(b.pred_lang, 'und') AS pred_lang,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents d LEFT JOIN best b USING (doc_id)
+GROUP BY d.lang, coalesce(b.pred_lang, 'und')
+ORDER BY lang, pred_lang
+"""
+
+CORPUS_INVENTORY["text_lang_id_ngram"] = (q_text_lang_id_ngram,
+                                          SQL_TEXT_LANG_ID_NGRAM)

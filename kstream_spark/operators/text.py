@@ -330,3 +330,59 @@ def bpe_tokenize(df: DataFrame, text_col: str, merges: list,
     # drop the empty-string artifacts of blank words
     return df.withColumn(
         out_col, F.filter(toks, lambda t: t != F.lit("")))
+
+
+def lang_ngram_profiles(df: DataFrame, lang_col: str, text_col: str,
+                        n: int = 3, top_m: int = 40) -> DataFrame:
+    """Train char-n-gram language profiles (Cavnar & Trenkle 1994 shape):
+    per language, the ``top_m`` most frequent character n-grams of its
+    labeled text, ties toward the lexicographically lowest gram.
+
+    Scale shape: one explode + one map-side-combinable (lang, gram)
+    count; the per-language top-m window partitions by language, but its
+    input is at most |charset|^n rows per language (the n-gram VOCAB,
+    not the corpus), so the reducer never sees corpus-sized data.
+    Returns (lang, g, rn) — broadcastable (|langs| x top_m rows)."""
+    from pyspark.sql import Window as W
+    t = F.lower(F.col(text_col))
+    src = df.filter(F.length(t) >= n).select(
+        F.col(lang_col).alias("lang"), t.alias("t"))
+    grams = src.select("lang", F.explode(F.expr(
+        f"transform(sequence(1, length(t) - {n - 1}), "
+        f"i -> substr(t, i, {n}))")).alias("g"))
+    cnt = grams.groupBy("lang", "g").agg(F.count("*").alias("c"))
+    w = W.partitionBy("lang").orderBy(F.desc("c"), F.asc("g"))
+    return (cnt.withColumn("rn", F.row_number().over(w).cast("long"))
+            .filter(F.col("rn") <= top_m).select("lang", "g", "rn"))
+
+
+def lang_id_ngram(df: DataFrame, id_col: str, text_col: str,
+                  profiles: DataFrame, n: int = 3) -> DataFrame:
+    """Char-n-gram language ID: each document's DISTINCT n-grams are
+    intersected with every language profile and the language with the
+    most hits wins (ties toward the lexicographically lowest language;
+    no hits, or text shorter than n chars -> 'und').
+
+    Scale shape: one explode + distinct per document, one broadcast join
+    against the tiny profile relation, one (doc, lang) count, and a
+    per-document argmax window (groups = documents — fully distributed).
+    Returns (id, pred_lang, n_hits)."""
+    from pyspark.sql import Window as W
+    t = F.lower(F.col(text_col))
+    src = df.filter(F.length(t) >= n).select(
+        F.col(id_col).alias("_id"), t.alias("t"))
+    dg = src.select("_id", F.explode(F.expr(
+        f"transform(sequence(1, length(t) - {n - 1}), "
+        f"i -> substr(t, i, {n}))")).alias("g")).distinct()
+    hits = (dg.join(F.broadcast(profiles.select("lang", "g")), "g")
+            .groupBy("_id", "lang").agg(F.count("*").alias("h")))
+    w = W.partitionBy("_id").orderBy(F.desc("h"), F.asc("lang"))
+    best = (hits.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).select("_id", "lang", "h"))
+    return (df.select(F.col(id_col))
+            .join(best.withColumnRenamed("_id", id_col), id_col, "left")
+            .select(id_col,
+                    F.coalesce(F.col("lang"), F.lit("und"))
+                    .alias("pred_lang"),
+                    F.coalesce(F.col("h"), F.lit(0)).cast("long")
+                    .alias("n_hits")))

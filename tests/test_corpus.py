@@ -233,6 +233,29 @@ def test_vocab_and_bpe_pair_counts(spark):
     assert got == {("ab", 3), ("bc", 2), ("bd", 1)}
 
 
+def test_lang_id_ngram_profiles_and_prediction(spark):
+    """Char-trigram LID: profiles trained per labeled language separate
+    held-out text with the same trigram distribution; sub-trigram text
+    falls back to 'und'."""
+    from kstream_spark.operators.text import (lang_id_ngram,
+                                              lang_ngram_profiles)
+    train = spark.createDataFrame(
+        [(1, "aa", "aaaa aaab aaac aaad"),
+         (2, "aa", "aaae aaaf aaag"),
+         (3, "zz", "zzzz zzzy zzzx zzzw"),
+         (4, "zz", "zzzv zzzu zzzt")],
+        "doc_id long, lang string, text string")
+    prof = lang_ngram_profiles(train, "lang", "text", n=3, top_m=10)
+    assert prof.count() <= 20 and set(
+        r.lang for r in prof.collect()) == {"aa", "zz"}
+    test = spark.createDataFrame(
+        [(10, "aaaz aaay"), (11, "zzza zzzb"), (12, "x")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.pred_lang
+           for r in lang_id_ngram(test, "doc_id", "text", prof).collect()}
+    assert got == {10: "aa", 11: "zz", 12: "und"}, got
+
+
 def test_bpe_tokenize_applies_merges_in_order(spark):
     """Inference with learned merges: chained replaces collapse a fully
     merged word to one token; length-1 words (excluded from training)
