@@ -1239,7 +1239,9 @@ def q_sim_ivf_recall(spark: SparkSession, sf: str) -> DataFrame:
     exact = S.cosine_topk(emb, "vec_id", "embedding",
                           query_ids=list(range(5)), k=10) \
         .select("query_id", "neighbor_id")
-    ind = approx.withColumn("_hit", F.lit(1))
+    # approx is <= |Q|*k rows: broadcast it so the hit-join never
+    # shuffles (plan had drifted to a sort-merge join of two tiny sides)
+    ind = F.broadcast(approx.withColumn("_hit", F.lit(1)))
     return (exact.join(ind, ["query_id", "neighbor_id"], "left")
             .groupBy("query_id")
             .agg(F.count("_hit").cast("long").alias("n_hits"))
@@ -1545,7 +1547,7 @@ def q_sim_ivfpq_recall(spark: SparkSession, sf: str) -> DataFrame:
     exact = S.cosine_topk(emb, "vec_id", "embedding",
                           query_ids=[0, 1, 2, 3, 4], k=10) \
         .select("query_id", "neighbor_id")
-    ind = approx.withColumn("_hit", F.lit(1))
+    ind = F.broadcast(approx.withColumn("_hit", F.lit(1)))
     return (exact.join(ind, ["query_id", "neighbor_id"], "left")
             .groupBy("query_id")
             .agg(F.count("_hit").cast("long").alias("n_hits"))

@@ -402,33 +402,45 @@ def ivf_topk(emb: DataFrame, id_col: str, vec_col: str,
     Results are exact cosines over the probed subset, ranked like
     cosine_topk.
     """
+    import math
+
     from kstream_spark.functions.vectors import dot, norm
     from kstream_spark.util import ensure_parallelism
     emb = ensure_parallelism(emb)
     if centroids is not None:
-        spark = emb.sparkSession
-        cents = spark.createDataFrame(
-            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-            schema="cell_id long, cv array<double>")
+        cent_list = [[float(x) for x in c] for c in centroids]
     else:
-        cents = emb.orderBy(id_col).limit(n_cells) \
-            .select(F.col(id_col).alias("cell_id"),
-                    as_double(F.col(vec_col)).alias("cv"))
-    cents = F.broadcast(cents.withColumn("cn", norm(F.col("cv"))))
+        cent_list = [list(r["cv"]) for r in
+                     emb.orderBy(id_col).limit(n_cells)
+                     .select(as_double(F.col(vec_col)).alias("cv"))
+                     .collect()]
+    spark = emb.sparkSession
+    cents = F.broadcast(
+        spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cent_list)],
+            schema="cell_id long, cv array<double>")
+        .withColumn("cn", norm(F.col("cv"))))
 
-    # assign every corpus vector to its nearest centroid (one broadcast
-    # pass); norms hoisted per vector/centroid — one dot fold per pair
+    # assign every corpus vector to its nearest centroid as a LITERAL
+    # PROJECTION (the centroid matrix rides into the expression; no join,
+    # no shuffle of the corpus — the ivfpq_topk shape; the old
+    # join+per-row window form pushed corpus x n_cells rows through an
+    # exchange just to argmax).  Python's sum() is a left-to-right fold,
+    # matching the JVM/oracle norm fold exactly; argmax ties toward the
+    # lowest cell via array_position's first-match.
     corpus = emb.select(F.col(id_col).alias("neighbor_id"),
                         as_double(F.col(vec_col)).alias("nv")) \
         .withColumn("nn", norm(F.col("nv")))
-    w_assign = W.partitionBy("neighbor_id").orderBy(
-        F.desc("cell_cos"), F.asc("cell_id"))
-    assigned = (corpus.join(cents)
-                .withColumn("cell_cos", F.round(dot(F.col("nv"), F.col("cv"))
-                                                / (F.col("nn") * F.col("cn")), 6))
-                .withColumn("rn", F.row_number().over(w_assign))
-                .filter(F.col("rn") == 1)
-                .select("neighbor_id", "nv", "nn", "cell_id"))
+    cell_scores = F.array(*[
+        F.round(dot(F.col("nv"), F.array(*[F.lit(float(x)) for x in c]))
+                / (F.col("nn")
+                   * F.lit(math.sqrt(sum(float(x) * float(x) for x in c)))),
+                6)
+        for c in cent_list])
+    assigned = corpus.withColumn(
+        "cell_id",
+        (F.array_position(cell_scores, F.array_max(cell_scores)) - 1)
+        .cast("long")).select("neighbor_id", "nv", "nn", "cell_id")
 
     # queries probe their n_probe nearest cells
     queries = emb.filter(F.col(id_col).isin(query_ids)) \
