@@ -197,3 +197,25 @@ def test_pii_redact_idempotent(rows):
     a = {r.doc_id: r.redacted_text for r in once.collect()}
     b = {r.doc_id: r.redacted_text for r in twice.collect()}
     assert a == b
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(st.text(alphabet="abcxyz", min_size=1, max_size=8),
+                min_size=1, max_size=20),
+       st.integers(0, 6))
+def test_bpe_tokenize_preserves_content(words_list, n_merges):
+    """BPE invariant: merges only regroup characters — for every word,
+    the concatenation of its tokens equals the word itself, for any
+    corpus and any number of learned merges (0..6)."""
+    from pyspark.sql import functions as F
+
+    from kstream_spark.operators.text import bpe_tokenize, bpe_train
+
+    spark = _spark()
+    text = " ".join(words_list)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    merges = [r.pair for r in bpe_train(df, "text", n_merges=n_merges)
+              .orderBy("merge_rank").collect()]
+    toks = bpe_tokenize(df, "text", merges).collect()[0]["tokens"]
+    assert "".join(toks) == "".join(words_list)
