@@ -806,17 +806,17 @@ def test_stateful_join_bucketed_per_key_ttl_expiry(spark, tmp_path):
     joined = stateful_stream_join(
         SC.read_stream_parquet(spark, str(ldir)),
         SC.read_stream_parquet(spark, str(rdir)), "k", ["lv"], ["rv"],
-        ttl_ms=20_000, buckets=1)
+        ttl_ms=30_000, buckets=1)
     q = (joined.writeStream.format("memory").queryName("pk_ttl_out")
          .outputMode("append")
          .option("checkpointLocation", str(tmp_path / "ck")).start())
     # key 1 stays hot (a write every 2s keeps the bucket invoked and
-    # key 1's last-seen fresh); key 2 never reappears, so by t~30s its
-    # age far exceeds ttl_ms=20s.  The TTL must sit WELL ABOVE the
+    # key 1's last-seen fresh); key 2 never reappears, so by t~40s its
+    # age far exceeds ttl_ms=30s.  The TTL must sit WELL ABOVE the
     # micro-batch latency on a loaded machine (~10s observed): per-key
     # age is measured between batch invocations, so a ttl below the
     # batch cadence would prune even the hot key.
-    for i in range(15):
+    for i in range(20):
         time.sleep(2)
         spark.createDataFrame([(1, f"keep{i}")], "k long, lv string") \
             .coalesce(1).write.mode("append").parquet(str(ldir))
