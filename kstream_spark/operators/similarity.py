@@ -337,9 +337,9 @@ def kmeans_centroids(emb: DataFrame, vec_col: str, k: int = 16,
     first = (emb.orderBy(sort_key).limit(k)
              .select(as_double(F.col(vec_col)).alias("v")).collect())
     cents = np.array([r["v"] for r in first], dtype=np.float64)
-    cents = np.round(
-        cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12),
-        6)
+    cents = np_round6_half_up(
+        cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True),
+                           1e-12))
     dim = cents.shape[1]
 
     vecs = emb.select(as_double(F.col(vec_col)).alias("v")).persist()
@@ -370,16 +370,25 @@ def kmeans_centroids(emb: DataFrame, vec_col: str, k: int = 16,
 
         sums: dict[int, np.ndarray] = {}
         counts: dict[int, int] = {}
-        for r in vecs.mapInPandas(partials, schema=schema).collect():
-            sums[r["cell"]] = sums.get(r["cell"], np.zeros(dim)) \
-                + np.array(r["s"], dtype=np.float64)
-            counts[r["cell"]] = counts.get(r["cell"], 0) + r["n"]
+        # reduce the per-partition partials DISTRIBUTED, per (cell,
+        # component): posexplode + one map-side-combinable sum — the
+        # driver collects <= k*dim rows no matter how many partitions
+        # the corpus has (collecting the raw partials would be
+        # O(partitions * k * dim) driver traffic at cluster scale)
+        red = (vecs.mapInPandas(partials, schema=schema)
+               .select("cell", "n", F.posexplode("s").alias("sd", "x"))
+               .groupBy("cell", "sd")
+               .agg(F.sum("x").alias("sx"), F.sum("n").alias("nn"))
+               .collect())
+        for r in red:
+            sums.setdefault(r["cell"], np.zeros(dim))[r["sd"]] = r["sx"]
+            counts[r["cell"]] = r["nn"]   # identical across a cell's sds
         new = cents.copy()
         for cell, s in sums.items():
-            m = np.round(s / counts[cell], 6)
+            m = np_round6_half_up(s / counts[cell])
             norm = np.linalg.norm(m)
             if norm > 1e-12:
-                new[cell] = np.round(m / norm, 6)
+                new[cell] = np_round6_half_up(m / norm)
         if np.allclose(new, cents, atol=1e-9):
             cents = new
             break
@@ -642,13 +651,20 @@ def pq_codebooks(emb: DataFrame, vec_col: str, m: int = 4, k: int = 16,
                 yield pd.DataFrame(out)
 
         import numpy as np  # reimport for driver scope clarity
+        # distributed per-(j, code, component) reduction — driver traffic
+        # is <= m*k*sub rows regardless of partition count (raw partials
+        # would be O(partitions * m * k) at cluster scale)
         sums: dict = {}
         counts: dict = {}
-        for r in vecs.mapInPandas(partials, schema=schema).collect():
+        red = (vecs.mapInPandas(partials, schema=schema)
+               .select("j", "code", "n", F.posexplode("s").alias("sd", "x"))
+               .groupBy("j", "code", "sd")
+               .agg(F.sum("x").alias("sx"), F.sum("n").alias("nn"))
+               .collect())
+        for r in red:
             key = (r["j"], r["code"])
-            sums[key] = sums.get(key, np.zeros(sub)) \
-                + np.array(r["s"], dtype=np.float64)
-            counts[key] = counts.get(key, 0) + r["n"]
+            sums.setdefault(key, np.zeros(sub))[r["sd"]] = r["sx"]
+            counts[key] = r["nn"]     # identical across a code's sds
         for (j, c), s in sums.items():
             books[j][c] = np_round6_half_up(s / counts[(j, c)])
     vecs.unpersist()
