@@ -370,19 +370,31 @@ def kmeans_centroids(emb: DataFrame, vec_col: str, k: int = 16,
 
         sums: dict[int, np.ndarray] = {}
         counts: dict[int, int] = {}
-        # reduce the per-partition partials DISTRIBUTED, per (cell,
-        # component): posexplode + one map-side-combinable sum — the
-        # driver collects <= k*dim rows no matter how many partitions
-        # the corpus has (collecting the raw partials would be
-        # O(partitions * k * dim) driver traffic at cluster scale)
-        red = (vecs.mapInPandas(partials, schema=schema)
-               .select("cell", "n", F.posexplode("s").alias("sd", "x"))
-               .groupBy("cell", "sd")
-               .agg(F.sum("x").alias("sx"), F.sum("n").alias("nn"))
-               .collect())
-        for r in red:
-            sums.setdefault(r["cell"], np.zeros(dim))[r["sd"]] = r["sx"]
-            counts[r["cell"]] = r["nn"]   # identical across a cell's sds
+        # reduce the per-partition partials: up to a few dozen partitions
+        # the raw k-rows-per-partition collect is cheapest; past that the
+        # partials reduce DISTRIBUTED per (cell, component) — posexplode +
+        # one map-side-combinable sum — so the driver collects <= k*dim
+        # rows no matter how many partitions the corpus has (raw partials
+        # would be O(partitions * k * dim) driver traffic at cluster
+        # scale).  Both paths sum the same partials; round-6 means make
+        # the result order-insensitive either way.
+        part = vecs.mapInPandas(partials, schema=schema)
+        if vecs.rdd.getNumPartitions() <= 64:
+            for r in part.collect():
+                sums[r["cell"]] = sums.get(r["cell"], np.zeros(dim)) \
+                    + np.array(r["s"], dtype=np.float64)
+                counts[r["cell"]] = counts.get(r["cell"], 0) + r["n"]
+        else:
+            red = (part
+                   .select("cell", "n",
+                           F.posexplode("s").alias("sd", "x"))
+                   .groupBy("cell", "sd")
+                   .agg(F.sum("x").alias("sx"), F.sum("n").alias("nn"))
+                   .collect())
+            for r in red:
+                sums.setdefault(r["cell"],
+                                np.zeros(dim))[r["sd"]] = r["sx"]
+                counts[r["cell"]] = r["nn"]   # same across a cell's sds
         new = cents.copy()
         for cell, s in sums.items():
             m = np_round6_half_up(s / counts[cell])
@@ -651,20 +663,30 @@ def pq_codebooks(emb: DataFrame, vec_col: str, m: int = 4, k: int = 16,
                 yield pd.DataFrame(out)
 
         import numpy as np  # reimport for driver scope clarity
-        # distributed per-(j, code, component) reduction — driver traffic
-        # is <= m*k*sub rows regardless of partition count (raw partials
-        # would be O(partitions * m * k) at cluster scale)
+        # same hybrid as kmeans_centroids: direct collect while the
+        # partial count is small; distributed per-(j, code, component)
+        # reduction past 64 partitions, so driver traffic is <= m*k*sub
+        # rows at any corpus size (raw partials grow O(partitions * m * k))
         sums: dict = {}
         counts: dict = {}
-        red = (vecs.mapInPandas(partials, schema=schema)
-               .select("j", "code", "n", F.posexplode("s").alias("sd", "x"))
-               .groupBy("j", "code", "sd")
-               .agg(F.sum("x").alias("sx"), F.sum("n").alias("nn"))
-               .collect())
-        for r in red:
-            key = (r["j"], r["code"])
-            sums.setdefault(key, np.zeros(sub))[r["sd"]] = r["sx"]
-            counts[key] = r["nn"]     # identical across a code's sds
+        part = vecs.mapInPandas(partials, schema=schema)
+        if vecs.rdd.getNumPartitions() <= 64:
+            for r in part.collect():
+                key = (r["j"], r["code"])
+                sums[key] = sums.get(key, np.zeros(sub)) \
+                    + np.array(r["s"], dtype=np.float64)
+                counts[key] = counts.get(key, 0) + r["n"]
+        else:
+            red = (part
+                   .select("j", "code", "n",
+                           F.posexplode("s").alias("sd", "x"))
+                   .groupBy("j", "code", "sd")
+                   .agg(F.sum("x").alias("sx"), F.sum("n").alias("nn"))
+                   .collect())
+            for r in red:
+                key = (r["j"], r["code"])
+                sums.setdefault(key, np.zeros(sub))[r["sd"]] = r["sx"]
+                counts[key] = r["nn"]     # identical across a code's sds
         for (j, c), s in sums.items():
             books[j][c] = np_round6_half_up(s / counts[(j, c)])
     vecs.unpersist()

@@ -347,6 +347,26 @@ def test_centroid_persistence_roundtrip(spark, tmp_path):
     assert sorted(map(tuple, direct)) == sorted(map(tuple, via_disk))
 
 
+def test_training_partial_reduction_paths_agree(spark):
+    """kmeans/PQ training reduces per-partition partials via a direct
+    collect (<= 64 partitions) or a distributed posexplode+sum (the
+    cluster path).  Forcing the partition count across the threshold
+    must leave the trained centroids/codebooks bit-identical — the
+    round-6 means are summation-order-insensitive by design."""
+    from kstream_spark import StreamBuilder
+    from kstream_spark.operators.similarity import (kmeans_centroids,
+                                                    pq_codebooks)
+    emb = StreamBuilder(spark) \
+        .table("/root/testdata/sf0.001/embeddings.parquet").to_df()
+    few, many = emb.repartition(8), emb.repartition(100)
+    assert kmeans_centroids(few, "embedding", k=4, iters=2,
+                            id_col="vec_id") == \
+        kmeans_centroids(many, "embedding", k=4, iters=2, id_col="vec_id")
+    assert pq_codebooks(few, "embedding", m=4, k=8, iters=2,
+                        id_col="vec_id") == \
+        pq_codebooks(many, "embedding", m=4, k=8, iters=2, id_col="vec_id")
+
+
 def test_per_query_topk_equals_plain_window(spark):
     """_per_query_topk must be BIT-IDENTICAL to the plain rank-window
     form (its exactness argument: (score, id) is a total order, so the
