@@ -82,6 +82,7 @@ HEADLINE = [
     "sim_ivfpq_recall",
     "j_skew_split",
     "text_lang_id_ngram",
+    "sample_weighted",
 ]
 
 

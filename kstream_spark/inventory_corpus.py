@@ -532,3 +532,29 @@ ORDER BY lang, pred_lang
 
 CORPUS_INVENTORY["text_lang_id_ngram"] = (q_text_lang_id_ngram,
                                           SQL_TEXT_LANG_ID_NGRAM)
+
+
+def q_sample_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-weighted corpus subsample: Efraimidis-Spirakis keys
+    (-ln(u)/w, u from md5) pick 200 docs with probability proportional
+    to n_chars — deterministic weighted sampling without replacement
+    (operators/sampling.weighted_sample)."""
+    from kstream_spark.operators.sampling import weighted_sample
+    return weighted_sample(_docs(spark, sf), "doc_id", "n_chars",
+                           n=200).select("doc_id", "n_chars", "sample_key")
+
+
+SQL_SAMPLE_WEIGHTED = """
+SELECT doc_id, n_chars,
+       round(-ln((CAST(CAST(('0x' || substr(md5('wsample:'
+                     || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                  AS DOUBLE) + 1) / 4294967296.0)
+             / CAST(n_chars AS DOUBLE), 6) AS sample_key
+FROM documents
+WHERE n_chars > 0
+ORDER BY sample_key ASC, doc_id ASC
+LIMIT 200
+"""
+
+CORPUS_INVENTORY["sample_weighted"] = (q_sample_weighted,
+                                       SQL_SAMPLE_WEIGHTED)

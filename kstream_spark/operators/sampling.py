@@ -136,3 +136,32 @@ def group_split(df: DataFrame, group_col: str, val_pct: int = 10,
              .when(b < val_pct + test_pct, "test")
              .otherwise("train"))
     return df.withColumn(split_col, label)
+
+
+def weighted_sample(df: DataFrame, id_col: str, weight_col: str,
+                    n: int, seed: str = "wsample") -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis & Spirakis 2006): each row draws a reproducible uniform
+    u from md5(id) and gets key = -ln(u) / w; the n SMALLEST keys are
+    the sample — each row's inclusion probability is proportional to its
+    weight, with no sequential pass and no rand().
+
+    The standard use: upweight high-quality documents when subsampling a
+    corpus to a token budget.  Scale shape: a pure projection + one
+    global order-and-limit, which Spark executes as per-partition
+    TakeOrdered (k rows per partition reach the driver-side merge) — no
+    full sort at any size.  Deterministic across engines: u is an exact
+    dyadic rational from the md5 prefix, keys round to 6 dp (ln is the
+    one libm call — the same cross-engine tolerance text_tfidf's log
+    has held across every sweep), ties break by id.  Non-positive
+    weights are excluded (they can never win a draw)."""
+    h = F.md5(F.encode(F.concat(F.lit(f"{seed}:"),
+                                F.col(id_col).cast("string")), "UTF-8"))
+    # u in (0, 1]: (first-8-hex + 1) / 2^32 — exact dyadic, never 0
+    u = (F.conv(F.substring(h, 1, 8), 16, 10).cast("double") + 1) \
+        / F.lit(4294967296.0)
+    key = F.round(-F.log(u) / F.col(weight_col).cast("double"), 6)
+    return (df.filter(F.col(weight_col) > 0)
+            .withColumn("sample_key", key)
+            .orderBy(F.asc("sample_key"), F.asc(id_col))
+            .limit(n))

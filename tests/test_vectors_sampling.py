@@ -82,3 +82,18 @@ def test_token_budget_greedy_fill(spark):
     assert max(r["cum_tokens"] for r in by_lang["en"]) <= 100
     # de: single doc exceeds the budget but the first doc is always kept
     assert len(by_lang["de"]) == 1
+
+
+def test_weighted_sample_prefers_heavy_weights(spark):
+    """Efraimidis-Spirakis weighted sampling: with a 1000:1 weight ratio,
+    a 10-of-100 sample should be dominated by the 10 heavy rows; output
+    is deterministic (md5-derived u) and excludes non-positive weights."""
+    from kstream_spark.operators.sampling import weighted_sample
+    rows = [(i, 1000.0 if i < 10 else 1.0) for i in range(100)]
+    rows.append((100, 0.0))          # never sampled
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got1 = [r.doc_id for r in weighted_sample(df, "doc_id", "w", 10).collect()]
+    got2 = [r.doc_id for r in weighted_sample(df, "doc_id", "w", 10).collect()]
+    assert got1 == got2                       # deterministic
+    assert 100 not in got1                    # zero weight excluded
+    assert sum(1 for i in got1 if i < 10) >= 8, got1
