@@ -83,6 +83,7 @@ HEADLINE = [
     "j_skew_split",
     "text_lang_id_ngram",
     "sample_weighted",
+    "j_interval_overlap",
 ]
 
 

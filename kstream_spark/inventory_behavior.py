@@ -137,3 +137,75 @@ def _zorder_sql(bits: int = 16) -> str:
 
 BEHAVIOR_INVENTORY["sessionize_events"] = (q_sessionize, SQL_SESSIONIZE)
 BEHAVIOR_INVENTORY["layout_zorder"] = (q_layout_zorder, _zorder_sql())
+
+
+def q_interval_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval-overlap join via bucket decomposition
+    (operators/joins.interval_overlap_join): per-user SESSION intervals
+    (gap sessionization, day granularity) overlap-joined with each
+    user's +-3-day PURCHASE attribution windows — 'which sessions fell
+    near a purchase'.  All-integer day arithmetic; the inequality join
+    runs as an equi-join on (user, week-bucket)."""
+    from pyspark.sql import functions as SF
+    from kstream_spark.operators import behavior as B
+    from kstream_spark.operators.joins import interval_overlap_join
+    ev = _events(spark, sf)
+    epoch = SF.lit("2024-01-01")
+    sess = B.sessionize(ev, "user_id", "ts", gap="30 minutes",
+                        id_col="event_id") \
+        .withColumn("day", SF.datediff(SF.col("ts").cast("date"), epoch))
+    intervals = (sess.groupBy("user_id", "session_n")
+                 .agg(SF.min("day").cast("long").alias("s_start"),
+                      SF.max("day").cast("long").alias("s_end")))
+    purchases = ev.filter(SF.col("event_type") == "purchase") \
+        .select("user_id", SF.col("event_id").alias("purchase_id"),
+                SF.datediff(SF.col("ts").cast("date"), epoch)
+                .cast("long").alias("pday")) \
+        .select("user_id", "purchase_id",
+                (SF.col("pday") - 3).alias("w_start"),
+                (SF.col("pday") + 3).alias("w_end"))
+    out = interval_overlap_join(intervals, purchases, "user_id",
+                                a_id="session_n", a_start="s_start",
+                                a_end="s_end", b_id="purchase_id",
+                                b_start="w_start", b_end="w_end",
+                                bucket=7)
+    return out.select(
+        "user_id", "session_n", "purchase_id",
+        (SF.least("s_end", "w_end") - SF.greatest("s_start", "w_start")
+         + 1).cast("long").alias("overlap_days"))
+
+
+SQL_INTERVAL_OVERLAP = """
+WITH p AS (SELECT event_id, user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+f AS (SELECT event_id, user_id, ts,
+        CASE WHEN prev IS NULL OR ts > prev + INTERVAL 30 MINUTE
+             THEN 1 ELSE 0 END AS st
+      FROM p),
+s AS (SELECT event_id, user_id, ts,
+        CAST(sum(st) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_n
+      FROM f),
+iv AS (SELECT user_id, session_n,
+         CAST(min(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)))
+              AS BIGINT) AS s_start,
+         CAST(max(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)))
+              AS BIGINT) AS s_end
+       FROM s GROUP BY user_id, session_n),
+ow AS (SELECT user_id, event_id AS purchase_id,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) - 3
+              AS BIGINT) AS w_start,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) + 3
+              AS BIGINT) AS w_end
+       FROM events WHERE event_type = 'purchase')
+SELECT iv.user_id, iv.session_n, ow.purchase_id,
+       CAST(least(iv.s_end, ow.w_end)
+            - greatest(iv.s_start, ow.w_start) + 1 AS BIGINT)
+         AS overlap_days
+FROM iv JOIN ow ON iv.user_id = ow.user_id
+WHERE iv.s_start <= ow.w_end AND ow.w_start <= iv.s_end
+"""
+
+BEHAVIOR_INVENTORY["j_interval_overlap"] = (q_interval_overlap,
+                                            SQL_INTERVAL_OVERLAP)

@@ -256,3 +256,38 @@ def range_join(left: DataFrame, right: DataFrame, left_val: str,
                    & (F.col(left_val) < F.col(hi_col)))
            .drop("__bucket"))
     return out.select(*select) if select is not None else out
+
+
+def interval_overlap_join(a: DataFrame, b: DataFrame, key: str,
+                          a_id: str, a_start: str, a_end: str,
+                          b_id: str, b_start: str, b_end: str,
+                          bucket: int = 7) -> DataFrame:
+    """Interval-overlap join (a.start <= b.end AND b.start <= a.end,
+    per key) as an EQUI-join: each interval explodes into the integer
+    time buckets it covers, candidates meet on (key, bucket), the exact
+    overlap predicate verifies, and (a_id, b_id) dedups the multi-bucket
+    matches.
+
+    Why: Spark plans a raw inequality join as a broadcast-nested-loop or
+    cartesian per key — quadratic in the key's interval count.  Bucket
+    decomposition turns it into a shuffle-partitioned hash join whose
+    cost is sum-of-bucket-cooccupancy, the standard range-join
+    technique (Spark's own range-join hints implement the same idea).
+    ``bucket`` trades duplication for selectivity: intervals spanning d
+    units explode into ~d/bucket rows, while a bucket containing many
+    long-lived intervals degrades toward all-pairs within it — size it
+    near the TYPICAL interval length.  Start/end are integer columns in
+    any consistent unit (days, epoch-seconds); integer arithmetic keeps
+    every engine bit-identical."""
+    w = F.lit(bucket)
+    ab = a.withColumn("__bk", F.explode(F.sequence(
+        F.floor(F.col(a_start) / w).cast("long"),
+        F.floor(F.col(a_end) / w).cast("long"))))
+    bb = b.withColumn("__bk", F.explode(F.sequence(
+        F.floor(F.col(b_start) / w).cast("long"),
+        F.floor(F.col(b_end) / w).cast("long"))))
+    return (ab.join(bb, [key, "__bk"])
+            .filter((F.col(a_start) <= F.col(b_end))
+                    & (F.col(b_start) <= F.col(a_end)))
+            .dropDuplicates([key, a_id, b_id])
+            .drop("__bk"))

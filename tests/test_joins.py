@@ -147,3 +147,30 @@ def test_range_join_bucketized_equals_plain(spark):
     edge = spark.createDataFrame([(1, 25.0)], "id long, v double")
     got = range_join(edge, bands, "v", "lo", "hi").collect()
     assert [r.band for r in got] == ["mid"]
+
+
+def test_interval_overlap_join_equals_inequality_join(spark):
+    """Bucket decomposition must produce EXACTLY the pairs of the plain
+    inequality join, including intervals spanning many buckets and
+    touching endpoints; bucket size must not change the answer."""
+    import pyspark.sql.functions as F
+
+    from kstream_spark.operators.joins import interval_overlap_join
+    a = spark.createDataFrame(
+        [(1, 10, 0, 3), (1, 11, 5, 30), (1, 12, 40, 41),
+         (2, 20, 0, 100), (2, 21, 7, 7)],
+        "k long, aid long, s long, e long")
+    b = spark.createDataFrame(
+        [(1, 90, 3, 5), (1, 91, 29, 44), (2, 92, 50, 60),
+         (2, 93, 101, 110), (3, 94, 0, 9)],
+        "k long, bid long, bs long, be long")
+    want = {(r.k, r.aid, r.bid) for r in
+            a.join(b, "k").filter((F.col("s") <= F.col("be"))
+                                  & (F.col("bs") <= F.col("e"))).collect()}
+    for bucket in (1, 7, 1000):
+        got = {(r.k, r.aid, r.bid) for r in interval_overlap_join(
+            a, b, "k", "aid", "s", "e", "bid", "bs", "be",
+            bucket=bucket).collect()}
+        assert got == want, (bucket, got, want)
+    assert (1, 10, 90) in want      # touching endpoints overlap
+    assert (2, 20, 93) not in want  # adjacent-but-disjoint do not
