@@ -88,6 +88,22 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         spark.sql("DROP DATABASE IF EXISTS bdb")
 
 
+def test_interval_overlap_join_plans_as_equi_join(spark):
+    """The bucket decomposition must buy an EQUI-join plan: no
+    BroadcastNestedLoopJoin / CartesianProduct anywhere (what Spark
+    plans for a raw inequality join), and the overlap predicate appears
+    only as a post-join Filter."""
+    from kstream_spark.operators.joins import interval_overlap_join
+    a = spark.createDataFrame([(1, 1, 0, 5)], "k long, aid long, s long, e long")
+    b = spark.createDataFrame([(1, 2, 3, 9)], "k long, bid long, bs long, be long")
+    out = interval_overlap_join(a, b, "k", "aid", "s", "e",
+                                "bid", "bs", "be", bucket=7)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert out.count() == 1
+
+
 def test_skew_join_splits_hot_keys(spark):
     from kstream_spark.util import skew_join
     from kstream_spark.plans import inspect as P
