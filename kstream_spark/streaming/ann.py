@@ -1,0 +1,143 @@
+"""Streaming ANN index maintenance: encode arriving vectors against the
+PERSISTED index (coarse centroids + PQ codebooks — train once, encode
+forever) and append their m-byte codes to a code store; searches run over
+the accumulated store without ever touching raw vectors again.
+
+This is the streaming arm of the IVF-PQ lifecycle (operators/similarity:
+kmeans_centroids -> save_centroids, pq_codebooks -> save_codebooks):
+``admit_stream`` keeps the index CURRENT as data arrives —
+the batch-mode counterpart of FAISS's add() — and ``adc_topk_from_codes``
+is the search half that reads codes only.  Per micro-batch cost is one
+literal-projection cell assignment + one Arrow encode pass over JUST the
+new vectors; the 100 TB standing corpus is never re-scanned.
+
+Capability superset: the reference has no vector tooling; the lifecycle
+mirrors its changelog-backed store maintenance (continuously-updated
+derived state) applied to an ANN index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def encode_against_index(batch: DataFrame, id_col: str, vec_col: str,
+                         centroids: list, codebooks: list) -> DataFrame:
+    """Encode vectors against a FIXED index: nearest-cell assignment as a
+    literal projection (no join/shuffle), PQ codes as one Arrow pass —
+    the identical arithmetic (round-6 HALF_UP, lowest-index ties) as
+    training-time encode, so codes are reproducible from any engine.
+    Returns (id, cell_id, codes array<int>)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from kstream_spark.functions.vectors import as_double, dot, norm
+
+    src = batch.select(F.col(id_col).alias("_id"),
+                       as_double(F.col(vec_col)).alias("v")) \
+        .withColumn("n", norm(F.col("v")))
+    cell_scores = F.array(*[
+        F.round(dot(F.col("v"), F.array(*[F.lit(float(x)) for x in c]))
+                / (F.col("n")
+                   * F.lit(math.sqrt(sum(float(x) * float(x) for x in c)))),
+                6)
+        for c in centroids])
+    assigned = src.withColumn(
+        "cell_id",
+        (F.array_position(cell_scores, F.array_max(cell_scores)) - 1)
+        .cast("long")).select("_id", "cell_id", "v")
+
+    bks = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    sub = bks[0].shape[1]
+    id_dt = batch.schema[id_col].dataType.simpleString()
+
+    def encode(batches):
+        import numpy as np  # noqa: F811
+        import pandas as pd  # noqa: F811
+        for pdf in batches:
+            mat = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+            cols = []
+            for j, cb in enumerate(bks):
+                x = mat[:, j * sub:(j + 1) * sub]
+                raw = ((x[:, None, :] - cb[None, :, :]) ** 2).sum(-1)
+                d = np.copysign(np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6, raw)
+                cols.append(np.argmin(d, axis=1))
+            codes = np.stack(cols, axis=1)
+            yield pd.DataFrame(
+                {"_id": pdf["_id"].to_numpy(dtype=object),
+                 "cell_id": pdf["cell_id"].to_numpy(dtype=object),
+                 "codes": list(codes.astype(int).tolist())})
+
+    return (assigned.mapInPandas(
+        encode, schema=f"_id {id_dt}, cell_id long, codes array<int>")
+        .withColumnRenamed("_id", id_col))
+
+
+def admit_stream(emb_stream: DataFrame, id_col: str, vec_col: str,
+                 centroids: list, codebooks: list, store_dir: str,
+                 checkpoint_dir: str, epoch_col: str = "__epoch"):
+    """Continuously encode arriving vectors against the persisted index
+    and append (id, cell_id, codes) to the code store.  Epoch-keyed
+    partitions keep replays idempotent (the admit_stream discipline of
+    streaming/corpus.py).  Returns the StreamingQuery."""
+    def _admit(batch: DataFrame, epoch_id: int) -> None:
+        if not batch.head(1):
+            return
+        codes = encode_against_index(batch, id_col, vec_col,
+                                     centroids, codebooks)
+        (codes.withColumn(epoch_col, F.lit(int(epoch_id)))
+         .write.mode("overwrite")
+         .partitionBy(epoch_col)
+         .option("partitionOverwriteMode", "dynamic")
+         .parquet(store_dir))
+
+    return (emb_stream.writeStream.foreachBatch(_admit)
+            .option("checkpointLocation", checkpoint_dir).start())
+
+
+def adc_topk_from_codes(codes: DataFrame, queries: DataFrame,
+                        id_col: str, vec_col: str, codebooks: list,
+                        k: int = 10) -> DataFrame:
+    """ADC top-k over a CODE STORE: identical ranking to
+    operators/similarity.pq_adc_topk, but the corpus side is the
+    (id, codes) relation admit_stream maintains — the search job reads
+    m bytes per vector and never the raw embeddings.  ``queries`` is a
+    small DataFrame of (id, vector) rows; returns (query_id,
+    neighbor_id, adist, rank)."""
+    import numpy as np
+
+    from kstream_spark.functions.vectors import as_double
+    from kstream_spark.operators.similarity import _per_query_topk
+
+    bks = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m_, sub = len(bks), bks[0].shape[1]
+    qrows = queries.select(F.col(id_col).alias("query_id"),
+                           as_double(F.col(vec_col)).alias("qv")).collect()
+    tab_rows = []
+    for r in qrows:
+        qv = np.asarray(r["qv"], dtype=np.float64)
+        tabs = []
+        for j, cb in enumerate(bks):
+            x = qv[j * sub:(j + 1) * sub]
+            raw = ((cb - x[None, :]) ** 2).sum(-1)
+            d = np.copysign(np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6, raw)
+            tabs.append([float(v) for v in d])
+        tab_rows.append((r["query_id"], tabs))
+    spark = codes.sparkSession
+    id_dt = queries.schema[id_col].dataType.simpleString()
+    tables = F.broadcast(spark.createDataFrame(
+        tab_rows, schema=f"query_id {id_dt}, tabs array<array<double>>"))
+
+    adist = None
+    for j in range(m_):
+        term = F.element_at(F.element_at("tabs", j + 1),
+                            F.element_at("codes", j + 1) + 1)
+        adist = term if adist is None else adist + term
+    scored = (codes.select(F.col(id_col).alias("neighbor_id"), "codes")
+              .join(tables, F.col("query_id") != F.col("neighbor_id"))
+              .select("query_id", "neighbor_id",
+                      F.round(adist, 6).alias("adist")))
+    return _per_query_topk(scored, k)

@@ -837,3 +837,47 @@ def test_stateful_join_bucketed_per_key_ttl_expiry(spark, tmp_path):
     assert (1, "l1", "r1") in got, got
     # the cold key's buffer was pruned: no key-2 match despite l2+r2
     assert not any(k == 2 for k, *_ in got), got
+
+
+def test_streaming_ann_admit_and_search(spark, tmp_path):
+    """Streaming ANN index maintenance: vectors arriving in two
+    micro-batches are encoded against the PERSISTED index (no retrain)
+    and appended to the code store; searching the accumulated store
+    (codes only — raw vectors never re-read) returns exactly what the
+    batch pq_adc_topk computes over the full corpus with the same
+    codebooks."""
+    from kstream_spark import StreamBuilder
+    from kstream_spark.operators import similarity as S
+    from kstream_spark.streaming import ann as A
+    from kstream_spark.streaming import core as SC
+
+    emb = StreamBuilder(spark) \
+        .table("/root/testdata/sf0.001/embeddings.parquet").to_df()
+    cents = S.kmeans_centroids(emb, "embedding", k=4, iters=1,
+                               id_col="vec_id")
+    books = S.pq_codebooks(emb, "embedding", m=4, k=8, iters=1,
+                           id_col="vec_id")
+
+    src, store = tmp_path / "in", tmp_path / "codes"
+    emb.filter(F.col("vec_id") % 2 == 0).coalesce(1) \
+        .write.mode("append").parquet(str(src))
+    q = A.admit_stream(SC.read_stream_parquet(spark, str(src)),
+                       "vec_id", "embedding", cents, books,
+                       str(store), str(tmp_path / "ck"))
+    q.processAllAvailable()
+    emb.filter(F.col("vec_id") % 2 == 1).coalesce(1) \
+        .write.mode("append").parquet(str(src))
+    q.processAllAvailable()
+    q.stop(); q.awaitTermination(10)
+
+    codes = spark.read.parquet(str(store))
+    assert codes.count() == emb.count()      # both batches admitted
+
+    queries = emb.filter(F.col("vec_id").isin([0, 1]))
+    got = {(r.query_id, r.neighbor_id, r.adist, r.rank) for r in
+           A.adc_topk_from_codes(codes, queries, "vec_id", "embedding",
+                                 books, k=5).collect()}
+    want = {(r.query_id, r.neighbor_id, r.adist, r.rank) for r in
+            S.pq_adc_topk(emb, "vec_id", "embedding", [0, 1], books,
+                          k=5).collect()}
+    assert got == want
