@@ -150,6 +150,45 @@ def bench_sessionize(spark, tmp: str, n: int) -> dict:
             "seconds": round(dt, 2)}
 
 
+def bench_ann_admit(spark, tmp: str, n: int) -> dict:
+    """Streaming ANN index maintenance throughput: n synthetic 64-d
+    vectors arrive as a file stream and are encoded against a FIXED
+    persisted index (8 coarse cells + 4x16 PQ codebooks) into the code
+    store — the per-batch cost of keeping an IVF-PQ index current as
+    data lands (streaming/ann.admit_stream)."""
+    import pyspark.sql.functions as F
+
+    from kstream_spark.operators.similarity import (kmeans_centroids,
+                                                    pq_codebooks)
+    from kstream_spark.streaming import ann as A
+    from kstream_spark.streaming import core as SC
+
+    src = f"{tmp}/ann_in"
+    vec = F.transform(
+        F.sequence(F.lit(1), F.lit(64)),
+        lambda i: (F.pmod(F.xxhash64(F.col("id") * i), F.lit(1000))
+                   .cast("double") / 1000.0))
+    (spark.range(n).select(F.col("id").alias("vec_id"),
+                           vec.alias("embedding"))
+     .repartition(8).write.parquet(src))
+    train = spark.read.parquet(src).limit(2000)
+    cents = kmeans_centroids(train, "embedding", k=8, iters=1,
+                             id_col="vec_id")
+    books = pq_codebooks(train, "embedding", m=4, k=16, iters=1,
+                         id_col="vec_id")
+    t0 = time.time()
+    q = A.admit_stream(SC.read_stream_parquet(spark, src), "vec_id",
+                       "embedding", cents, books, f"{tmp}/ann_store",
+                       f"{tmp}/ann_ck")
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    dt = time.time() - t0
+    stored = spark.read.parquet(f"{tmp}/ann_store").count()
+    return {"records_per_sec": round(n / dt), "records": n,
+            "seconds": round(dt, 2), "codes_stored": stored}
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
 
@@ -165,6 +204,7 @@ def main():
         shapes["stream_join_bucketed"] = bench_stream_join(
             spark, tmp, n, buckets=1024)
         shapes["sessionize"] = bench_sessionize(spark, tmp, n)
+        shapes["ann_admit"] = bench_ann_admit(spark, tmp, n // 2)
 
     m = shapes["materialize"]
     print(json.dumps({
