@@ -84,6 +84,7 @@ HEADLINE = [
     "text_lang_id_ngram",
     "sample_weighted",
     "j_interval_overlap",
+    "corpus_pack_efficiency",
 ]
 
 

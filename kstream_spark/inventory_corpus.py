@@ -558,3 +558,48 @@ LIMIT 200
 
 CORPUS_INVENTORY["sample_weighted"] = (q_sample_weighted,
                                        SQL_SAMPLE_WEIGHTED)
+
+
+def q_corpus_pack_efficiency(spark: SparkSession, sf: str) -> DataFrame:
+    """Packing-efficiency audit over the sequence-packing layout: per
+    shard, how full the 256-token chunks actually are (total tokens /
+    allocated chunk capacity) plus doc and chunk counts — the waste
+    metric a packing stage is tuned against (docs spanning a chunk
+    boundary inflate the final chunk; empty-doc rows occupy no capacity)."""
+    from kstream_spark.operators.corpus import pack_chunks
+    packed = pack_chunks(_docs(spark, sf), "doc_id", "text",
+                         capacity=256, n_shards=8)
+    return (packed.groupBy("shard")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("tokens").cast("long").alias("total_tokens"),
+                 (F.max("chunk_last") + 1).cast("long").alias("n_chunks"))
+            .withColumn("fill_ratio",
+                        F.round(F.col("total_tokens")
+                                / (F.col("n_chunks") * 256.0), 6))
+            .orderBy("shard"))
+
+
+SQL_CORPUS_PACK_EFFICIENCY = f"""
+WITH {_CW},
+t AS (SELECT doc_id, CAST(len(cw.ws) AS BIGINT) AS tokens,
+        CAST(CAST(('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)),
+                                  1, 8)) AS UBIGINT) % 8 AS BIGINT) AS shard
+      FROM cw),
+c AS (SELECT doc_id, shard, tokens,
+        CAST(sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+             AS BIGINT) AS cum
+      FROM t),
+p AS (SELECT doc_id, shard, tokens,
+        CAST(floor(CASE WHEN tokens = 0 THEN greatest(cum - 1, 0)
+                        ELSE cum - 1 END / 256.0) AS BIGINT) AS chunk_last
+      FROM c)
+SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(tokens) AS BIGINT) AS total_tokens,
+       CAST(max(chunk_last) + 1 AS BIGINT) AS n_chunks,
+       round(sum(tokens) / ((max(chunk_last) + 1) * 256.0), 6)
+         AS fill_ratio
+FROM p GROUP BY shard ORDER BY shard
+"""
+
+CORPUS_INVENTORY["corpus_pack_efficiency"] = (q_corpus_pack_efficiency,
+                                              SQL_CORPUS_PACK_EFFICIENCY)
