@@ -23,12 +23,17 @@ from pyspark.sql import functions as F
 
 
 def encode_against_index(batch: DataFrame, id_col: str, vec_col: str,
-                         centroids: list, codebooks: list) -> DataFrame:
+                         centroids: list, codebooks: list,
+                         residual: bool = False) -> DataFrame:
     """Encode vectors against a FIXED index: nearest-cell assignment as a
     literal projection (no join/shuffle), PQ codes as one Arrow pass —
     the identical arithmetic (round-6 HALF_UP, lowest-index ties) as
     training-time encode, so codes are reproducible from any engine.
-    Returns (id, cell_id, codes array<int>)."""
+    ``residual=True`` encodes the spherical residual v/||v|| -
+    centroid[cell] (the ivfpq_residual_topk formulation — codebooks
+    must have been trained on residuals); the centroid subtraction
+    happens inside the same Arrow pass.  Returns
+    (id, cell_id, codes array<int>)."""
     import math
 
     import numpy as np
@@ -45,11 +50,14 @@ def encode_against_index(batch: DataFrame, id_col: str, vec_col: str,
                    * F.lit(math.sqrt(sum(float(x) * float(x) for x in c)))),
                 6)
         for c in centroids])
+    v_out = (F.transform(F.col("v"), lambda x: x / F.col("n"))
+             if residual else F.col("v"))
     assigned = src.withColumn(
         "cell_id",
         (F.array_position(cell_scores, F.array_max(cell_scores)) - 1)
-        .cast("long")).select("_id", "cell_id", "v")
+        .cast("long")).select("_id", "cell_id", v_out.alias("v"))
 
+    cents_mat = np.asarray(centroids, dtype=np.float64)
     bks = [np.asarray(b, dtype=np.float64) for b in codebooks]
     sub = bks[0].shape[1]
     id_dt = batch.schema[id_col].dataType.simpleString()
@@ -59,6 +67,9 @@ def encode_against_index(batch: DataFrame, id_col: str, vec_col: str,
         import pandas as pd  # noqa: F811
         for pdf in batches:
             mat = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+            if residual:
+                cells = pdf["cell_id"].to_numpy().astype(np.int64)
+                mat = mat - cents_mat[cells]
             cols = []
             for j, cb in enumerate(bks):
                 x = mat[:, j * sub:(j + 1) * sub]
@@ -78,7 +89,8 @@ def encode_against_index(batch: DataFrame, id_col: str, vec_col: str,
 
 def admit_stream(emb_stream: DataFrame, id_col: str, vec_col: str,
                  centroids: list, codebooks: list, store_dir: str,
-                 checkpoint_dir: str, epoch_col: str = "__epoch"):
+                 checkpoint_dir: str, epoch_col: str = "__epoch",
+                 residual: bool = False):
     """Continuously encode arriving vectors against the persisted index
     and append (id, cell_id, codes) to the code store.  Epoch-keyed
     partitions keep replays idempotent (the admit_stream discipline of
@@ -87,7 +99,8 @@ def admit_stream(emb_stream: DataFrame, id_col: str, vec_col: str,
         if not batch.head(1):
             return
         codes = encode_against_index(batch, id_col, vec_col,
-                                     centroids, codebooks)
+                                     centroids, codebooks,
+                                     residual=residual)
         (codes.withColumn(epoch_col, F.lit(int(epoch_id)))
          .write.mode("overwrite")
          .partitionBy(epoch_col)
@@ -100,7 +113,8 @@ def admit_stream(emb_stream: DataFrame, id_col: str, vec_col: str,
 
 def adc_topk_from_codes(codes: DataFrame, queries: DataFrame,
                         id_col: str, vec_col: str, codebooks: list,
-                        k: int = 10) -> DataFrame:
+                        k: int = 10, centroids: list | None = None
+                        ) -> DataFrame:
     """ADC top-k over a CODE STORE: identical ranking to
     operators/similarity.pq_adc_topk, but the corpus side is the
     (id, codes) relation admit_stream maintains — the search job reads
@@ -116,28 +130,54 @@ def adc_topk_from_codes(codes: DataFrame, queries: DataFrame,
     m_, sub = len(bks), bks[0].shape[1]
     qrows = queries.select(F.col(id_col).alias("query_id"),
                            as_double(F.col(vec_col)).alias("qv")).collect()
-    tab_rows = []
-    for r in qrows:
-        qv = np.asarray(r["qv"], dtype=np.float64)
+    spark = codes.sparkSession
+    id_dt = queries.schema[id_col].dataType.simpleString()
+
+    def dist_tabs(vec):
         tabs = []
         for j, cb in enumerate(bks):
-            x = qv[j * sub:(j + 1) * sub]
+            x = vec[j * sub:(j + 1) * sub]
             raw = ((cb - x[None, :]) ** 2).sum(-1)
             d = np.copysign(np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6, raw)
             tabs.append([float(v) for v in d])
-        tab_rows.append((r["query_id"], tabs))
-    spark = codes.sparkSession
-    id_dt = queries.schema[id_col].dataType.simpleString()
-    tables = F.broadcast(spark.createDataFrame(
-        tab_rows, schema=f"query_id {id_dt}, tabs array<array<double>>"))
+        return tabs
 
     adist = None
     for j in range(m_):
         term = F.element_at(F.element_at("tabs", j + 1),
                             F.element_at("codes", j + 1) + 1)
         adist = term if adist is None else adist + term
-    scored = (codes.select(F.col(id_col).alias("neighbor_id"), "codes")
-              .join(tables, F.col("query_id") != F.col("neighbor_id"))
-              .select("query_id", "neighbor_id",
-                      F.round(adist, 6).alias("adist")))
+
+    if centroids is None:           # plain ADC: one table per query
+        tab_rows = [(r["query_id"],
+                     dist_tabs(np.asarray(r["qv"], dtype=np.float64)))
+                    for r in qrows]
+        tables = F.broadcast(spark.createDataFrame(
+            tab_rows, schema=f"query_id {id_dt}, tabs array<array<double>>"))
+        scored = (codes.select(F.col(id_col).alias("neighbor_id"), "codes")
+                  .join(tables, F.col("query_id") != F.col("neighbor_id"))
+                  .select("query_id", "neighbor_id",
+                          F.round(adist, 6).alias("adist")))
+    else:                           # residual store: table per (q, cell)
+        cents_mat = np.asarray(centroids, dtype=np.float64)
+        tab_rows = []
+        for r in qrows:
+            qv = np.asarray(r["qv"], dtype=np.float64)
+            acc = 0.0                       # fold-order norm (oracle parity)
+            for x in qv:
+                acc += float(x) * float(x)
+            qvn = qv / float(np.sqrt(acc))
+            for cell in range(cents_mat.shape[0]):
+                tab_rows.append((r["query_id"], cell,
+                                 dist_tabs(qvn - cents_mat[cell])))
+        tables = F.broadcast(spark.createDataFrame(
+            tab_rows,
+            schema=f"query_id {id_dt}, cell_id long, "
+                   "tabs array<array<double>>"))
+        scored = (codes.select(F.col(id_col).alias("neighbor_id"),
+                               "cell_id", "codes")
+                  .join(tables, on="cell_id")
+                  .filter(F.col("query_id") != F.col("neighbor_id"))
+                  .select("query_id", "neighbor_id",
+                          F.round(adist, 6).alias("adist")))
     return _per_query_topk(scored, k)

@@ -881,3 +881,65 @@ def test_streaming_ann_admit_and_search(spark, tmp_path):
             S.pq_adc_topk(emb, "vec_id", "embedding", [0, 1], books,
                           k=5).collect()}
     assert got == want
+
+
+def test_streaming_ann_residual_mode_matches_batch(spark, tmp_path):
+    """Residual-mode admission: codes streamed against the persisted
+    residual index equal the batch ivfpq_residual path — searching the
+    store with per-(query, cell) tables reproduces
+    ivfpq_residual_topk's output when every cell is probed."""
+    from kstream_spark import StreamBuilder
+    from kstream_spark.operators import similarity as S
+    from kstream_spark.streaming import ann as A
+    from kstream_spark.streaming import core as SC
+
+    emb = StreamBuilder(spark) \
+        .table("/root/testdata/sf0.001/embeddings.parquet").to_df()
+    cents = S.kmeans_centroids(emb, "embedding", k=4, iters=1,
+                               id_col="vec_id")
+    # residual codebooks: train on the spherical residuals (the batch
+    # operator computes these internally; rebuild the residual frame)
+    import pyspark.sql.functions as SF
+    from kstream_spark.functions.vectors import as_double, norm
+    import math
+    corpus = emb.select(SF.col("vec_id"),
+                        as_double(SF.col("embedding")).alias("v")) \
+        .withColumn("n", norm(SF.col("v")))
+    from kstream_spark.functions.vectors import dot
+    scores = SF.array(*[
+        SF.round(dot(SF.col("v"), SF.array(*[SF.lit(float(x)) for x in c]))
+                 / (SF.col("n")
+                    * SF.lit(math.sqrt(sum(float(x) ** 2 for x in c)))), 6)
+        for c in cents])
+    import numpy as np
+    assigned = corpus.withColumn(
+        "cell_id", (SF.array_position(scores, SF.array_max(scores)) - 1)
+        .cast("long"))
+    cm = np.asarray(cents)
+    rows = assigned.select("vec_id", "cell_id", "v").collect()
+    res_rows = [(r["vec_id"],
+                 (np.asarray(r["v"]) / np.linalg.norm(r["v"])
+                  - cm[r["cell_id"]]).tolist()) for r in rows]
+    res_df = spark.createDataFrame(res_rows,
+                                   "vec_id long, rv array<double>")
+    books = S.pq_codebooks(res_df, "rv", m=4, k=8, iters=1,
+                           id_col="vec_id")
+
+    src, store = tmp_path / "in", tmp_path / "codes"
+    emb.coalesce(1).write.mode("append").parquet(str(src))
+    q = A.admit_stream(SC.read_stream_parquet(spark, str(src)),
+                       "vec_id", "embedding", cents, books,
+                       str(store), str(tmp_path / "ck"), residual=True)
+    q.processAllAvailable()
+    q.stop(); q.awaitTermination(10)
+
+    codes = spark.read.parquet(str(store))
+    queries = emb.filter(SF.col("vec_id").isin([0, 1]))
+    got = {(r.query_id, r.neighbor_id, r.adist, r.rank) for r in
+           A.adc_topk_from_codes(codes, queries, "vec_id", "embedding",
+                                 books, k=5, centroids=cents).collect()}
+    want = {(r.query_id, r.neighbor_id, r.adist, r.rank) for r in
+            S.ivfpq_residual_topk(emb, "vec_id", "embedding", [0, 1],
+                                  cents, m=4, pq_k=8, pq_iters=1, k=5,
+                                  n_probe=4).collect()}
+    assert got == want
