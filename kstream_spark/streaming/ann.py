@@ -113,13 +113,17 @@ def admit_stream(emb_stream: DataFrame, id_col: str, vec_col: str,
 
 def adc_topk_from_codes(codes: DataFrame, queries: DataFrame,
                         id_col: str, vec_col: str, codebooks: list,
-                        k: int = 10, centroids: list | None = None
-                        ) -> DataFrame:
+                        k: int = 10, centroids: list | None = None,
+                        n_probe: int | None = None) -> DataFrame:
     """ADC top-k over a CODE STORE: identical ranking to
     operators/similarity.pq_adc_topk, but the corpus side is the
     (id, codes) relation admit_stream maintains — the search job reads
     m bytes per vector and never the raw embeddings.  ``queries`` is a
-    small DataFrame of (id, vector) rows; returns (query_id,
+    small DataFrame of (id, vector) rows.  With ``centroids`` the store
+    is a residual index and each query gets per-(query, cell) tables;
+    ``n_probe`` then restricts scoring to the query's nearest cells
+    (candidates in unprobed cells drop out of the equi-join on cell_id
+    — the IVF cost dial; None scores every cell).  Returns (query_id,
     neighbor_id, adist, rank)."""
     import numpy as np
 
@@ -160,6 +164,7 @@ def adc_topk_from_codes(codes: DataFrame, queries: DataFrame,
                           F.round(adist, 6).alias("adist")))
     else:                           # residual store: table per (q, cell)
         cents_mat = np.asarray(centroids, dtype=np.float64)
+        cnorm = np.sqrt((cents_mat ** 2).sum(-1))
         tab_rows = []
         for r in qrows:
             qv = np.asarray(r["qv"], dtype=np.float64)
@@ -167,7 +172,15 @@ def adc_topk_from_codes(codes: DataFrame, queries: DataFrame,
             for x in qv:
                 acc += float(x) * float(x)
             qvn = qv / float(np.sqrt(acc))
-            for cell in range(cents_mat.shape[0]):
+            if n_probe is None:             # exhaustive: every cell
+                probe_cells = range(cents_mat.shape[0])
+            else:                           # ivfpq probing: nearest cells
+                raw = (cents_mat @ qv) / (cnorm * float(np.sqrt(acc)))
+                cos = np.copysign(
+                    np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6, raw)
+                order = np.lexsort((np.arange(len(cos)), -cos))
+                probe_cells = [int(c) for c in order[:n_probe]]
+            for cell in probe_cells:
                 tab_rows.append((r["query_id"], cell,
                                  dist_tabs(qvn - cents_mat[cell])))
         tables = F.broadcast(spark.createDataFrame(

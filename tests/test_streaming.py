@@ -935,11 +935,14 @@ def test_streaming_ann_residual_mode_matches_batch(spark, tmp_path):
 
     codes = spark.read.parquet(str(store))
     queries = emb.filter(SF.col("vec_id").isin([0, 1]))
-    got = {(r.query_id, r.neighbor_id, r.adist, r.rank) for r in
-           A.adc_topk_from_codes(codes, queries, "vec_id", "embedding",
-                                 books, k=5, centroids=cents).collect()}
-    want = {(r.query_id, r.neighbor_id, r.adist, r.rank) for r in
-            S.ivfpq_residual_topk(emb, "vec_id", "embedding", [0, 1],
-                                  cents, m=4, pq_k=8, pq_iters=1, k=5,
-                                  n_probe=4).collect()}
-    assert got == want
+    for probes, np_arg in ((4, None), (2, 2)):
+        got = {(r.query_id, r.neighbor_id, r.adist, r.rank) for r in
+               A.adc_topk_from_codes(codes, queries, "vec_id",
+                                     "embedding", books, k=5,
+                                     centroids=cents,
+                                     n_probe=np_arg).collect()}
+        want = {(r.query_id, r.neighbor_id, r.adist, r.rank) for r in
+                S.ivfpq_residual_topk(emb, "vec_id", "embedding", [0, 1],
+                                      cents, m=4, pq_k=8, pq_iters=1,
+                                      k=5, n_probe=probes).collect()}
+        assert got == want, probes
