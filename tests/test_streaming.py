@@ -755,9 +755,10 @@ def test_windowed_agg_streaming_approx_distinct(spark, stream_dir, tmp_path):
 
 
 def test_stateful_join_bucketed_ttl_smoke(spark, tmp_path):
-    """ttl_ms composes with buckets (timeout granularity becomes the
-    bucket — documented in the docstring); smoke: query runs, state
-    timeout registered without error, matches still emitted.
+    """ttl_ms composes with buckets (per-KEY last-seen pruning inside
+    the bucket; the bucket-level timeout is only the idle-bucket GC
+    backstop); smoke: query runs, state timeout registered without
+    error, matches still emitted.
 
     NOTE: with ProcessingTimeTimeout the micro-batch engine keeps
     scheduling batches to service pending timeouts, so
