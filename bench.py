@@ -85,6 +85,7 @@ HEADLINE = [
     "sample_weighted",
     "j_interval_overlap",
     "corpus_pack_efficiency",
+    "dedup_winnow_capped",
 ]
 
 

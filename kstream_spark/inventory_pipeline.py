@@ -1122,6 +1122,42 @@ GROUP BY 1, 2 HAVING count(*) >= 1
 PIPELINE_INVENTORY["dedup_winnow"] = (q_dedup_winnow, SQL_DEDUP_WINNOW)
 
 
+def q_dedup_winnow_capped(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing with the boilerplate-fingerprint cap (max_fp_df=20 —
+    the dedup_ngram_capped dial applied to fingerprints): a fingerprint
+    shared by more than 20 docs is template noise and would contribute
+    O(df^2) candidate pairs; capping it bounds every bucket — the knob
+    that keeps winnow's pair space linear at corpus scale (its uncapped
+    form is the one slightly-superlinear query in the sf1 table)."""
+    return D.winnow_pairs(_docs(StreamBuilder(spark), sf), "doc_id",
+                          "text", k=4, window=4, min_shared=1,
+                          max_fp_df=20)
+
+
+SQL_DEDUP_WINNOW_CAPPED = """
+WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS words
+           FROM documents),
+g AS (SELECT doc_id,
+        list_transform(range(1, greatest(len(words) - 3, 0) + 1),
+          i -> md5('winnow:' || array_to_string(words[i:i+3], ' '))) AS hs
+      FROM w),
+fp AS (SELECT DISTINCT doc_id,
+         unnest(list_transform(
+           range(1, greatest(len(hs) - 3, 1) + 1),
+           j -> list_min(hs[j:j+3]))) AS f
+       FROM g WHERE len(hs) >= 1),
+keep AS (SELECT f FROM fp GROUP BY f HAVING count(*) <= 20),
+fk AS (SELECT fp.doc_id, fp.f FROM fp JOIN keep USING (f))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM fk a JOIN fk b ON a.f = b.f AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 1
+"""
+
+PIPELINE_INVENTORY["dedup_winnow_capped"] = (q_dedup_winnow_capped,
+                                             SQL_DEDUP_WINNOW_CAPPED)
+
+
 def q_sim_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
     """Hard-negative mining (contrastive-training batch construction):
     top-10 most-similar DIFFERENT-label vectors per query — the negatives
