@@ -503,14 +503,15 @@ INVENTORY.update(QUALITY_INVENTORY)
 # queries appear in no CORRECTNESS file and land in group 2 automatically.
 
 _TOUCHED_THIS_ROUND = [
-    # r6: PQ/IVF-PQ rank path rewrote to narrow local-top-k before the
-    # per-query window, and codebook means switched np.round -> HALF_UP
-    "sim_pq_adc_topk", "sim_ivfpq_topk",
-    # r6: every per-query ranker now routes through the same local-top-k
+    # r7: BPE merge semantics changed to Sennrich-exact greedy leftmost
+    # non-overlapping (delimiter-doubling triple-replace) — RESULTS
+    # changed, both sides in lockstep
+    "text_bpe_train", "text_bpe_tokenize",
+    # r7: _per_query_topk gained the NaN-score guard — every per-query
+    # ranker's evaluation path changed (values unchanged on real data)
     "sim_cosine_topk", "sim_hard_negatives", "sim_ivf_topk",
-    "sim_ivf_kmeans_topk", "sim_ivf_recall",
-    # r6: with_ntile_percent_rank gained the 1-row percent_rank guard
-    "wf_ntile_dist",
+    "sim_ivf_kmeans_topk", "sim_ivf_recall", "sim_pq_adc_topk",
+    "sim_ivfpq_topk", "sim_ivfpq_residual_topk", "sim_ivfpq_recall",
 ]
 
 

@@ -379,8 +379,10 @@ def q_text_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
 def _sql_bpe_train(n: int) -> str:
     """Unroll n BPE merge rounds as chained CTEs — DuckDB replays the
     exact count -> pick -> merge -> recount sequence the Spark loop runs
-    (same leftmost-first non-overlapping replace, same (cnt desc, pair
-    asc) winner)."""
+    (same delimiter-doubling triple-replace, which realizes the greedy
+    leftmost-first non-overlapping Sennrich scan — consecutive
+    occurrences of a repeated pair all merge; same (cnt desc, pair asc)
+    winner)."""
     parts = [r"""
 WITH t AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
            FROM documents),
@@ -400,8 +402,10 @@ p{r} AS (SELECT pair, CAST(sum(wf) AS BIGINT) AS cnt
   GROUP BY pair),
 b{r} AS (SELECT pair, replace(pair, ' ', '') AS merged, cnt
   FROM p{r} ORDER BY cnt DESC, pair ASC LIMIT 1),
-s{r} AS (SELECT replace(seq, ' ' || b.pair || ' ',
-                        ' ' || b.merged || ' ') AS seq, wf
+s{r} AS (SELECT replace(replace(replace(seq, ' ', '  '),
+                        ' ' || replace(b.pair, ' ', '  ') || ' ',
+                        ' ' || b.merged || ' '),
+                        '  ', ' ') AS seq, wf
   FROM {prev}, b{r} b)""")
     union = "\nUNION ALL ".join(
         f"SELECT CAST({r} AS BIGINT) AS merge_rank, pair, merged, cnt "
@@ -448,8 +452,10 @@ a0 AS (SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS seq, awf
        FROM w0)"""]
     for r in range(1, n + 1):
         apply_ctes.append(f""",
-a{r} AS (SELECT replace(seq, ' ' || b.pair || ' ',
-                        ' ' || b.merged || ' ') AS seq, awf
+a{r} AS (SELECT replace(replace(replace(seq, ' ', '  '),
+                        ' ' || replace(b.pair, ' ', '  ') || ' ',
+                        ' ' || b.merged || ' '),
+                        '  ', ' ') AS seq, awf
          FROM a{r - 1}, b{r} b)""")
     return f"""{train_ctes}{''.join(apply_ctes)}
 SELECT token, CAST(sum(awf) AS BIGINT) AS cnt

@@ -1096,9 +1096,15 @@ def q_dedup_winnow(spark: SparkSession, sf: str) -> DataFrame:
     """Winnowing-fingerprint shared-substring pairs (MOSS, Schleimer et al.
     2003): positional 4-gram hashes, sliding-window-4 minima as
     fingerprints — detects a verbatim >=7-token run at ANY offset, the
-    substring case aligned span dedup and set-overlap Jaccard both miss."""
+    substring case aligned span dedup and set-overlap Jaccard both miss.
+
+    EXACT ORACLE BASELINE: max_fp_df=None disables the boilerplate cap so
+    the pair set is complete — measured superlinear at sf1 (12.7x time at
+    10x data, SCALING.md r6-3b) and NOT the production posture; the
+    operator's default (and the headline scale query) is the capped form,
+    ``dedup_winnow_capped``."""
     return D.winnow_pairs(_docs(StreamBuilder(spark), sf), "doc_id", "text",
-                          k=4, window=4, min_shared=1)
+                          k=4, window=4, min_shared=1, max_fp_df=None)
 
 
 SQL_DEDUP_WINNOW = """
@@ -1123,12 +1129,14 @@ PIPELINE_INVENTORY["dedup_winnow"] = (q_dedup_winnow, SQL_DEDUP_WINNOW)
 
 
 def q_dedup_winnow_capped(spark: SparkSession, sf: str) -> DataFrame:
-    """Winnowing with the boilerplate-fingerprint cap (max_fp_df=20 —
+    """Winnowing with the boilerplate-fingerprint cap — THE PRODUCTION
+    DEFAULT posture (max_fp_df=20 is now winnow_pairs' signature default;
     the dedup_ngram_capped dial applied to fingerprints): a fingerprint
     shared by more than 20 docs is template noise and would contribute
     O(df^2) candidate pairs; capping it bounds every bucket — the knob
-    that keeps winnow's pair space linear at corpus scale (its uncapped
-    form is the one slightly-superlinear query in the sf1 table)."""
+    that keeps winnow's pair space linear at corpus scale.  The uncapped
+    ``dedup_winnow`` is kept only as the exact-complete oracle baseline
+    (measured superlinear at sf1, SCALING.md r6-3b)."""
     return D.winnow_pairs(_docs(StreamBuilder(spark), sf), "doc_id",
                           "text", k=4, window=4, min_shared=1,
                           max_fp_df=20)

@@ -121,7 +121,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
 
 def winnow_pairs(df: DataFrame, id_col: str, text_col: str, k: int = 4,
                  window: int = 4, min_shared: int = 1,
-                 max_fp_df: int | None = None) -> DataFrame:
+                 max_fp_df: int | None = 20) -> DataFrame:
     """Winnowing-fingerprint shared-substring pairs (Schleimer et al. 2003,
     the MOSS algorithm — public paper).
 
@@ -139,6 +139,13 @@ def winnow_pairs(df: DataFrame, id_col: str, text_col: str, k: int = 4,
     index (fingerprints are md5 strings, the self-join is equi-keyed and
     map-side pre-counted), but ~window-fold sparser; ``max_fp_df`` caps
     boilerplate fingerprints exactly like max_shingle_df caps shingles.
+    CAPPED IS THE DEFAULT (max_fp_df=20): a fingerprint shared by >20
+    docs is template noise contributing O(df^2) candidate pairs, and the
+    uncapped pair space is measured superlinear (12.7x time at 10x data,
+    SCALING.md r6-3b) — the cap is what bounds every bucket at 100 TB.
+    Pass ``max_fp_df=None`` for the exact-complete pair set (the oracle
+    baseline; documents dropped by the cap differ only in pairs whose
+    ONLY shared fingerprints are >20-doc boilerplate).
     Documents shorter than k tokens emit no fingerprints; shorter than
     window+k-1 tokens emit the global-min fingerprint of what they have.
     """

@@ -376,8 +376,11 @@ def kmeans_centroids(emb: DataFrame, vec_col: str, k: int = 16,
         # one map-side-combinable sum — so the driver collects <= k*dim
         # rows no matter how many partitions the corpus has (raw partials
         # would be O(partitions * k * dim) driver traffic at cluster
-        # scale).  Both paths sum the same partials; round-6 means make
-        # the result order-insensitive either way.
+        # scale).  The distributed reduce folds each component's partials
+        # in ASCENDING PARTITION-ID order (array_sort + aggregate), the
+        # same order the driver path's collect loop uses — so both paths
+        # produce BIT-identical sums (a free-order F.sum could differ in
+        # the last ulp run-to-run and flip the HALF_UP round).
         part = vecs.mapInPandas(partials, schema=schema)
         if vecs.rdd.getNumPartitions() <= 64:
             for r in part.collect():
@@ -386,10 +389,16 @@ def kmeans_centroids(emb: DataFrame, vec_col: str, k: int = 16,
                 counts[r["cell"]] = counts.get(r["cell"], 0) + r["n"]
         else:
             red = (part
-                   .select("cell", "n",
+                   .withColumn("pid", F.spark_partition_id())
+                   .select("pid", "cell", "n",
                            F.posexplode("s").alias("sd", "x"))
                    .groupBy("cell", "sd")
-                   .agg(F.sum("x").alias("sx"), F.sum("n").alias("nn"))
+                   .agg(F.aggregate(
+                            F.array_sort(F.collect_list(
+                                F.struct("pid", "x"))),
+                            F.lit(0.0),
+                            lambda acc, e: acc + e["x"]).alias("sx"),
+                        F.sum("n").alias("nn"))
                    .collect())
             for r in red:
                 sums.setdefault(r["cell"],
@@ -666,7 +675,9 @@ def pq_codebooks(emb: DataFrame, vec_col: str, m: int = 4, k: int = 16,
         # same hybrid as kmeans_centroids: direct collect while the
         # partial count is small; distributed per-(j, code, component)
         # reduction past 64 partitions, so driver traffic is <= m*k*sub
-        # rows at any corpus size (raw partials grow O(partitions * m * k))
+        # rows at any corpus size (raw partials grow O(partitions * m * k));
+        # the fold runs in ascending partition-id order so the result is
+        # BIT-identical to the driver path (see kmeans_centroids)
         sums: dict = {}
         counts: dict = {}
         part = vecs.mapInPandas(partials, schema=schema)
@@ -678,10 +689,16 @@ def pq_codebooks(emb: DataFrame, vec_col: str, m: int = 4, k: int = 16,
                 counts[key] = counts.get(key, 0) + r["n"]
         else:
             red = (part
-                   .select("j", "code", "n",
+                   .withColumn("pid", F.spark_partition_id())
+                   .select("pid", "j", "code", "n",
                            F.posexplode("s").alias("sd", "x"))
                    .groupBy("j", "code", "sd")
-                   .agg(F.sum("x").alias("sx"), F.sum("n").alias("nn"))
+                   .agg(F.aggregate(
+                            F.array_sort(F.collect_list(
+                                F.struct("pid", "x"))),
+                            F.lit(0.0),
+                            lambda acc, e: acc + e["x"]).alias("sx"),
+                        F.sum("n").alias("nn"))
                    .collect())
             for r in red:
                 key = (r["j"], r["code"])
@@ -737,7 +754,15 @@ def _per_query_topk(scored: DataFrame, k: int, score_col: str = "adist",
     ENTIRE scored corpus to one task).  Exactness: (score, id) is a
     total order (ids unique within a query), so the global top-k is
     contained in the union of per-partition top-k's — output is
-    bit-identical to the plain window form."""
+    bit-identical to the plain window form.
+
+    NaN/null scores (e.g. a 0/0 cosine from a zero-norm vector) are
+    DROPPED up front: pandas sorts NaN last regardless of order while a
+    Spark desc window sorts NaN first, so an unguarded NaN would rank
+    first under a plain window yet be pruned by the local top-k — the
+    guard makes both paths agree (and a NaN is never a meaningful
+    similarity score)."""
+    scored = scored.filter(~F.isnan(F.col(score_col)))
     schema = scored.schema
 
     def local_topk(batches):

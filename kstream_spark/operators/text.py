@@ -250,15 +250,27 @@ def bpe_train(df: DataFrame, text_col: str,
               n_merges: int = 8) -> DataFrame:
     """ITERATIVE byte-pair-encoding training (Sennrich et al. 2016): each
     round counts adjacent SYMBOL-pair frequencies across the corpus,
-    merges the most frequent pair everywhere (leftmost-first,
-    non-overlapping — standard ``replace`` semantics), and recounts —
+    merges the most frequent pair everywhere (greedy leftmost-first
+    non-overlapping, exactly Sennrich's scan), and recounts —
     ``bpe_pair_counts`` is one round's statistic; this is the full loop.
+
+    The merge is three plain ``replace``s (the delimiter-doubling trick):
+    double every space, replace ``' A  B '`` -> ``' M '``, collapse
+    doubles back.  A naive single ``replace(' A B ', ' M ')`` under-merges
+    runs — the shared delimiter space is consumed by the first match, so
+    ``a a a a`` becomes ``aa a a`` instead of ``aa aa``; with doubled
+    delimiters each occurrence owns its own boundary space, so consecutive
+    occurrences all merge and the result is exactly the greedy
+    leftmost-first non-overlapping scan.  (Winner ``cnt`` still counts
+    every adjacent position — overlapping, per Sennrich's get_stats — so
+    for a pair like ``(a, a)`` cnt can exceed the merges applied; that is
+    standard BPE accounting, not a bug.)
 
     Scale shape: the corpus compresses ONCE to (distinct word, frequency)
     — after that every round is a single map-side-combinable aggregation
     over the vocabulary plus a pure projection applying the merge (symbol
-    sequences live as space-separated strings; the merge is one
-    ``replace``), so a 100 TB corpus costs |vocab|-sized rounds, never a
+    sequences live as space-separated strings; the merge is three
+    ``replace``s), so a 100 TB corpus costs |vocab|-sized rounds, never a
     token re-scan.  One driver action per round collects exactly the
     winning pair (1 row) — the irreducible sequential dependency of BPE.
 
@@ -291,11 +303,16 @@ def bpe_train(df: DataFrame, text_col: str,
         merged = pair.replace(" ", "")
         merges.append((r, pair, merged, cnt))
         # literals via F.lit (never f-string SQL — corpus words can hold
-        # quotes); replace() is leftmost-first non-overlapping in both
-        # Spark and the oracle engine
+        # quotes); delimiter-doubling makes the non-overlapping replace
+        # merge consecutive occurrences too (see docstring), identically
+        # in Spark and the oracle engine
         cur = cur.select(
-            F.replace(F.col("seq"), F.lit(f" {pair} "),
-                      F.lit(f" {merged} ")).alias("seq"), "wf")
+            F.replace(
+                F.replace(
+                    F.replace(F.col("seq"), F.lit(" "), F.lit("  ")),
+                    F.lit(" " + pair.replace(" ", "  ") + " "),
+                    F.lit(f" {merged} ")),
+                F.lit("  "), F.lit(" ")).alias("seq"), "wf")
     word_freq.unpersist()
     return spark.createDataFrame(
         merges,
@@ -307,11 +324,12 @@ def bpe_tokenize(df: DataFrame, text_col: str, merges: list,
     """Apply an ORDERED list of learned BPE merges (the ``pair`` column of
     ``bpe_train``, ascending merge_rank) to tokenize text — the inference
     half of the tokenizer: each word becomes its character sequence, then
-    every merge replaces its pair leftmost-first non-overlapping, in
-    training order.
+    every merge replaces its pair greedy leftmost-first non-overlapping
+    (the same delimiter-doubling triple-replace as ``bpe_train``, so
+    consecutive occurrences all merge), in training order.
 
     Pure projection, all codegen: words -> char-spaced symbol string ->
-    a chain of ``len(merges)`` replace()s inside a higher-order
+    a chain of ``3 * len(merges)`` replace()s inside a higher-order
     ``transform`` over the word array -> flatten.  No UDF, no shuffle, no
     driver loop per row — at 100 TB this is one map-only pass.  Merge
     literals ride as Column literals (never f-string SQL: corpus text can
@@ -320,8 +338,10 @@ def bpe_tokenize(df: DataFrame, text_col: str, merges: list,
         s = F.concat(F.lit(" "),
                      F.regexp_replace(wcol, "(.)", "$1 "))
         for pair in merges:
-            s = F.replace(s, F.lit(f" {pair} "),
+            s = F.replace(s, F.lit(" "), F.lit("  "))
+            s = F.replace(s, F.lit(" " + pair.replace(" ", "  ") + " "),
                           F.lit(" " + pair.replace(" ", "") + " "))
+            s = F.replace(s, F.lit("  "), F.lit(" "))
         return s
 
     toks = F.flatten(F.transform(

@@ -61,10 +61,44 @@ def tag_sides(left: DataFrame, right: DataFrame, key: str,
     return l.unionByName(r)
 
 
+def resolve_buckets(spark, buckets: int | str | None,
+                    checkpoint_dir: str | None = None) -> int | None:
+    """Resolve ``buckets`` ONCE per query lifetime and pin it.
+
+    State is keyed by ``xxhash64(k) % B``, so B is part of the state
+    layout: restarting a checkpointed query with a different B silently
+    remaps keys to different state groups — old buffers become
+    unreachable and cross-matches are dropped.  ``"auto"`` resolves from
+    ``defaultParallelism`` at build time, which CHANGES when the cluster
+    is resized.  With ``checkpoint_dir`` given, the first resolution is
+    recorded in a ``kstream_buckets.json`` sidecar next to the
+    checkpoint and every restart reuses the pinned value regardless of
+    current parallelism (or of the caller's requested value).  Without a
+    checkpoint the query has no recoverable state, so fresh resolution
+    is safe.  The sidecar uses local-filesystem I/O — for object-store
+    checkpoints pass an explicit integer ``buckets`` instead and keep it
+    constant across restarts."""
+    resolved = (spark.sparkContext.defaultParallelism * 4
+                if buckets == "auto" else buckets)
+    if checkpoint_dir is None:
+        return resolved
+    import json
+    import os
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    pin = os.path.join(checkpoint_dir, "kstream_buckets.json")
+    if os.path.exists(pin):
+        with open(pin) as fh:
+            return json.load(fh)["buckets"]
+    with open(pin, "w") as fh:
+        json.dump({"buckets": resolved}, fh)
+    return resolved
+
+
 def stateful_stream_join(left: DataFrame, right: DataFrame, key: str,
                          left_payload: list[str], right_payload: list[str],
                          ttl_ms: int | None = None,
-                         buckets: int | str | None = "auto") -> DataFrame:
+                         buckets: int | str | None = "auto",
+                         checkpoint_dir: str | None = None) -> DataFrame:
     """Unbounded-buffer stream-stream inner join (reference parity).
 
     Emits one row per (left record, right record) cross-match per key —
@@ -98,6 +132,11 @@ def stateful_stream_join(left: DataFrame, right: DataFrame, key: str,
     micro-batch, which collapses throughput at high key cardinality;
     benched ~6x at 100 k keys).  Pass ``buckets=None`` for one state
     group per key, the reference-exact granularity.
+
+    ``checkpoint_dir``: pass the query's checkpointLocation to PIN the
+    resolved bucket count across restarts (``resolve_buckets`` sidecar)
+    — B is part of the state layout, and ``"auto"`` re-resolving under
+    different cluster parallelism would orphan checkpointed buffers.
 
     Output: (k, __l_<left_payload cols>..., __r_<right_payload cols>...),
     all typed — ``parse_joined`` regroups them into (k, l struct, r struct).
@@ -194,6 +233,11 @@ def stateful_stream_join(left: DataFrame, right: DataFrame, key: str,
             state.remove()
             return
         store: dict = pickle.loads(state.get[0]) if state.exists else {}
+        # legacy blobs (pre-TTL-stamp checkpoints) hold 2-tuples
+        # (lbuf, rbuf) — pad a 0 stamp so restarts on old state don't
+        # crash the 3-tuple unpack / v[2] prune below
+        if store and len(next(iter(store.values()))) == 2:
+            store = {k: (v[0], v[1], 0) for k, v in store.items()}
         # per-KEY expiry inside the bucket: the bucket's
         # setTimeoutDuration resets whenever ANY key in it is active, so
         # a hot neighbor would otherwise keep cold keys alive forever —
@@ -260,8 +304,10 @@ def stateful_stream_join(left: DataFrame, right: DataFrame, key: str,
 
     timeout = GroupStateTimeout.ProcessingTimeTimeout if ttl_ms is not None \
         else GroupStateTimeout.NoTimeout
-    if buckets == "auto":
-        buckets = left.sparkSession.sparkContext.defaultParallelism * 4
+    # pin the resolved count when the query is recoverable — B is part of
+    # the state layout (see resolve_buckets); pass the writeStream
+    # checkpointLocation here to survive cluster resizes and default flips
+    buckets = resolve_buckets(left.sparkSession, buckets, checkpoint_dir)
     if buckets is not None:
         bucketed = tagged.withColumn(
             "__b", F.pmod(F.xxhash64("k"), F.lit(buckets)))

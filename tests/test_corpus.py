@@ -269,6 +269,28 @@ def test_bpe_tokenize_applies_merges_in_order(spark):
     assert out == ["aaab", "aaab", "ab", "xy", "z", "qr"], out
 
 
+def test_bpe_merge_is_greedy_nonoverlapping_on_runs(spark):
+    """Sennrich-exact merge on repeated-pair runs: in 'aaaa' the pair
+    (a, a) merges at positions (1,2) AND (3,4) in the same round — a
+    naive replace(' a a ', ' aa ') consumes the shared delimiter space
+    and under-merges to ['aa', 'a', 'a'].  The delimiter-doubling
+    triple-replace must produce ['aa', 'aa'] (train and tokenize)."""
+    from kstream_spark.operators.text import bpe_tokenize, bpe_train
+    df = spark.createDataFrame([(1, "aaaa")], "doc_id long, text string")
+    out = [(r.merge_rank, r.pair, r.merged, r.cnt)
+           for r in bpe_train(df, "text", n_merges=2).collect()]
+    # r1: 'a a' counted at every adjacent position (3, overlapping — the
+    # Sennrich get_stats convention) but applied non-overlapping (2
+    # merges) -> ' aa aa '; r2: 'aa aa' once -> 'aaaa'
+    assert out == [(1, "a a", "aa", 3), (2, "aa aa", "aaaa", 1)]
+    toks = bpe_tokenize(df, "text", ["a a"]).collect()[0]["tokens"]
+    assert toks == ["aa", "aa"], toks
+    # odd run: greedy leftmost leaves the trailing singleton
+    df5 = spark.createDataFrame([(1, "aaaaa")], "doc_id long, text string")
+    toks5 = bpe_tokenize(df5, "text", ["a a"]).collect()[0]["tokens"]
+    assert toks5 == ["aa", "aa", "a"], toks5
+
+
 def test_bpe_train_iterates_merge_recount(spark):
     """The full BPE loop: after a merge wins, later rounds count pairs of
     MERGED symbols — the recount a single-round statistic can't see."""

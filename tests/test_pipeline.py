@@ -395,6 +395,16 @@ def test_per_query_topk_equals_plain_window(spark):
         fast = _per_query_topk(scored, 7, asc=asc)
         assert sorted(map(tuple, plain.collect())) == \
             sorted(map(tuple, fast.collect())), f"asc={asc}"
+    # NaN scores (0/0 cosine on a zero-norm vector) are dropped, never
+    # ranked: pandas sorts NaN last while a Spark desc window sorts NaN
+    # first — without the guard the two paths would disagree
+    nan_rows = spark.createDataFrame(
+        [(99, 1, 0.5), (99, 2, float("nan")), (99, 3, 0.1)],
+        "query_id long, neighbor_id long, adist double")
+    got = [(r.neighbor_id, r.rank) for r in
+           _per_query_topk(nan_rows, 2, asc=False)
+           .orderBy("rank").collect()]
+    assert got == [(1, 1), (3, 2)], got
 
 
 def test_codebook_persistence_roundtrip(spark, tmp_path):

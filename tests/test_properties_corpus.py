@@ -201,8 +201,8 @@ def test_winnow_pairs_matches_reference(docs, k, window):
     spark = _spark()
     df = spark.createDataFrame(docs, "doc_id long, text string")
     got = {(r.doc_a, r.doc_b): r.n_shared
-           for r in winnow_pairs(df, "doc_id", "text",
-                                 k=k, window=window).collect()}
+           for r in winnow_pairs(df, "doc_id", "text", k=k, window=window,
+                                 max_fp_df=None).collect()}
 
     fps = {}
     for did, text in docs:

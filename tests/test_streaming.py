@@ -947,3 +947,23 @@ def test_streaming_ann_residual_mode_matches_batch(spark, tmp_path):
                                       cents, m=4, pq_k=8, pq_iters=1,
                                       k=5, n_probe=probes).collect()}
         assert got == want, probes
+
+
+def test_resolve_buckets_pins_across_restarts(spark, tmp_path):
+    """B is part of the state layout: the first resolution with a
+    checkpoint_dir writes a sidecar, and later resolutions reuse the
+    pinned value even if 'auto' would now resolve differently or the
+    caller requests another count — checkpointed state stays reachable."""
+    from kstream_spark.streaming.join import resolve_buckets
+    ckpt = str(tmp_path / "ckpt")
+    first = resolve_buckets(spark, "auto", ckpt)
+    assert first == spark.sparkContext.defaultParallelism * 4
+    # a restart asking for an explicit different count still gets the pin
+    assert resolve_buckets(spark, 7, ckpt) == first
+    assert resolve_buckets(spark, "auto", ckpt) == first
+    # per-key mode (None) pins too
+    ckpt2 = str(tmp_path / "ckpt2")
+    assert resolve_buckets(spark, None, ckpt2) is None
+    assert resolve_buckets(spark, "auto", ckpt2) is None
+    # no checkpoint -> fresh resolution each time (no recoverable state)
+    assert resolve_buckets(spark, 7, None) == 7
