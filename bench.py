@@ -86,6 +86,9 @@ HEADLINE = [
     "j_interval_overlap",
     "corpus_pack_efficiency",
     "dedup_winnow_capped",
+    "sim_ann_drift",
+    "p1_filter_strict_dlq",
+    "mm_phash_dedup",
 ]
 
 

@@ -42,6 +42,45 @@ WHERE event_type = 'purchase' AND value > 50
 """
 
 
+# P1b Filter with the reference's per-record error path (ref
+# processors/filter.go:72-89: a predicate ERROR aborts the record into
+# retry/DLQ, never a silent drop).  The events table genuinely contains
+# poison records — payload k == 0 — whose predicate value/k hits a real
+# arithmetic error (ANSI Spark would abort the whole task); try_divide
+# converts exactly those per-record errors to NULL, and filter_strict
+# routes the NULL-predicate rows to the DLQ relation.  The query returns
+# BOTH relations' per-type counts so kept/DLQ routing is driver-provable
+# end-to-end.  (The oracle replays the error set with nullif(k, 0):
+# DuckDB's IEEE double division would give inf, not an error.)
+def q_filter_strict_dlq(spark: SparkSession, sf: str) -> DataFrame:
+    b = StreamBuilder(spark)
+    dlq = DLQ()
+    pred = F.expr(
+        "try_divide(value,"
+        " cast(get_json_object(props, '$.k') as double)) > 2.0d")
+    kept = _events(b, sf).filter_strict(pred, dlq)
+    k = (kept.to_df().groupBy("event_type")
+         .agg(F.count("*").cast("long").alias("cnt"))
+         .select(F.lit("kept").alias("relation"), "event_type", "cnt"))
+    d = (dlq.df().groupBy("event_type")
+         .agg(F.count("*").cast("long").alias("cnt"))
+         .select(F.lit("dlq").alias("relation"), "event_type", "cnt"))
+    return k.unionByName(d)
+
+
+SQL_FILTER_STRICT_DLQ = """
+WITH e AS (SELECT event_type,
+    value / nullif(CAST(json_extract_string(props, '$.k') AS DOUBLE),
+                   0.0) > 2.0 AS p
+  FROM events)
+SELECT 'kept' AS relation, event_type, CAST(count(*) AS BIGINT) AS cnt
+FROM e WHERE p GROUP BY event_type
+UNION ALL
+SELECT 'dlq' AS relation, event_type, CAST(count(*) AS BIGINT) AS cnt
+FROM e WHERE p IS NULL GROUP BY event_type
+"""
+
+
 # P2 SelectKey (ref processors/key_selector.go:9-80)
 def q_select_key(spark: SparkSession, sf: str) -> DataFrame:
     b = StreamBuilder(spark)
@@ -381,6 +420,7 @@ SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
 
 INVENTORY: dict[str, tuple] = {
     "p1_filter": (q_filter, SQL_FILTER),
+    "p1_filter_strict_dlq": (q_filter_strict_dlq, SQL_FILTER_STRICT_DLQ),
     "p2_select_key": (q_select_key, SQL_SELECT_KEY),
     "p3_transform_values": (q_transform_values, SQL_TRANSFORM_VALUES),
     "p4_transform": (q_transform, SQL_TRANSFORM),

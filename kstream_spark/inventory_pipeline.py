@@ -623,6 +623,91 @@ PIPELINE_INVENTORY["mm_frame_sample"] = (q_mm_frame_sample,
                                          SQL_MM_FRAME_SAMPLE)
 
 
+def q_mm_phash_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual-hash image dedup: dHash (DCT-free difference hash —
+    integer gradient bits over a thumbnail grid, so the oracle is exact)
+    + Hamming-LSH banding (multimodal.phash_pairs) — the image arm of
+    the dedup family.  The decode step is the documented stub
+    (multimodal.fake_decode_image: 72 segment-mean "pixels" from the
+    text payload, standing in for a real thumbnailer); each document
+    yields TWO images — the original and a requantization-style
+    re-encode (every pixel jittered by i%3-1, the classic JPEG
+    round-trip artifact) — and the operator must recover those
+    copy-pairs via the band join (never all-pairs; plan-asserted in
+    tests) with exact-Hamming verification at max_hamming=3, where
+    banding is provably complete (pigeonhole over 4 bands).  Unrelated
+    documents' images collide in a band occasionally but are verified
+    out — 0 false pairs at every SF measured."""
+    d0 = (_docs(StreamBuilder(spark), sf)
+          .filter(F.length("text") >= 72).select("doc_id", "text"))
+    base = M.fake_decode_image(d0, "doc_id", "text", n_px=72)
+    orig = base.select((F.col("doc_id") * 2).alias("img_id"), "pixels")
+    copy = base.select(
+        (F.col("doc_id") * 2 + 1).alias("img_id"),
+        F.transform("pixels",
+                    lambda x, i: x + (i % F.lit(3) - 1)).alias("pixels"))
+    # persist the decoded thumbnails: at scale they'd be a materialized
+    # table (decode once, hash many) — and inline, the union of two
+    # 72-expression decode branches re-entering dhash's 64 gradient
+    # reads sends the optimizer into expression-tree blowup (measured
+    # minutes); the barrier makes the whole query seconds
+    imgs = orig.unionByName(copy).persist()
+    return M.phash_pairs(imgs, "img_id", "pixels", max_hamming=3)
+
+
+def _mm_phash_sql(n_px: int = 72, w: int = 8, h: int = 8,
+                  bands: int = 4, max_hamming: int = 3) -> str:
+    """DuckDB replay of fake_decode_image + jitter copy + dhash_bands +
+    banded candidates + Hamming verify.  Pixels are emitted as explicit
+    per-position expressions (DuckDB list lambdas have no index
+    parameter, so the i%3-1 jitter rides as constants)."""
+    bbits = (w * h) // bands
+    px = []
+    for k in range(n_px):
+        st = f"CAST(({k}*n)//{n_px} AS INT)+1"
+        ln = f"CAST((({k + 1})*n)//{n_px} - ({k}*n)//{n_px} AS INT)"
+        px.append(
+            f"(CAST(coalesce(list_sum(list_transform("
+            f"string_split_regex(substr(t,{st},{ln}),''),"
+            f" ch -> ord(ch))),0) // greatest({ln},1) AS INT)"
+            f" + jit * ({k} % 3 - 1)) AS s{k}")
+    band_exprs = []
+    for b in range(bands):
+        terms = []
+        for p in range(bbits):
+            i = b * bbits + p
+            r, c = divmod(i, w)
+            terms.append(f"(CASE WHEN s{r * (w + 1) + c} <"
+                         f" s{r * (w + 1) + c + 1}"
+                         f" THEN {1 << p} ELSE 0 END)")
+        band_exprs.append("(" + " + ".join(terms) + f") AS band{b}")
+    band_case = " ".join(f"WHEN {b} THEN band{b}" for b in range(bands))
+    hamming = " + ".join(
+        f"bit_count(xor(x.band{b}, y.band{b}))" for b in range(bands))
+    return f"""
+WITH d0 AS (SELECT doc_id, text AS t, length(text) AS n FROM documents
+            WHERE length(text) >= {n_px}),
+imgs AS (SELECT doc_id*2 AS img_id, t, n, 0 AS jit FROM d0
+         UNION ALL SELECT doc_id*2+1, t, n, 1 FROM d0),
+s AS (SELECT img_id, {", ".join(px)} FROM imgs),
+hb AS (SELECT img_id, {", ".join(band_exprs)} FROM s),
+sig AS (SELECT img_id, b.band_idx,
+          CASE b.band_idx {band_case} END AS val
+        FROM hb CROSS JOIN
+          (SELECT unnest(range({bands})) AS band_idx) b),
+cand AS (SELECT DISTINCT a.img_id AS img_a, c.img_id AS img_b
+         FROM sig a JOIN sig c ON a.band_idx = c.band_idx
+           AND a.val = c.val AND a.img_id < c.img_id)
+SELECT cand.img_a, cand.img_b, CAST({hamming} AS BIGINT) AS hamming
+FROM cand JOIN hb x ON x.img_id = cand.img_a
+          JOIN hb y ON y.img_id = cand.img_b
+WHERE {hamming} <= {max_hamming}
+"""
+
+
+PIPELINE_INVENTORY["mm_phash_dedup"] = (q_mm_phash_dedup, _mm_phash_sql())
+
+
 def q_vec_normalize(spark: SparkSession, sf: str) -> DataFrame:
     """L2 norm + unit vector, codegen-only (operators/vectors.l2_normalize).
 
@@ -1311,7 +1396,8 @@ PIPELINE_INVENTORY["sim_ivf_recall"] = (q_sim_ivf_recall, _ivf_recall_sql())
 
 def _pq_train_encode_cte(dim: int = 64, m: int = 4, k: int = 16,
                          iters: int = 2,
-                         query_ids: str = "0, 1, 2, 3, 4") -> str:
+                         query_ids: str = "0, 1, 2, 3, 4",
+                         train_where: str = "") -> str:
     """CTE fragment replaying pq_codebooks + pq_encode + the per-query ADC
     tables: per-subspace Euclidean Lloyd's unrolled ``iters`` times (seed
     codewords = the k lowest-vec_id rows' subvectors; assignment by round-6
@@ -1319,14 +1405,21 @@ def _pq_train_encode_cte(dim: int = 64, m: int = 4, k: int = 16,
     keep the previous codeword).  Requires ``e`` (vec_id, v DOUBLE[]) and
     ``comp`` (vec_id, d, x) CTEs upstream; yields ``codes`` (vec_id, j,
     code) and ``qtab`` (query_id, j, code, dist) for the consumer —
-    _pq_adc_sql ranks the whole corpus, _ivfpq_sql only probed cells."""
+    _pq_adc_sql ranks the whole corpus, _ivfpq_sql only probed cells.
+    ``train_where`` (a ``WHERE ...`` clause on vec_id) restricts the
+    TRAINING corpus only — seeds and Lloyd's rounds see the slice, while
+    encode/qtab still cover every vector (the drift-audit shape: a stale
+    index trained on yesterday's slice encoding today's full corpus)."""
     sub = dim // m
+    train_src = "strain" if train_where else "scomp"
+    strain = (f"""
+strain AS (SELECT * FROM scomp {train_where}),""" if train_where else "")
     its = []
     for t in range(iters):
         its.append(f"""
 pdist{t} AS (SELECT sc.vec_id, sc.j, b.code,
                round(sum((sc.x - b.c) * (sc.x - b.c)), 6) AS dist
-             FROM scomp sc JOIN b{t} b ON b.j = sc.j AND b.sd = sc.sd
+             FROM {train_src} sc JOIN b{t} b ON b.j = sc.j AND b.sd = sc.sd
              GROUP BY sc.vec_id, sc.j, b.code),
 pasg{t} AS (SELECT vec_id, j, code FROM (
               SELECT vec_id, j, code,
@@ -1334,7 +1427,7 @@ pasg{t} AS (SELECT vec_id, j, code FROM (
                                         ORDER BY dist ASC, code ASC) AS rn
               FROM pdist{t}) WHERE rn = 1),
 pmean{t} AS (SELECT a.j, a.code, sc.sd, round(avg(sc.x), 6) AS mn
-             FROM pasg{t} a JOIN scomp sc ON sc.vec_id = a.vec_id
+             FROM pasg{t} a JOIN {train_src} sc ON sc.vec_id = a.vec_id
                                          AND sc.j = a.j
              GROUP BY a.j, a.code, sc.sd),
 b{t + 1} AS (SELECT p.code, p.j, p.sd, coalesce(me.mn, p.c) AS c
@@ -1343,9 +1436,9 @@ b{t + 1} AS (SELECT p.code, p.j, p.sd, coalesce(me.mn, p.c) AS c
     lloyd = ",".join(its)
     return f"""scomp AS (SELECT vec_id, CAST(d // {sub} AS INT) AS j,
                   d % {sub} AS sd, x
-          FROM comp),
+          FROM comp),{strain}
 pseeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS code
-           FROM e ORDER BY vec_id LIMIT {k}),
+           FROM e {train_where} ORDER BY vec_id LIMIT {k}),
 b0 AS (SELECT s.code, sc.j, sc.sd, sc.x AS c
        FROM pseeds s JOIN scomp sc USING (vec_id)),{lloyd},
 books AS (SELECT code, j, sd, c FROM b{iters}),
@@ -1368,14 +1461,16 @@ qtab AS (SELECT sc.vec_id AS query_id, sc.j, b.code,
 
 
 def _pq_adc_sql(dim: int = 64, m: int = 4, k: int = 16, iters: int = 2,
-                topk: int = 10, query_ids: str = "0, 1, 2, 3, 4") -> str:
+                topk: int = 10, query_ids: str = "0, 1, 2, 3, 4",
+                train_where: str = "") -> str:
     """DuckDB replay of pq_codebooks + pq_encode + pq_adc_topk over the
-    WHOLE corpus (see _pq_train_encode_cte for the shared chain)."""
+    WHOLE corpus (see _pq_train_encode_cte for the shared chain;
+    ``train_where`` restricts the training slice only)."""
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 comp AS (SELECT vec_id, dd.d AS d, v[dd.d + 1] AS x
          FROM e CROSS JOIN range(0, {dim}) dd(d)),
-{_pq_train_encode_cte(dim, m, k, iters, query_ids)},
+{_pq_train_encode_cte(dim, m, k, iters, query_ids, train_where)},
 scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
              round(sum(q.dist), 6) AS adist
            FROM codes c JOIN qtab q ON q.j = c.j AND q.code = c.code
@@ -1612,3 +1707,69 @@ FROM hits GROUP BY query_id
 
 PIPELINE_INVENTORY["sim_ivfpq_recall"] = (q_sim_ivfpq_recall,
                                           _ivfpq_recall_sql())
+
+
+def q_sim_ann_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall-DRIFT audit for the streaming ANN lifecycle: as
+    streaming/ann.admit_stream keeps encoding arrivals against a
+    PERSISTED index, the index ages — codebooks trained on yesterday's
+    distribution quantize today's corpus worse.  This row prices that
+    staleness as a driver-provable fact: recall@10 (vs brute-force
+    cosine, 5 queries) of (a) the STREAMED arm — codebooks trained on
+    the first half of the corpus (the 'yesterday' slice) encoding the
+    FULL corpus, exactly what the streamed code store holds (admission
+    encode == batch encode bit-identical,
+    test_streaming_ann_admit_and_search) — vs (b) the REBUILT arm —
+    codebooks retrained on the full corpus.  The gap between the arms
+    is the signal that schedules a rebuild + compact_code_store pass.
+    (The synthetic fixture embeddings are STATIONARY, so here the arms
+    score comparably — the row proves the drift measurement end-to-end,
+    which is exactly what a production pipeline polls; under real
+    distribution shift the stale arm's n_hits sink.)
+    Returns (arm, query_id, n_hits), fully deterministic."""
+    emb = _embs(StreamBuilder(spark), sf)
+    n = emb.count()
+    qids = [0, 1, 2, 3, 4]
+    stale_books = S.pq_codebooks(emb.filter(F.col("vec_id") < n // 2),
+                                 "embedding", m=4, k=16, iters=2,
+                                 id_col="vec_id")
+    fresh_books = S.pq_codebooks(emb, "embedding", m=4, k=16, iters=2,
+                                 id_col="vec_id")
+    exact = S.cosine_topk(emb, "vec_id", "embedding", query_ids=qids,
+                          k=10).select("query_id", "neighbor_id")
+    arms = []
+    for arm, books in (("rebuilt", fresh_books),
+                       ("streamed_stale", stale_books)):
+        approx = S.pq_adc_topk(emb, "vec_id", "embedding", qids, books,
+                               k=10).select("query_id", "neighbor_id")
+        ind = F.broadcast(approx.withColumn("_hit", F.lit(1)))
+        arms.append(exact.join(ind, ["query_id", "neighbor_id"], "left")
+                    .groupBy("query_id")
+                    .agg(F.count("_hit").cast("long").alias("n_hits"))
+                    .select(F.lit(arm).alias("arm"), "query_id",
+                            "n_hits"))
+    return arms[0].unionByName(arms[1])
+
+
+def _ann_drift_sql() -> str:
+    half = "WHERE vec_id < (SELECT count(*) // 2 FROM embeddings)"
+    return f"""
+WITH stale AS (SELECT query_id, neighbor_id
+               FROM ({_pq_adc_sql(train_where=half)}) t),
+fresh AS (SELECT query_id, neighbor_id FROM ({_pq_adc_sql()}) t),
+brute AS (SELECT query_id, neighbor_id FROM ({SQL_SIM_COSINE_TOPK}) t)
+SELECT 'rebuilt' AS arm, b.query_id,
+       CAST(count(f.neighbor_id) AS BIGINT) AS n_hits
+FROM brute b LEFT JOIN fresh f
+  ON f.query_id = b.query_id AND f.neighbor_id = b.neighbor_id
+GROUP BY b.query_id
+UNION ALL
+SELECT 'streamed_stale' AS arm, b.query_id,
+       CAST(count(s.neighbor_id) AS BIGINT) AS n_hits
+FROM brute b LEFT JOIN stale s
+  ON s.query_id = b.query_id AND s.neighbor_id = b.neighbor_id
+GROUP BY b.query_id
+"""
+
+
+PIPELINE_INVENTORY["sim_ann_drift"] = (q_sim_ann_drift, _ann_drift_sql())

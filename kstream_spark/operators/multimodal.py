@@ -156,3 +156,103 @@ def attach_audio(df: DataFrame, source_col: str, sample_rate: int = 16000,
             F.lit(sample_rate).alias("sample_rate"),
             F.round(n_bytes / (2 * sample_rate), 6).alias("est_duration_s"),
         ))
+
+
+def fake_decode_image(df: DataFrame, id_col: str, text_col: str,
+                      n_px: int = 72) -> DataFrame:
+    """STUB image decode: derive a deterministic grayscale "thumbnail"
+    (``n_px`` integer pixels) from a text payload — segment MEANS of the
+    char codes (sum // len, integer-exact), standing in for the
+    resize-to-thumbnail step a real decoder (PIL etc., absent from this
+    container) would run.  Region averaging mirrors what real
+    thumbnailing does and is what ``dhash_bands`` consumes; pure codegen
+    (split -> transform -> per-segment aggregate), no UDF.  Rows shorter
+    than one char per segment are the caller's business (filter
+    ``length >= n_px`` for stable thumbnails)."""
+    src = df.select(F.col(id_col),
+                    F.transform(F.split(F.col(text_col), ""),
+                                lambda ch: F.ascii(ch)).alias("_pc"),
+                    F.length(F.col(text_col)).alias("_n"))
+    px = []
+    for k in range(n_px):
+        st = f"cast(({k} * _n) div {n_px} as int) + 1"
+        ln = (f"cast((({k + 1}) * _n) div {n_px} "
+              f"- ({k} * _n) div {n_px} as int)")
+        px.append(F.expr(
+            f"cast(aggregate(slice(_pc, {st}, {ln}), 0, (a, x) -> a + x)"
+            f" div greatest({ln}, 1) as int)"))
+    return src.select(F.col(id_col), F.array(*px).alias("pixels"))
+
+
+def dhash_bands(df: DataFrame, id_col: str, pixel_col: str,
+                w: int = 8, h: int = 8, bands: int = 4) -> DataFrame:
+    """Difference-hash (dHash) an integer grayscale pixel array into
+    ``bands`` integer band values — the DCT-free perceptual hash
+    (w*h gradient bits: grid(r,c) < grid(r,c+1) over a nearest-neighbor
+    resample to a (w+1) x h grid), split into Hamming-LSH bands of
+    (w*h)/bands bits each.  All integer arithmetic, so the hash is
+    bit-exact across engines (a DCT pHash would drag float rounding into
+    the oracle).  Returns (id, bands array<int>); pure projection."""
+    nbits = w * h
+    assert nbits % bands == 0
+    bbits = nbits // bands
+    grid_n = (w + 1) * h
+    src = df.select(F.col(id_col), F.col(pixel_col).alias("_px"),
+                    F.size(F.col(pixel_col)).alias("_l"))
+    # nearest-neighbor resample: grid g reads pixel (g * L) // grid_n
+    g = [F.expr(f"element_at(_px, cast(({i} * _l) div {grid_n} as int) + 1)")
+         for i in range(grid_n)]
+    band_cols = []
+    for b in range(bands):
+        acc = None
+        for p in range(bbits):
+            i = b * bbits + p
+            r, c = divmod(i, w)
+            bit = F.when(g[r * (w + 1) + c] < g[r * (w + 1) + c + 1],
+                         F.lit(1 << p)).otherwise(F.lit(0))
+            acc = bit if acc is None else acc + bit
+        band_cols.append(acc.cast("int"))
+    return src.select(F.col(id_col), F.array(*band_cols).alias("bands"))
+
+
+def phash_pairs(df: DataFrame, id_col: str, pixel_col: str,
+                max_hamming: int = 3, w: int = 8, h: int = 8,
+                bands: int = 4) -> DataFrame:
+    """Perceptual near-duplicate image pairs: dHash each image, generate
+    candidates by HAMMING-LSH BANDING (pairs sharing at least one exact
+    band — an equi-join on (band_idx, band_val), NEVER all-pairs), then
+    verify true Hamming distance over the full hash and keep pairs
+    within ``max_hamming``.
+
+    Completeness: with ``max_hamming <= bands - 1`` (the default 3 with
+    4 bands) the result is EXACT — pigeonhole puts at least one clean
+    band on any pair within the threshold, so banding cannot miss one;
+    larger thresholds trade recall for the same bounded candidate cost
+    (standard LSH semantics).  Scale shape: identical to the MinHash
+    band join — bucketed candidates, O(bucket^2) pairs per band value,
+    verification on candidates only.  Returns (img_a, img_b, hamming).
+
+    The signature relation is consumed by a self-join plus two verify
+    joins; if ``pixel_col`` is produced by a heavy expression chain
+    (e.g. an inline decode), PERSIST or materialize that relation first
+    — at scale decoded thumbnails are a stored table anyway (decode
+    once, hash many), and inline the re-entered decode trees blow up
+    plan optimization."""
+    hb = dhash_bands(df, id_col, pixel_col, w, h, bands)
+    sig = hb.select(F.col(id_col), F.posexplode("bands")
+                    .alias("band_idx", "val"))
+    cand = (sig.select(F.col(id_col).alias("img_a"), "band_idx", "val")
+            .join(sig.select(F.col(id_col).alias("img_b"),
+                             "band_idx", "val"), ["band_idx", "val"])
+            .filter(F.col("img_a") < F.col("img_b"))
+            .select("img_a", "img_b").distinct())
+    xa = hb.select(F.col(id_col).alias("img_a"), F.col("bands").alias("_ba"))
+    xb = hb.select(F.col(id_col).alias("img_b"), F.col("bands").alias("_bb"))
+    ham = None
+    for b in range(bands):
+        term = F.bit_count(F.element_at("_ba", b + 1)
+                           .bitwiseXOR(F.element_at("_bb", b + 1)))
+        ham = term if ham is None else ham + term
+    return (cand.join(xa, "img_a").join(xb, "img_b")
+            .select("img_a", "img_b", ham.cast("long").alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))

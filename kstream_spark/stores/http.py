@@ -19,10 +19,11 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, unquote, urlparse
 
-# full-scan page cap: the reference pages its scan through an iterator
+# full-scan page size: the reference pages its scan through an iterator
 # (store/http.go:149-192) instead of buffering the store; collect() has no
-# such backpressure, so an explicit row cap (?limit= overridable) keeps a
-# big store from materializing on the HTTP thread
+# such backpressure, so each page is a bounded collect (?limit= overridable)
+# and clients walk the complete store via ?offset= / the X-Next-Offset
+# continuation header against a deterministic key sort
 DEFAULT_SCAN_LIMIT = 10_000
 
 
@@ -51,23 +52,35 @@ class StoreHttpServer:
                         return self._json(200, reg.stores())
                     if len(parts) >= 2 and parts[0] == "stores":
                         store = reg.store(parts[1])
-                        if len(parts) == 2:          # full scan (capped)
+                        if len(parts) == 2:          # full scan (paged)
                             q = parse_qs(url.query)
                             raw = q.get("limit", [DEFAULT_SCAN_LIMIT])[0]
+                            off_raw = q.get("offset", [0])[0]
                             try:
                                 limit = int(raw)
+                                offset = int(off_raw)
                             except (TypeError, ValueError):
                                 return self._json(
-                                    400, {"error": f"bad limit: {raw!r}"})
-                            if limit < 0:
+                                    400, {"error": f"bad limit/offset: "
+                                          f"{raw!r}/{off_raw!r}"})
+                            if limit < 0 or offset < 0:
                                 return self._json(
-                                    400, {"error": f"bad limit: {limit}"})
-                            # collect limit+1 so a truncated scan is
-                            # distinguishable from a complete one (the
-                            # reference pages the COMPLETE store —
-                            # store/http.go:149-192; we cap but say so)
+                                    400, {"error": f"bad limit/offset: "
+                                          f"{limit}/{offset}"})
+                            # page against a DETERMINISTIC key sort so
+                            # ?offset= walks the COMPLETE store without
+                            # gaps or repeats (the reference pages the
+                            # whole store through an iterator —
+                            # store/http.go:149-192; here each page is
+                            # one bounded collect and X-Next-Offset is
+                            # the continuation token).  limit+1 rows are
+                            # collected so a truncated page is
+                            # distinguishable from the last one.
+                            scan = store.get_all().orderBy(*store.key)
+                            if offset:
+                                scan = scan.offset(offset)
                             rows = [r.asDict() for r in
-                                    store.get_all().limit(limit + 1).collect()]
+                                    scan.limit(limit + 1).collect()]
                             truncated = len(rows) > limit
                             self.send_response(200)
                             body = json.dumps(rows[:limit],
@@ -76,6 +89,9 @@ class StoreHttpServer:
                                              "application/json")
                             self.send_header("X-Truncated",
                                              "true" if truncated else "false")
+                            if truncated:
+                                self.send_header("X-Next-Offset",
+                                                 str(offset + limit))
                             self.send_header("Content-Length", str(len(body)))
                             self.end_headers()
                             self.wfile.write(body)

@@ -194,3 +194,40 @@ def adc_topk_from_codes(codes: DataFrame, queries: DataFrame,
                   .select("query_id", "neighbor_id",
                           F.round(adist, 6).alias("adist")))
     return _per_query_topk(scored, k)
+
+
+def compact_code_store(spark, store_dir: str, out_dir: str, id_col: str,
+                       epoch_col: str = "__epoch") -> DataFrame:
+    """Compact the epoch partitions ``admit_stream`` accumulates into one
+    cell-partitioned layout — the maintenance op a production vector
+    pipeline runs periodically.
+
+    Two things happen: (1) LATEST-WINS dedup — a vector re-admitted in a
+    later micro-batch supersedes its earlier codes (the same
+    latest-by-key compaction the changelog stores use,
+    global_table.compact_latest), so the store stays one row per id no
+    matter how many epochs replayed it; (2) the output is repartitioned
+    and PARTITIONED BY cell_id, so a probed search
+    (``adc_topk_from_codes`` with n_probe) reading the compacted store
+    prunes whole partitions at the scan — at 100 TB the probe dial then
+    bounds IO, not just compute.  Epoch dirs collapse into a single
+    epoch-0 partition column (kept so a fresh ``admit_stream`` can
+    resume appending epochs next to it).
+
+    Out-of-place: writes ``out_dir`` and leaves ``store_dir`` untouched —
+    swap directories (or re-point the reader) only after the write
+    commits, and only while the admitting query is stopped (the
+    stop-compact-swap-resume discipline; compacting under a live writer
+    would race the epoch listing).  Returns the compacted DataFrame.
+    """
+    from pyspark.sql import Window as W
+    codes = spark.read.parquet(store_dir)
+    w = W.partitionBy(id_col).orderBy(F.desc(epoch_col))
+    latest = (codes.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") == 1)
+              .select(id_col, "cell_id", "codes"))
+    (latest.withColumn(epoch_col, F.lit(0))
+     .repartition("cell_id")
+     .write.mode("overwrite").partitionBy("cell_id", epoch_col)
+     .parquet(out_dir))
+    return spark.read.parquet(out_dir)

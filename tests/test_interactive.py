@@ -109,3 +109,42 @@ def test_topic_admin_roundtrip():
 def test_live_admin_gated():
     with pytest.raises(NotImplementedError):
         live_admin("broker:9092")
+
+
+def test_full_scan_offset_paging_walks_complete_store(spark):
+    """The reference pages the COMPLETE store through an iterator
+    (store/http.go:149-192); here ?offset= + the X-Next-Offset
+    continuation header walk every row in deterministic key order —
+    a store larger than one page is fetched page by page with no gaps,
+    repeats, or reordering."""
+    b = StreamBuilder(spark)
+    df = spark.createDataFrame(
+        [(i, 1, f"p{i}") for i in range(25)],
+        "key long, version long, payload string")
+    b.stores.materialize("paged", df, key="key", version="version")
+    srv = StoreHttpServer(b.stores).start()
+    try:
+        got, offset, pages = [], 0, 0
+        while True:
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{srv.port}/stores/paged"
+                    f"?limit=7&offset={offset}") as r:
+                assert r.status == 200
+                rows = json.loads(r.read())
+                got.extend(rows)
+                pages += 1
+                if r.headers["X-Truncated"] == "false":
+                    assert "X-Next-Offset" not in r.headers
+                    break
+                offset = int(r.headers["X-Next-Offset"])
+        assert pages == 4                       # 7 + 7 + 7 + 4
+        assert [r["key"] for r in got] == list(range(25))
+        # arbitrary-offset entry is deterministic too (not just the walk)
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/stores/paged"
+                f"?limit=5&offset=20") as r:
+            assert [x["key"] for x in json.loads(r.read())] == \
+                [20, 21, 22, 23, 24]
+            assert r.headers["X-Truncated"] == "false"
+    finally:
+        srv.stop()

@@ -663,3 +663,47 @@ def test_ivfpq_full_probe_equals_plain_adc(spark):
     want = {(r.query_id, r.neighbor_id, r.adist, r.rank)
             for r in plain.collect()}
     assert got == want
+
+
+def test_phash_dedup_finds_jitter_copies_banded(spark):
+    """dHash + Hamming-LSH banding: a +/-1-jittered re-encode of an image
+    lands within max_hamming of its original and is recovered via the
+    band join; an unrelated image is not paired.  With max_hamming <=
+    bands-1 banding is complete (pigeonhole), so the pair set is exact.
+    The candidate plan must be the banded equi-join — no cartesian."""
+    from kstream_spark.operators import multimodal as M
+
+    # smooth ramp image (like a real photo), a re-encode with two
+    # corrupted pixels (flips exactly 2 gradient bits -> hamming 2), and
+    # an unrelated high-contrast checkerboard
+    grad = [4 * k for k in range(72)]
+    jit = list(grad)
+    jit[10] += 6
+    jit[20] += 6
+    checker = [255 * ((k // 9 + k) % 2) for k in range(72)]
+    df = spark.createDataFrame(
+        [(1, grad), (2, jit), (3, checker)],
+        "img_id long, pixels array<int>")
+    out = M.phash_pairs(df, "img_id", "pixels", max_hamming=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    rows = [(r.img_a, r.img_b, r.hamming) for r in out.collect()]
+    assert rows == [(1, 2, 2)], rows
+    # identical images: hamming 0
+    same = spark.createDataFrame([(1, grad), (2, list(grad))],
+                                 "img_id long, pixels array<int>")
+    got = M.phash_pairs(same, "img_id", "pixels").collect()
+    assert [(r.img_a, r.img_b, r.hamming) for r in got] == [(1, 2, 0)]
+
+
+def test_fake_decode_image_segment_means(spark):
+    """The stub thumbnailer: pixel k is the integer mean char code of
+    segment k — exact integer arithmetic, length-normalized (same-text
+    docs of different lengths still thumbnail deterministically)."""
+    from kstream_spark.operators import multimodal as M
+    df = spark.createDataFrame([(1, "ab" * 72)], "doc_id long, text string")
+    px = M.fake_decode_image(df, "doc_id", "text", n_px=72) \
+        .collect()[0]["pixels"]
+    assert len(px) == 72
+    # each segment holds exactly 'ab' -> mean (97+98)//2 = 97
+    assert set(px) == {97}

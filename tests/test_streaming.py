@@ -967,3 +967,55 @@ def test_resolve_buckets_pins_across_restarts(spark, tmp_path):
     assert resolve_buckets(spark, "auto", ckpt2) is None
     # no checkpoint -> fresh resolution each time (no recoverable state)
     assert resolve_buckets(spark, 7, None) == 7
+
+
+def test_compact_code_store_latest_wins_and_cell_layout(spark, tmp_path):
+    """Compaction merges accumulated epoch partitions latest-per-id (a
+    re-admitted vector's newer codes supersede), partitions the output by
+    cell (so probed searches prune at the scan), and searching the
+    compacted store equals searching the raw one."""
+    import os
+
+    from pyspark.sql import Window as W
+
+    from kstream_spark import StreamBuilder
+    from kstream_spark.operators import similarity as S
+    from kstream_spark.streaming import ann as A
+
+    emb = StreamBuilder(spark) \
+        .table("/root/testdata/sf0.001/embeddings.parquet").to_df()
+    cents = S.kmeans_centroids(emb, "embedding", k=4, iters=1,
+                               id_col="vec_id")
+    books = S.pq_codebooks(emb, "embedding", m=4, k=8, iters=1,
+                           id_col="vec_id")
+    store = str(tmp_path / "codes")
+    # three epochs written batch-side (same layout admit_stream uses);
+    # epoch 1 re-admits epoch 0's vectors (an upstream replay)
+    full = A.encode_against_index(emb, "vec_id", "embedding", cents, books)
+    for ep, flt in ((0, F.col("vec_id") < 10),
+                    (1, F.col("vec_id") < 10),
+                    (2, F.col("vec_id") >= 10)):
+        (full.filter(flt).withColumn("__epoch", F.lit(ep))
+         .write.mode("append").partitionBy("__epoch").parquet(store))
+
+    out = str(tmp_path / "compacted")
+    compacted = A.compact_code_store(spark, store, out, "vec_id")
+    # latest-wins: one row per id, no epoch-0/1 duplicates
+    assert compacted.count() == emb.count()
+    assert compacted.groupBy("vec_id").count() \
+        .filter(F.col("count") > 1).count() == 0
+    # cell-partitioned layout on disk (partition pruning for probes)
+    assert any(d.startswith("cell_id=") for d in os.listdir(out))
+    # search equivalence vs the uncompacted store
+    queries = emb.filter(F.col("vec_id").isin([0, 1]))
+    raw = spark.read.parquet(store).withColumn(
+        "_rn", F.row_number().over(
+            W.partitionBy("vec_id").orderBy(F.desc("__epoch")))) \
+        .filter("_rn = 1")
+    got = {(r.query_id, r.neighbor_id, r.adist, r.rank) for r in
+           A.adc_topk_from_codes(compacted, queries, "vec_id",
+                                 "embedding", books, k=5).collect()}
+    want = {(r.query_id, r.neighbor_id, r.adist, r.rank) for r in
+            A.adc_topk_from_codes(raw, queries, "vec_id", "embedding",
+                                  books, k=5).collect()}
+    assert got == want
