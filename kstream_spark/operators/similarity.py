@@ -343,6 +343,9 @@ def kmeans_centroids(emb: DataFrame, vec_col: str, k: int = 16,
     dim = cents.shape[1]
 
     vecs = emb.select(as_double(F.col(vec_col)).alias("v")).persist()
+    # partition count is fixed for the persisted relation — resolve the
+    # reduction-path gate ONCE, not through a per-iteration .rdd round-trip
+    nparts = vecs.rdd.getNumPartitions()
     schema = "cell int, n long, s array<double>"
     for _ in range(iters):
         c = cents  # capture current centroids in the closure
@@ -382,7 +385,7 @@ def kmeans_centroids(emb: DataFrame, vec_col: str, k: int = 16,
         # produce BIT-identical sums (a free-order F.sum could differ in
         # the last ulp run-to-run and flip the HALF_UP round).
         part = vecs.mapInPandas(partials, schema=schema)
-        if vecs.rdd.getNumPartitions() <= 64:
+        if nparts <= 64:
             for r in part.collect():
                 sums[r["cell"]] = sums.get(r["cell"], np.zeros(dim)) \
                     + np.array(r["s"], dtype=np.float64)
@@ -432,7 +435,6 @@ def ivf_topk(emb: DataFrame, id_col: str, vec_col: str,
     Results are exact cosines over the probed subset, ranked like
     cosine_topk.
     """
-    import math
 
     from kstream_spark.functions.vectors import dot, norm
     from kstream_spark.util import ensure_parallelism
@@ -455,18 +457,14 @@ def ivf_topk(emb: DataFrame, id_col: str, vec_col: str,
     # PROJECTION (the centroid matrix rides into the expression; no join,
     # no shuffle of the corpus — the ivfpq_topk shape; the old
     # join+per-row window form pushed corpus x n_cells rows through an
-    # exchange just to argmax).  Python's sum() is a left-to-right fold,
-    # matching the JVM/oracle norm fold exactly; argmax ties toward the
-    # lowest cell via array_position's first-match.
+    # exchange just to argmax).  The matrix is a single nested Literal
+    # (cell_cosine_scores) so the plan stays constant-size; argmax ties
+    # toward the lowest cell via array_position's first-match.
+    from kstream_spark.functions.vectors import cell_cosine_scores
     corpus = emb.select(F.col(id_col).alias("neighbor_id"),
                         as_double(F.col(vec_col)).alias("nv")) \
         .withColumn("nn", norm(F.col("nv")))
-    cell_scores = F.array(*[
-        F.round(dot(F.col("nv"), F.array(*[F.lit(float(x)) for x in c]))
-                / (F.col("nn")
-                   * F.lit(math.sqrt(sum(float(x) * float(x) for x in c)))),
-                6)
-        for c in cent_list])
+    cell_scores = cell_cosine_scores(F.col("nv"), F.col("nn"), cent_list)
     assigned = corpus.withColumn(
         "cell_id",
         (F.array_position(cell_scores, F.array_max(cell_scores)) - 1)
@@ -516,7 +514,6 @@ def semantic_dedup(emb: DataFrame, id_col: str, vec_col: str,
     seeds + round-6 parity at every step (kmeans_centroids), so a SQL
     oracle replays the identical cluster -> pair -> prune pipeline.
     """
-    import math
 
     from kstream_spark.functions.vectors import dot, norm
     from kstream_spark.util import ensure_parallelism
@@ -532,12 +529,8 @@ def semantic_dedup(emb: DataFrame, id_col: str, vec_col: str,
     # k x n join blow-up, no row_number shuffle.  array_position picks the
     # FIRST maximum — ties break toward the lowest cell id, same as
     # ORDER BY score DESC, cell ASC in the oracle
-    scores = F.array(*[
-        F.round(dot(F.col("v"), F.array(*[F.lit(float(x)) for x in c]))
-                / (F.col("n")
-                   * F.lit(math.sqrt(sum(float(x) * float(x) for x in c)))),
-                6)
-        for c in centroids])
+    from kstream_spark.functions.vectors import cell_cosine_scores
+    scores = cell_cosine_scores(F.col("v"), F.col("n"), centroids)
     assigned = corpus.withColumn(
         "cell_id",
         (F.array_position(scores, F.array_max(scores)) - 1).cast("long"))
@@ -645,6 +638,7 @@ def pq_codebooks(emb: DataFrame, vec_col: str, m: int = 4, k: int = 16,
     books = [seed_mat[:, j * sub:(j + 1) * sub].copy() for j in range(m)]
 
     vecs = emb.select(as_double(F.col(vec_col)).alias("v")).persist()
+    nparts = vecs.rdd.getNumPartitions()   # fixed while persisted; see kmeans
     schema = "j int, code int, n long, s array<double>"
     for _ in range(iters):
         bks = [b.copy() for b in books]
@@ -681,7 +675,7 @@ def pq_codebooks(emb: DataFrame, vec_col: str, m: int = 4, k: int = 16,
         sums: dict = {}
         counts: dict = {}
         part = vecs.mapInPandas(partials, schema=schema)
-        if vecs.rdd.getNumPartitions() <= 64:
+        if nparts <= 64:
             for r in part.collect():
                 key = (r["j"], r["code"])
                 sums[key] = sums.get(key, np.zeros(sub)) \
@@ -861,22 +855,18 @@ def ivfpq_topk(emb: DataFrame, id_col: str, vec_col: str,
     cell/code/id ties), so the oracle replays train -> assign -> encode ->
     probe -> ADC-rank exactly.  Returns (query_id, neighbor_id, adist,
     rank) — ascending approximate distance."""
-    import math
 
     import numpy as np
 
     from kstream_spark.functions.vectors import dot, norm
 
-    # --- coarse assignment as a literal projection (semantic_dedup shape)
+    # --- coarse assignment as a literal projection (semantic_dedup shape;
+    # single nested-Literal matrix — see cell_cosine_scores)
+    from kstream_spark.functions.vectors import cell_cosine_scores
     corpus = emb.select(F.col(id_col).alias("neighbor_id"),
                         as_double(F.col(vec_col)).alias("v")) \
         .withColumn("n", norm(F.col("v")))
-    cell_scores = F.array(*[
-        F.round(dot(F.col("v"), F.array(*[F.lit(float(x)) for x in c]))
-                / (F.col("n")
-                   * F.lit(math.sqrt(sum(float(x) * float(x) for x in c)))),
-                6)
-        for c in centroids])
+    cell_scores = cell_cosine_scores(F.col("v"), F.col("n"), centroids)
     assigned = corpus.withColumn(
         "cell_id",
         (F.array_position(cell_scores, F.array_max(cell_scores)) - 1)
@@ -983,22 +973,18 @@ def ivfpq_residual_topk(emb: DataFrame, id_col: str, vec_col: str,
     SQL oracle replays assign -> residual -> train -> encode -> probe ->
     per-cell ADC bit-for-bit.  Returns (query_id, neighbor_id, adist,
     rank), ascending approximate distance."""
-    import math
 
     import numpy as np
 
     from kstream_spark.functions.vectors import dot, norm
 
-    # --- coarse assignment: literal projection (ivfpq_topk shape)
+    # --- coarse assignment: literal projection (ivfpq_topk shape;
+    # single nested-Literal matrix — see cell_cosine_scores)
+    from kstream_spark.functions.vectors import cell_cosine_scores
     corpus = emb.select(F.col(id_col).alias("neighbor_id"),
                         as_double(F.col(vec_col)).alias("v")) \
         .withColumn("n", norm(F.col("v")))
-    cell_scores = F.array(*[
-        F.round(dot(F.col("v"), F.array(*[F.lit(float(x)) for x in c]))
-                / (F.col("n")
-                   * F.lit(math.sqrt(sum(float(x) * float(x) for x in c)))),
-                6)
-        for c in centroids])
+    cell_scores = cell_cosine_scores(F.col("v"), F.col("n"), centroids)
     assigned = corpus.withColumn(
         "cell_id",
         (F.array_position(cell_scores, F.array_max(cell_scores)) - 1)

@@ -34,22 +34,17 @@ def encode_against_index(batch: DataFrame, id_col: str, vec_col: str,
     must have been trained on residuals); the centroid subtraction
     happens inside the same Arrow pass.  Returns
     (id, cell_id, codes array<int>)."""
-    import math
 
     import numpy as np
     import pandas as pd
 
-    from kstream_spark.functions.vectors import as_double, dot, norm
+    from kstream_spark.functions.vectors import (as_double,
+                                                 cell_cosine_scores, norm)
 
     src = batch.select(F.col(id_col).alias("_id"),
                        as_double(F.col(vec_col)).alias("v")) \
         .withColumn("n", norm(F.col("v")))
-    cell_scores = F.array(*[
-        F.round(dot(F.col("v"), F.array(*[F.lit(float(x)) for x in c]))
-                / (F.col("n")
-                   * F.lit(math.sqrt(sum(float(x) * float(x) for x in c)))),
-                6)
-        for c in centroids])
+    cell_scores = cell_cosine_scores(F.col("v"), F.col("n"), centroids)
     v_out = (F.transform(F.col("v"), lambda x: x / F.col("n"))
              if residual else F.col("v"))
     assigned = src.withColumn(
