@@ -89,6 +89,11 @@ HEADLINE = [
     "sim_ann_drift",
     "p1_filter_strict_dlq",
     "mm_phash_dedup",
+    "select_dsir",
+    "select_kcenter",
+    "sim_sq8_topk",
+    "sim_mmr_rerank",
+    "dedup_cross_source",
 ]
 
 

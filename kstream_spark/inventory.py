@@ -552,6 +552,10 @@ _TOUCHED_THIS_ROUND = [
     "sim_cosine_topk", "sim_hard_negatives", "sim_ivf_topk",
     "sim_ivf_kmeans_topk", "sim_ivf_recall", "sim_pq_adc_topk",
     "sim_ivfpq_topk", "sim_ivfpq_residual_topk", "sim_ivfpq_recall",
+    # r7: np_round6_half_up became decimal-exact (BigDecimal shortest-repr
+    # HALF_UP) — centroid/codebook means could shift at .5e-6 boundaries,
+    # so the kmeans-derived dedup path re-proves alongside the sim_* set
+    "dedup_semantic",
 ]
 
 

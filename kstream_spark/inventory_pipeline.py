@@ -1773,3 +1773,189 @@ GROUP BY b.query_id
 
 
 PIPELINE_INVENTORY["sim_ann_drift"] = (q_sim_ann_drift, _ann_drift_sql())
+
+
+# -- data-selection family (operators/selection.py) -------------------------
+def q_select_dsir(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR-style hashed importance resampling toward a target source."""
+    from kstream_spark.operators import selection as SEL
+    docs = _docs(StreamBuilder(spark), sf)
+    return SEL.select_dsir(docs, "doc_id", "text",
+                           F.col("source") == "src18",
+                           n_select=100, n_buckets=256)
+
+
+SQL_SELECT_DSIR = """
+WITH w AS (SELECT doc_id, source,
+                  list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '') AS words FROM documents),
+tok AS (SELECT doc_id, (source = 'src18') AS t,
+               CAST(CAST(('0x' || substr(md5('dsir:' || u), 1, 8)) AS UBIGINT)
+                    % 256 AS BIGINT) AS b
+        FROM (SELECT doc_id, source, unnest(words) AS u FROM w)),
+counts AS (SELECT b, count(*) AS cs, count(*) FILTER (t) AS ct
+           FROM tok GROUP BY b),
+tot AS (SELECT sum(cs) AS ns, sum(ct) AS nt FROM counts),
+wt AS (SELECT b, CAST(round((ln((ct + 1) / (nt + 256))
+                             - ln((cs + 1) / (ns + 256))) * 1e6, 0)
+                      AS BIGINT) AS wgt
+       FROM counts, tot),
+doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(wgt) AS BIGINT) AS dsir_micro
+        FROM tok JOIN wt USING (b) GROUP BY doc_id)
+SELECT doc_id, n_tokens, dsir_micro,
+       CAST(row_number() OVER (ORDER BY dsir_micro DESC, doc_id) AS BIGINT)
+       AS rank
+FROM doc QUALIFY rank <= 100
+"""
+
+
+def q_select_kcenter(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy k-center diversity coreset over the embeddings table."""
+    from kstream_spark.operators import selection as SEL
+    return SEL.kcenter_select(_embs(StreamBuilder(spark), sf),
+                              "vec_id", "embedding", k=8)
+
+
+def _kcenter_sql(k: int = 8) -> str:
+    def d(var: str, cte: str) -> str:
+        return (f"round(list_sum(list_transform(range(1, len({var}.v)+1), "
+                f"i -> ({var}.v[i] - {cte}.v[i]) * ({var}.v[i] - {cte}.v[i])"
+                f")), 6)")
+    ctes = ["e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+            "c1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1)"]
+    for i in range(2, k + 1):
+        prev = ", ".join(f"c{j}" for j in range(1, i))
+        dist = (f"least({', '.join(d('e', f'c{j}') for j in range(1, i))})"
+                if i > 2 else d("e", "c1"))
+        ctes.append(
+            f"c{i} AS (SELECT e.vec_id, e.v, {dist} AS dd "
+            f"FROM e, {prev} ORDER BY dd DESC, e.vec_id LIMIT 1)")
+    selects = ["SELECT CAST(1 AS BIGINT) AS rank, vec_id, 0.0 AS dist FROM c1"]
+    selects += [f"SELECT CAST({i} AS BIGINT) AS rank, vec_id, dd AS dist "
+                f"FROM c{i}" for i in range(2, k + 1)]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
+def q_sim_sq8_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar-quantized (int8-per-dim) asymmetric top-k."""
+    return S.sq8_topk(_embs(StreamBuilder(spark), sf), "vec_id", "embedding",
+                      query_ids=list(range(5)), k=10)
+
+
+SQL_SIM_SQ8_TOPK = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+d AS (SELECT unnest(v) AS x, unnest(range(1, len(v)+1)) AS i FROM e),
+st AS (SELECT i, min(x) AS mn, max(x) AS mx FROM d GROUP BY i),
+bounds AS (SELECT list(mn ORDER BY i) AS mns,
+                  list(CASE WHEN mx > mn THEN 255.0 / (mx - mn)
+                       ELSE 0.0 END ORDER BY i) AS scs,
+                  list((mx - mn) / 255.0 ORDER BY i) AS stps
+           FROM st),
+dq AS (SELECT vec_id,
+              list_transform(range(1, len(v)+1),
+                i -> mns[i] + least(255.0, floor((v[i] - mns[i]) * scs[i]))
+                     * stps[i]) AS dv
+       FROM e, bounds),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e
+      WHERE vec_id IN (0, 1, 2, 3, 4)),
+s AS (SELECT query_id, dq.vec_id AS neighbor_id,
+             round(list_sum(list_transform(range(1, len(qv)+1),
+                                           i -> qv[i] * dv[i])), 6) AS score
+      FROM q, dq WHERE query_id <> dq.vec_id)
+SELECT query_id, neighbor_id, score,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id) AS BIGINT)
+       AS rank
+FROM s QUALIFY rank <= 10
+"""
+
+
+def q_sim_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """MMR-diversified re-rank of the exact top-12 candidates."""
+    from kstream_spark.operators import selection as SEL
+    return SEL.mmr_rerank(_embs(StreamBuilder(spark), sf), "vec_id",
+                          "embedding", query_ids=list(range(5)),
+                          n_candidates=12, k=5)
+
+
+def _mmr_sql(n_candidates: int = 12, k: int = 5) -> str:
+    head = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nm FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, nm AS qn FROM n
+      WHERE vec_id IN (0, 1, 2, 3, 4)),
+s AS (SELECT query_id, n.vec_id AS cid,
+             round(list_sum(list_transform(range(1, len(qv)+1),
+                                           i -> qv[i] * n.v[i]))
+                   / (qn * n.nm), 6) AS rel
+      FROM q, n WHERE query_id <> n.vec_id),
+cand AS (SELECT query_id, cid, rel,
+                CAST(round(rel * 1e6, 0) AS BIGINT) AS rel_m FROM s
+         QUALIFY row_number() OVER (PARTITION BY query_id
+                                    ORDER BY rel DESC, cid)
+                 <= {n_candidates}),
+cv AS (SELECT query_id, cid, rel_m, v, nm
+       FROM cand JOIN n ON cand.cid = n.vec_id),
+ps AS (SELECT a.query_id, a.cid AS ca, b.cid AS cb,
+              CAST(round(round(list_sum(list_transform(range(1, len(a.v)+1),
+                                            i -> a.v[i] * b.v[i]))
+                    / (a.nm * b.nm), 6) * 1e6, 0) AS BIGINT) AS sim_m
+       FROM cv a JOIN cv b
+         ON a.query_id = b.query_id AND a.cid <> b.cid),
+m1 AS (SELECT query_id, cid AS sel, 7 * rel_m AS sc1 FROM cand
+       QUALIFY row_number() OVER (PARTITION BY query_id
+                                  ORDER BY 7 * rel_m DESC, cid)
+               = 1)"""
+    ctes = [head]
+    for i in range(2, k + 1):
+        prevs = [f"m{j}" for j in range(1, i)]
+        joins = " ".join(f"JOIN {m} ON {m}.query_id = c.query_id"
+                         for m in prevs)
+        pjoins = " ".join(
+            f"JOIN ps p{j} ON p{j}.query_id = c.query_id "
+            f"AND p{j}.ca = c.cid AND p{j}.cb = m{j}.sel"
+            for j in range(1, i))
+        ms = (f"greatest({', '.join(f'p{j}.sim_m' for j in range(1, i))})"
+              if i > 2 else "p1.sim_m")
+        notin = ", ".join(f"m{j}.sel" for j in range(1, i))
+        ctes.append(
+            f"m{i} AS (SELECT c.query_id, c.cid AS sel, "
+            f"7 * c.rel_m - 3 * {ms} AS sc{i} "
+            f"FROM cand c {joins} {pjoins} "
+            f"WHERE c.cid NOT IN ({notin}) "
+            f"QUALIFY row_number() OVER (PARTITION BY c.query_id "
+            f"ORDER BY sc{i} DESC, c.cid) = 1)")
+    sel = "\nUNION ALL ".join(
+        f"SELECT query_id, sel AS sel_id, CAST({i} AS BIGINT) AS mmr_rank, "
+        f"sc{i} AS mmr_score FROM m{i}" for i in range(1, k + 1))
+    return ",\n".join(ctes) + "\n" + sel
+
+
+def q_dedup_cross_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-duplicate rate matrix between sources (corpus feed audit)."""
+    return D.cross_source_matrix(_docs(StreamBuilder(spark), sf),
+                                 "doc_id", "text", "source",
+                                 n=3, threshold=0.8)
+
+
+SQL_DEDUP_CROSS_SOURCE = f"""
+WITH j AS ({SQL_DEDUP_NGRAM_JACCARD}),
+lab AS (SELECT least(da.source, db.source) AS src_a,
+               greatest(da.source, db.source) AS src_b,
+               CAST(round(j.jaccard * 1e6, 0) AS BIGINT) AS jm
+        FROM j JOIN documents da ON j.doc_a = da.doc_id
+               JOIN documents db ON j.doc_b = db.doc_id)
+SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(jm) AS BIGINT) AS sum_j_micro
+FROM lab GROUP BY 1, 2
+"""
+
+
+PIPELINE_INVENTORY["select_dsir"] = (q_select_dsir, SQL_SELECT_DSIR)
+PIPELINE_INVENTORY["select_kcenter"] = (q_select_kcenter, _kcenter_sql())
+PIPELINE_INVENTORY["sim_sq8_topk"] = (q_sim_sq8_topk, SQL_SIM_SQ8_TOPK)
+PIPELINE_INVENTORY["sim_mmr_rerank"] = (q_sim_mmr_rerank, _mmr_sql())
+PIPELINE_INVENTORY["dedup_cross_source"] = (q_dedup_cross_source,
+                                            SQL_DEDUP_CROSS_SOURCE)

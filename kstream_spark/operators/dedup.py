@@ -653,3 +653,41 @@ def incremental_dedup(new_docs: DataFrame, corpus: DataFrame, id_col: str,
               .filter(i / (F.col("na") + F.col("nb") - i) >= threshold)
               .select(F.col("doc_b").alias(id_col)).distinct())
     return admitted.join(losers, id_col, "left_anti")
+
+
+def cross_source_matrix(df: DataFrame, id_col: str, text_col: str,
+                        source_col: str, n: int = 3,
+                        threshold: float = 0.8) -> DataFrame:
+    """Near-duplicate rate matrix BETWEEN sources: for every (source_a,
+    source_b) pair (unordered, self-pairs included), how many near-dup
+    document pairs cross them and how strong the overlap is — the corpus
+    audit that tells a pipeline which feeds re-crawl each other (and how
+    much within-feed redundancy each one carries) before any survivor
+    policy runs.
+
+    Returns (src_a, src_b, n_pairs, sum_j_micro): sum_j_micro is the exact
+    integer sum of round-6 jaccards * 1e6 (order-insensitive; divide by
+    n_pairs * 1e6 for the mean) — the unigram_logprob micro-unit trick, so
+    the matrix is bit-stable without emitting a tie-prone rounded mean.
+
+    Scale shape: candidate pairs come from the inverted-index shingle join
+    (never all-pairs); attaching sources is a join keyed by doc id BOUNDED
+    BY THE PAIR COUNT, not the corpus; the final matrix groupBy has at
+    most |sources|^2 groups.  Composes with minhash_lsh_pairs for the
+    banded candidate generator at 100 TB (same pair-relation contract).
+    """
+    pairs = ngram_jaccard_pairs(df, id_col, text_col, n=n,
+                                threshold=threshold)
+    src = df.select(F.col(id_col), F.col(source_col).alias("_src"))
+    lab = (pairs
+           .join(src.withColumnRenamed("_src", "_sa"),
+                 pairs.doc_a == F.col(id_col)).drop(id_col)
+           .join(src.withColumnRenamed("_src", "_sb"),
+                 pairs.doc_b == F.col(id_col)).drop(id_col))
+    return (lab.select(
+        F.least("_sa", "_sb").alias("src_a"),
+        F.greatest("_sa", "_sb").alias("src_b"),
+        F.round(F.col("jaccard") * 1e6, 0).cast("long").alias("_jm"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("long").alias("n_pairs"),
+             F.sum("_jm").alias("sum_j_micro")))

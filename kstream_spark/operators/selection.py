@@ -1,0 +1,240 @@
+"""Training-data selection operators: importance resampling (DSIR-style),
+diversity coresets (greedy k-center), and diversified re-ranking (MMR).
+
+These extend the dedup/similarity family (the reference engine,
+/root/reference/kstream, has no analog — it stops at record routing) with
+the *selection* step of a pretraining pipeline: after dedup decides what is
+redundant, selection decides what is WORTH KEEPING, either because it looks
+like a target domain (importance resampling, Xie et al. 2023 "Data
+Selection for Language Models via Importance Resampling"), because it adds
+geometric coverage (k-center / farthest-point traversal, Gonzalez 1985), or
+because a retrieved top-k should trade relevance against redundancy
+(maximal marginal relevance, Carbonell & Goldstein 1998).
+
+Determinism discipline (oracle parity): hashed features use the portable
+md5-prefix bucket (engine-independent); per-document log-ratio scores are
+quantized to integer MICRO units so sums are exact in any order (the
+unigram_logprob trick, operators/corpus.py); distances/similarities are
+rounded to 6 dp in-query and every argmax breaks ties on the id.
+"""
+
+from __future__ import annotations
+
+import pandas as pd  # module-level so pandas_udf string type hints resolve
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kstream_spark.functions.vectors import as_double, dot, norm
+
+
+# -- DSIR-style hashed importance resampling --------------------------------
+def dsir_scores(df: DataFrame, id_col: str, text_col: str,
+                target_pred, n_buckets: int = 256) -> DataFrame:
+    """Per-document importance score for target-domain selection.
+
+    Hashed n-gram importance resampling: tokens hash into ``n_buckets``
+    feature buckets; a bucket's weight is the smoothed log-ratio of its
+    probability under the TARGET distribution (rows matching
+    ``target_pred``) vs the RAW distribution (the whole corpus); a
+    document's score is the sum of its tokens' bucket weights — documents
+    whose token profile looks like the target float up.  This is the
+    hashed-feature reduction of DSIR (Xie et al. 2023): the full method
+    resamples with Gumbel noise; the deterministic engine variant ranks by
+    the exact importance weight so reruns and engines agree.
+
+    Numeric determinism: bucket log-ratios are quantized to integer
+    micro-units (round(lr * 1e6)) so the per-doc sum is an exact integer
+    sum, identical in any engine and any aggregation order.  Returns
+    (id, n_tokens, dsir_micro) — dsir_micro/1e6 is the log importance
+    weight; consumers rank by it (select_dsir) or threshold it.
+
+    Scale shape: two bucket-count aggregations (map-side combinable,
+    ``n_buckets`` result rows), one broadcast of the tiny weight table
+    back onto the token stream, one per-doc map-side-combinable sum.  The
+    corpus token stream is never shuffled; at 100 TB the only shuffled
+    keys are the n_buckets feature ids and the doc ids (count-bounded
+    partial aggs).  add-1 smoothing keeps empty buckets finite.
+    """
+    from kstream_spark.operators.corpus import _clean_words, _hash_mod
+    tok = df.select(
+        F.col(id_col),
+        (F.lit(True) if target_pred is None else target_pred).alias("_t"),
+        F.explode(_clean_words(F.lower(F.col(text_col)))).alias("tok"))
+    tok = tok.withColumn("_b", _hash_mod(F.col("tok"), n_buckets, "dsir"))
+    counts = tok.groupBy("_b").agg(
+        F.count("*").alias("_cs"),
+        F.sum(F.col("_t").cast("long")).alias("_ct"))
+    tot = counts.agg(F.sum("_cs").alias("_ns"), F.sum("_ct").alias("_nt"))
+    w = (counts.crossJoin(F.broadcast(tot))
+         .select("_b",
+                 F.round((F.log((F.col("_ct") + 1)
+                                / (F.col("_nt") + F.lit(n_buckets)))
+                          - F.log((F.col("_cs") + 1)
+                                  / (F.col("_ns") + F.lit(n_buckets))))
+                         * 1e6, 0).cast("long").alias("_w")))
+    return (tok.join(F.broadcast(w), "_b")
+            .groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_tokens"),
+                 F.sum("_w").alias("dsir_micro")))
+
+
+def select_dsir(df: DataFrame, id_col: str, text_col: str, target_pred,
+                n_select: int = 100, n_buckets: int = 256) -> DataFrame:
+    """Top-``n_select`` documents by DSIR importance weight (the selection
+    step).  Rank is over the EXACT integer micro-score with id tie-break,
+    so the kept set is bit-stable across engines and reruns.
+
+    Scale note: the global top-n goes through the same narrow
+    per-partition prune as the ANN rankers (_per_query_topk with a single
+    query group) — no reducer sorts the whole corpus's scores.
+    """
+    from kstream_spark.operators.similarity import _per_query_topk
+    scored = (dsir_scores(df, id_col, text_col, target_pred, n_buckets)
+              .withColumn("query_id", F.lit(0))
+              .withColumn("_s", F.col("dsir_micro").cast("double")))
+    kept = _per_query_topk(scored, n_select, score_col="_s", id_col=id_col,
+                           asc=False)
+    return kept.select(id_col, "n_tokens", "dsir_micro",
+                       F.col("rank").cast("long").alias("rank"))
+
+
+# -- greedy k-center coreset (farthest-point traversal) ---------------------
+def kcenter_select(emb: DataFrame, id_col: str, vec_col: str,
+                   k: int = 8) -> DataFrame:
+    """Greedy k-center coreset over an embedding column: start from the
+    smallest id, then repeatedly add the point FARTHEST (max-min squared
+    L2, rounded 6 dp, id tie-break) from the chosen set — the classic
+    2-approximation to the k-center objective (Gonzalez 1985) and a
+    standard diversity-coreset pick for training-data curation.
+
+    Returns (rank, vec_id, dist): dist is the selected point's round-6
+    squared L2 distance to the nearest EARLIER center (0.0 for the seed) —
+    the monotone non-increasing "coverage radius" curve.
+
+    Scale shape: each of the k rounds is ONE full scan + map-side
+    combinable 1-row max aggregation; the chosen centers ride as a
+    constant-size literal matrix (k x dim, same discipline as the IVF
+    cell assignment), so no corpus shuffle ever happens and driver
+    traffic is one row per round — the irreducible sequential dependency
+    of the greedy algorithm, same shape as the BPE merge loop
+    (operators/text.bpe_train).  k scans of 100 TB are the honest cost;
+    production k-center at that scale samples per-partition candidates
+    first — composing this with deterministic_sample gives exactly that.
+    """
+    base = (emb.select(F.col(id_col).alias("vec_id"),
+                       as_double(F.col(vec_col)).alias("v"))
+            .persist())
+    try:
+        seed = (base.orderBy("vec_id").limit(1)
+                .select("vec_id", "v").collect()[0])
+        centers = [(int(seed.vec_id), [float(x) for x in seed.v], 0.0)]
+        for _ in range(k - 1):
+            cmat = F.lit([c[1] for c in centers])
+            dists = F.transform(
+                cmat,
+                lambda cv: F.round(
+                    F.aggregate(F.zip_with(F.col("v"), cv,
+                                           lambda x, y: (x - y) * (x - y)),
+                                F.lit(0.0), lambda a, x: a + x), 6))
+            nxt = (base.select("vec_id", "v",
+                               F.array_min(dists).alias("d"))
+                   .agg(F.max(F.struct(F.col("d"), (-F.col("vec_id"))
+                                       .alias("_negid"),
+                                       F.col("vec_id"), F.col("v")))
+                        .alias("m"))
+                   .select("m.vec_id", "m.v", "m.d").collect()[0])
+            if any(c[0] == int(nxt.vec_id) for c in centers):
+                break  # k > n: every point is already a center
+            centers.append((int(nxt.vec_id), [float(x) for x in nxt.v],
+                            float(nxt.d)))
+        spark = emb.sparkSession
+        return spark.createDataFrame(
+            [(i + 1, c[0], c[2]) for i, c in enumerate(centers)],
+            "rank bigint, vec_id bigint, dist double")
+    finally:
+        base.unpersist()
+
+
+# -- maximal marginal relevance re-ranking ----------------------------------
+def mmr_rerank(emb: DataFrame, id_col: str, vec_col: str, query_ids: list,
+               n_candidates: int = 12, k: int = 5) -> DataFrame:
+    """MMR-diversified top-k (Carbonell & Goldstein 1998, lambda = 0.7):
+    per query, take the ``n_candidates`` most cosine-similar vectors,
+    then greedily pick ``k`` of them maximizing
+    ``7*rel_micro - 3*max_sim_micro_to_chosen`` (id tie-break; the first
+    pick scores ``7*rel_micro``) — relevance traded against redundancy,
+    the standard retrieval-diversification layer over an ANN index.
+
+    Returns (query_id, sel_id, mmr_rank, mmr_score): mmr_score is the
+    EXACT INTEGER deci-micro score (divide by 1e7 for the conventional
+    ``0.7*rel - 0.3*max_sim``).  Scoring is integer-exact on purpose:
+    ``0.7 * (a 6-dp value)`` has SEVEN decimals, so a double-rounding
+    formulation lands exactly on a .5e-6 decimal boundary for ~10% of
+    candidates — where Spark's decimal HALF_UP (BigDecimal shortest-repr)
+    and a binary ``round(x*1e6)`` legitimately disagree.  Converting the
+    round-6 similarities to micro-ints (exact in doubles) and combining
+    with integer weights removes every rounding decision from the
+    combination step; the lambda grid is therefore tenths.
+
+    Scale shape: candidate generation is the broadcast-query exact scorer
+    (swap in the IVF path at corpus scale — same contract); the pairwise
+    candidate-sim table is |Q| * n_candidates^2 rows (bounded, never
+    corpus-sized); the greedy loop runs per query group in ONE
+    applyInPandas pass — queries parallelize across the cluster and each
+    group holds n_candidates rows, so the inherently sequential selection
+    touches only driver-free bounded state.
+    """
+    from kstream_spark.operators.similarity import cosine_topk
+    cand = cosine_topk(emb, id_col, vec_col, query_ids=query_ids,
+                       k=n_candidates).select("query_id",
+                                              F.col("neighbor_id"),
+                                              F.col("cos").alias("rel"))
+    vecs = emb.select(F.col(id_col).alias("neighbor_id"),
+                      as_double(F.col(vec_col)).alias("nv")) \
+        .withColumn("nn", norm(F.col("nv")))
+    # cand is |Q| * n_candidates rows — always the broadcast side, so the
+    # corpus vector table streams through one scan with no shuffle
+    cv = F.broadcast(cand).join(vecs, "neighbor_id")
+    a = cv.select("query_id", F.col("neighbor_id").alias("_ca"),
+                  F.col("rel").alias("_rela"),
+                  F.col("nv").alias("_va"), F.col("nn").alias("_na"))
+    b = cv.select("query_id", F.col("neighbor_id").alias("_cb"),
+                  F.col("nv").alias("_vb"), F.col("nn").alias("_nb"))
+    pairs = (a.join(F.broadcast(b), "query_id")
+             .filter(F.col("_ca") != F.col("_cb"))
+             .select("query_id", "_ca", "_cb", "_rela",
+                     F.round(dot(F.col("_va"), F.col("_vb"))
+                             / (F.col("_na") * F.col("_nb")), 6)
+                     .alias("_sim")))
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        # round-6 doubles -> exact micro-ints (values are within 1e-7 of
+        # an integer after *1e6, so any nearest-int rule agrees)
+        qid = pdf["query_id"].iloc[0]
+        rel = {ca: int(round(r * 1e6)) for ca, r in
+               zip(pdf["_ca"], pdf["_rela"])}
+        sim = {(ca, cb): int(round(s * 1e6)) for ca, cb, s in
+               zip(pdf["_ca"], pdf["_cb"], pdf["_sim"])}
+        remaining = sorted(rel)
+        chosen: list = []
+        out = []
+        for rank in range(1, k + 1):
+            if not remaining:
+                break
+            best = None
+            for c in remaining:  # ascending id = tie-break
+                ms = max((sim.get((c, s), 0) for s in chosen), default=0)
+                score = 7 * rel[c] - (0 if not chosen else 3 * ms)
+                if best is None or score > best[1]:
+                    best = (c, score)
+            chosen.append(best[0])
+            remaining.remove(best[0])
+            out.append((qid, best[0], rank, best[1]))
+        return pd.DataFrame(out, columns=["query_id", "sel_id", "mmr_rank",
+                                          "mmr_score"])
+
+    return (pairs.groupBy("query_id")
+            .applyInPandas(pick, "query_id bigint, sel_id bigint, "
+                                 "mmr_rank bigint, mmr_score bigint")
+            .filter(F.col("mmr_rank") <= k))

@@ -124,9 +124,29 @@ def np_round6_half_up(a):
     keeps ONE rounding discipline across the Spark, numpy, and oracle
     paths.  (float summation order can still differ in the last ulp
     between engines — rounding to 6 dp is what absorbs that, and it only
-    absorbs it if all engines round the same way.)"""
+    absorbs it if all engines round the same way.)
+
+    Exactness: Spark's F.round goes through BigDecimal.valueOf(double) —
+    the SHORTEST DECIMAL REPR of the double, then decimal HALF_UP — and
+    DuckDB agrees; the binary shortcut floor(|x|*1e6 + 0.5) does NOT when
+    x's shortest repr lands exactly on a .5e-6 boundary but |x|*1e6
+    accumulates below it (e.g. 0.2030395*1e6 = 203039.49999...: decimal
+    HALF_UP says 0.20304, the shortcut said 0.203039 — caught by the MMR
+    oracle, round 7).  Python's repr is the same shortest-repr algorithm,
+    so Decimal(repr(x)) reproduces the JVM/DuckDB result bit-for-bit.
+    This helper only ever runs on DRIVER-BOUNDED arrays (k*dim centroid /
+    m*k codebook matrices, per-step MMR scores), so per-element Decimal
+    cost is irrelevant; the per-row Arrow paths keep their inlined binary
+    round, where 7 rounds of oracle evidence show the boundary case does
+    not arise for raw similarity values."""
     import numpy as np
-    return np.copysign(np.floor(np.abs(a) * 1e6 + 0.5) / 1e6, a)
+    from decimal import ROUND_HALF_UP, Decimal
+    q = Decimal("0.000001")
+    arr = np.asarray(a, dtype=np.float64)
+    out = np.array([float(Decimal(repr(float(x))).quantize(
+        q, rounding=ROUND_HALF_UP)) for x in arr.ravel()],
+        dtype=np.float64).reshape(arr.shape)
+    return out if arr.shape else np.float64(out)
 
 
 def md5_plane_matrix(dim: int, nbits: int, seed: int = 42):
@@ -1083,3 +1103,68 @@ def ivfpq_residual_topk(emb: DataFrame, id_col: str, vec_col: str,
               .select("query_id", "neighbor_id",
                       F.round(adist, 6).alias("adist")))
     return _per_query_topk(scored, k)
+
+
+def sq8_stats(emb: DataFrame, vec_col: str) -> tuple[list, list]:
+    """Per-dimension (min, max) over the corpus — the scalar-quantizer
+    training step.  One posexplode + 64-group aggregation (map-side
+    combinable, dim result rows); the collect is dim-bounded (the same
+    bounded-driver-traffic discipline as the k-means centroid collects).
+    min/max are exact data picks (no arithmetic), so they are bit-identical
+    in every engine."""
+    rows = (emb.select(F.posexplode(as_double(F.col(vec_col)))
+                       .alias("i", "x"))
+            .groupBy("i").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+            .orderBy("i").collect())
+    return [float(r.mn) for r in rows], [float(r.mx) for r in rows]
+
+
+def sq8_topk(emb: DataFrame, id_col: str, vec_col: str, query_ids: list,
+             k: int = 10) -> DataFrame:
+    """Scalar-quantized (SQ8) asymmetric top-k: corpus vectors compress to
+    one uint8 code per dimension (4x smaller than float32 — the standard
+    memory/IO tier between raw vectors and PQ), queries stay full
+    precision, and the score is the inner product of the query with the
+    DEQUANTIZED corpus vector.  The FAISS ScalarQuantizer shape, expressed
+    as pure codegen arithmetic.
+
+    Determinism: code = least(255, floor((x - mn_i) * (255/(mx_i - mn_i))))
+    and dequant = mn_i + code * ((mx_i - mn_i)/255) with the per-dim scale
+    factors computed ONCE driver-side — identical IEEE double ops in Spark
+    and the SQL oracle, so codes and scores match bit-for-bit.  Scores are
+    rounded 6 dp and ranked with id tie-breaks through the narrow
+    per-partition top-k.
+
+    Scale shape: quantization bounds ride as dim-sized literal arrays (one
+    constant-size projection, no shuffle — the IVF cell-assignment
+    discipline); the scoring join broadcasts |Q| queries against one
+    corpus scan of the 1-byte codes.  At 100 TB the code table is the
+    persisted artifact (re-derive = one scan); compose with the IVF
+    partitioner for sub-linear probes.
+    """
+    from kstream_spark.util import ensure_parallelism
+    from kstream_spark.functions.vectors import dot
+    emb = ensure_parallelism(emb)
+    mn, mx = sq8_stats(emb, vec_col)
+    scale = [255.0 / (b - a) if b > a else 0.0 for a, b in zip(mn, mx)]
+    step = [(b - a) / 255.0 for a, b in zip(mn, mx)]
+    mnl, scl, stl = F.lit(mn), F.lit(scale), F.lit(step)
+    codes = F.transform(
+        as_double(F.col(vec_col)),
+        lambda x, i: F.least(
+            F.lit(255.0),
+            F.floor((x - F.element_at(mnl, (i + F.lit(1)).cast("int")))
+                    * F.element_at(scl, (i + F.lit(1)).cast("int")))
+            .cast("double")))
+    dq = F.zip_with(
+        codes, F.transform(codes, lambda _c, i: (i + F.lit(1)).cast("int")),
+        lambda c, idx: F.element_at(mnl, idx) + c * F.element_at(stl, idx))
+    c = emb.select(F.col(id_col).alias("neighbor_id"), dq.alias("dv"))
+    q = F.broadcast(emb.filter(F.col(id_col).isin(query_ids))
+                    .select(F.col(id_col).alias("query_id"),
+                            as_double(F.col(vec_col)).alias("qv")))
+    scored = (q.join(c, F.col("query_id") != F.col("neighbor_id"))
+              .select("query_id", "neighbor_id",
+                      F.round(dot(F.col("qv"), F.col("dv")), 6)
+                      .alias("score")))
+    return _per_query_topk(scored, k, score_col="score", asc=False)

@@ -97,7 +97,8 @@ def salted_agg(df: DataFrame, key: str, aggs: dict, buckets: int = 16) -> DataFr
 def skew_join(left: DataFrame, right: DataFrame, key: str,
               how: str = "inner", hot_keys: list | None = None,
               hot_threshold: int = 100_000,
-              sample_fraction: float = 0.01) -> DataFrame:
+              sample_fraction: float = 0.01,
+              max_isin_keys: int = 64) -> DataFrame:
     """Hot-key-split join for skewed fact/fact joins.
 
     AQE's skew-join only splits oversized partitions of a sort-merge join
@@ -111,6 +112,12 @@ def skew_join(left: DataFrame, right: DataFrame, key: str,
 
     The right side must be filter-small on the hot keys (dimension-or-less
     per key) — that subset is broadcast.
+
+    A hot set up to ``max_isin_keys`` becomes an ``isin`` literal (codegen
+    comparisons, pushable to the scan); a LARGER set would degrade the
+    literal (a thousands-long OR chain bloats codegen and the plan), so it
+    rides as a broadcast key table instead and the split becomes
+    semi/anti joins — same relation split, scan-speed either way.
     """
     from pyspark.sql import functions as F
     if hot_keys is None:
@@ -121,10 +128,19 @@ def skew_join(left: DataFrame, right: DataFrame, key: str,
         hot_keys = [r[key] for r in est]
     if not hot_keys:
         return left.join(right, key, how)
-    is_hot = F.col(key).isin(hot_keys)
-    hot = left.filter(is_hot).join(
-        F.broadcast(right.filter(is_hot)), key, how)
-    cold = left.filter(~is_hot).join(right.filter(~is_hot), key, how)
+    if len(hot_keys) <= max_isin_keys:
+        is_hot = F.col(key).isin(hot_keys)
+        l_hot, l_cold = left.filter(is_hot), left.filter(~is_hot)
+        r_hot, r_cold = right.filter(is_hot), right.filter(~is_hot)
+    else:
+        hk = F.broadcast(left.sparkSession.createDataFrame(
+            [(k,) for k in hot_keys], schema=left.select(key).schema))
+        l_hot = left.join(hk, key, "left_semi")
+        l_cold = left.join(hk, key, "left_anti")
+        r_hot = right.join(hk, key, "left_semi")
+        r_cold = right.join(hk, key, "left_anti")
+    hot = l_hot.join(F.broadcast(r_hot), key, how)
+    cold = l_cold.join(r_cold, key, how)
     return hot.unionByName(cold)
 
 

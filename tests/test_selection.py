@@ -1,0 +1,185 @@
+"""Data-selection operators: DSIR importance resampling, greedy k-center
+coresets, MMR re-ranking, SQ8 quantized search, cross-source dup matrix."""
+
+import pytest
+
+from kstream_spark.operators import selection as SEL
+from kstream_spark.operators import similarity as S
+from kstream_spark.operators.dedup import cross_source_matrix
+from kstream_spark.plans import inspect as P
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def sel_docs(spark):
+    # target docs (t=True) talk about spark; one non-target doc shares that
+    # vocabulary, one is about something else entirely
+    rows = [
+        (0, "spark shuffle partition executor spark stage", "tgt"),
+        (1, "spark catalyst codegen executor shuffle spark", "tgt"),
+        (2, "spark executor shuffle stage partition plan", "other"),
+        (3, "banana apple orange grape melon kiwi", "other"),
+        (4, "apple banana kiwi melon orange pear", "other"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, src string")
+
+
+def test_dsir_prefers_target_like_docs(spark, sel_docs):
+    out = SEL.select_dsir(sel_docs, "doc_id", "text",
+                          F.col("src") == "tgt", n_select=5,
+                          n_buckets=64).toPandas().set_index("doc_id")
+    # the spark-vocabulary outsider outranks the fruit docs
+    assert out.loc[2, "rank"] < out.loc[3, "rank"]
+    assert out.loc[2, "rank"] < out.loc[4, "rank"]
+    assert out.loc[2, "dsir_micro"] > out.loc[3, "dsir_micro"]
+
+
+def test_dsir_score_is_exact_integer_sum(spark, sel_docs):
+    a = SEL.dsir_scores(sel_docs, "doc_id", "text",
+                        F.col("src") == "tgt").toPandas()
+    b = SEL.dsir_scores(sel_docs.repartition(7), "doc_id", "text",
+                        F.col("src") == "tgt").toPandas()
+    ja = a.sort_values("doc_id").reset_index(drop=True)
+    jb = b.sort_values("doc_id").reset_index(drop=True)
+    # integer micro-units: bit-identical under any partitioning
+    assert ja.equals(jb)
+
+
+def test_kcenter_coverage_radius_monotone(spark):
+    rows = [(i, [float(i % 7), float((i * 3) % 5), float(i % 2)])
+            for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    out = (SEL.kcenter_select(emb, "vec_id", "v", k=5)
+           .toPandas().sort_values("rank"))
+    assert out["rank"].tolist() == [1, 2, 3, 4, 5]
+    assert out["vec_id"].is_unique
+    assert out["vec_id"].iloc[0] == 0           # deterministic seed
+    d = out["dist"].tolist()[1:]
+    assert all(x >= y for x, y in zip(d, d[1:]))  # non-increasing radius
+    assert d[0] == max(d)
+
+
+def test_kcenter_first_jump_is_farthest_point(spark):
+    rows = [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0]),
+            (3, [10.0, 10.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    out = (SEL.kcenter_select(emb, "vec_id", "v", k=2)
+           .toPandas().sort_values("rank"))
+    assert out["vec_id"].tolist() == [0, 3]
+    assert out["dist"].iloc[1] == 200.0
+
+
+def test_mmr_diversifies_redundant_top(spark):
+    # q=0; ids 1,2 are EXACT duplicates (sim=1) and most relevant (rel=.9);
+    # 3 is slightly less relevant (rel=.8) but far from them (sim=.5).
+    # score(2) = 7*.9e6 - 3*1e6 = 3.3e6 < score(3) = 7*.8e6 - 3*.5e6 =
+    # 4.1e6 -> MMR must pick {1, then 3}, where plain top-k returns {1, 2}
+    rows = [(0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.43589, 0.0]),
+            (2, [0.9, 0.43589, 0.0]),
+            (3, [0.8, -0.5047, 0.3245])]
+    emb = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    out = (SEL.mmr_rerank(emb, "vec_id", "v", query_ids=[0],
+                          n_candidates=3, k=2)
+           .toPandas().sort_values("mmr_rank"))
+    assert out["sel_id"].tolist()[0] in (1, 2)
+    assert out["sel_id"].tolist()[1] == 3
+
+
+def test_mmr_rank1_is_plain_argmax(spark, sf_dir):
+    from kstream_spark.builder import StreamBuilder
+    emb = StreamBuilder(spark).table(f"{sf_dir}/embeddings.parquet").to_df()
+    mmr = SEL.mmr_rerank(emb, "vec_id", "embedding", query_ids=[0, 1],
+                         n_candidates=5, k=3).toPandas()
+    top = S.cosine_topk(emb, "vec_id", "embedding", query_ids=[0, 1],
+                        k=1).toPandas()
+    r1 = (mmr[mmr.mmr_rank == 1].sort_values("query_id")
+          .sel_id.tolist())
+    assert r1 == top.sort_values("query_id").neighbor_id.tolist()
+
+
+def test_sq8_scores_approximate_exact(spark, sf_dir):
+    from kstream_spark.builder import StreamBuilder
+    emb = StreamBuilder(spark).table(f"{sf_dir}/embeddings.parquet").to_df()
+    sq = S.sq8_topk(emb, "vec_id", "embedding", query_ids=[0], k=5).toPandas()
+    assert len(sq) == 5
+    # 8-bit quantization: dequantized inner products stay close to exact
+    from kstream_spark.functions.vectors import dot
+    exact = (emb.filter(F.col("vec_id").isin([0]))
+             .select(F.col("embedding").cast("array<double>").alias("qv"))
+             .crossJoin(emb.select(F.col("vec_id").alias("nid"),
+                                   F.col("embedding").cast("array<double>")
+                                   .alias("nv")))
+             .select("nid", dot(F.col("qv"), F.col("nv")).alias("ip"))
+             .toPandas().set_index("nid")["ip"])
+    for r in sq.itertuples():
+        assert abs(r.score - exact[r.neighbor_id]) < 0.05
+
+
+def test_sq8_no_corpus_shuffle_before_rank(spark, sf_dir):
+    from kstream_spark.builder import StreamBuilder
+    emb = StreamBuilder(spark).table(f"{sf_dir}/embeddings.parquet").to_df()
+    df = S.sq8_topk(emb, "vec_id", "embedding", query_ids=[0, 1], k=5)
+    # one rank-window exchange over the pruned candidates; scoring join
+    # broadcasts the queries so the corpus never shuffles
+    P.assert_max_shuffles(df, 1)
+    P.assert_no_sort_merge_join(df)
+
+
+def test_mmr_corpus_side_never_shuffles(spark, sf_dir):
+    from kstream_spark.builder import StreamBuilder
+    emb = StreamBuilder(spark).table(f"{sf_dir}/embeddings.parquet").to_df()
+    df = SEL.mmr_rerank(emb, "vec_id", "embedding", query_ids=[0, 1],
+                        n_candidates=5, k=3)
+    P.assert_no_sort_merge_join(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_dsir_bounded_shuffles(spark, sel_docs):
+    df = SEL.select_dsir(sel_docs, "doc_id", "text",
+                         F.col("src") == "tgt", n_select=3, n_buckets=64)
+    # bucket-count agg + 1-row total + per-doc agg + rank window — every
+    # exchange is key-bounded (n_buckets / 1 / n_docs / <= parts*k rows);
+    # the weight table broadcasts back onto the token stream, which is
+    # itself never shuffled
+    P.assert_max_shuffles(df, 6)
+    P.assert_no_sort_merge_join(df)
+
+
+def test_cross_source_matrix_counts_cross_feed_pairs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog today", "a"),
+        (1, "the quick brown fox jumps over the lazy dog now", "b"),
+        (2, "completely unrelated text about query engines and scans", "b"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = cross_source_matrix(docs, "doc_id", "text", "source",
+                              n=3, threshold=0.5).toPandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r.src_a, r.src_b, r.n_pairs) == ("a", "b", 1)
+    assert 0 < r.sum_j_micro <= 1_000_000
+
+
+def test_skew_join_broadcast_key_table_path(spark):
+    from kstream_spark.util import skew_join
+    left = spark.range(0, 500).withColumn("k", (F.col("id") % 100))
+    right = spark.range(0, 100).withColumnRenamed("id", "k") \
+        .withColumn("r", F.col("k") * 10)
+    hot = list(range(80))  # > max_isin_keys -> broadcast key-table path
+    out = skew_join(left, right, "k", hot_keys=hot, max_isin_keys=64)
+    plain = left.join(right, "k")
+    assert sorted((r.k, r.id, r.r) for r in out.collect()) == \
+        sorted((r.k, r.id, r.r) for r in plain.collect())
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_kcenter_exhausts_small_corpus(spark):
+    emb = spark.createDataFrame([(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+                                "vec_id long, v array<double>")
+    out = SEL.kcenter_select(emb, "vec_id", "v", k=5).toPandas()
+    assert out["vec_id"].tolist() == [0, 1]  # min(k, n) rows, no repeats
+
