@@ -94,6 +94,7 @@ HEADLINE = [
     "sim_sq8_topk",
     "sim_mmr_rerank",
     "dedup_cross_source",
+    "text_wordpiece_pairs",
 ]
 
 

@@ -609,3 +609,40 @@ FROM p GROUP BY shard ORDER BY shard
 
 CORPUS_INVENTORY["corpus_pack_efficiency"] = (q_corpus_pack_efficiency,
                                               SQL_CORPUS_PACK_EFFICIENCY)
+
+
+def q_text_wordpiece_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """WordPiece merge statistics: adjacent char pairs scored by the
+    likelihood gain ln(c_ab) - ln(c_a) - ln(c_b) in exact micro-log ints
+    (operators/text.wordpiece_pair_scores) — the scoring rule that
+    distinguishes WordPiece from BPE's raw-frequency merges."""
+    from kstream_spark.operators.text import wordpiece_pair_scores
+    return wordpiece_pair_scores(_docs(spark, sf), "text", top_k=50)
+
+
+SQL_TEXT_WORDPIECE_PAIRS = r"""
+WITH t AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+           FROM documents),
+wf AS (SELECT w, CAST(count(*) AS BIGINT) AS wf
+       FROM t WHERE length(w) >= 2 GROUP BY w),
+p AS (SELECT unnest(list_transform(range(1, length(w)),
+                                   i -> substr(w, i, 2))) AS pair, wf
+      FROM wf),
+pc AS (SELECT pair, CAST(sum(wf) AS BIGINT) AS cnt FROM p GROUP BY pair),
+c AS (SELECT unnest(list_transform(range(1, length(w) + 1),
+                                   i -> substr(w, i, 1))) AS ch, wf
+      FROM wf),
+cc AS (SELECT ch, CAST(sum(wf) AS BIGINT) AS cc FROM c GROUP BY ch),
+s AS (SELECT pair, cnt,
+             CAST(round((ln(cnt) - ln(a.cc) - ln(b.cc)) * 1e6, 0) AS BIGINT)
+             AS score_micro
+      FROM pc JOIN cc a ON substr(pair, 1, 1) = a.ch
+              JOIN cc b ON substr(pair, 2, 1) = b.ch)
+SELECT pair, cnt, score_micro,
+       CAST(row_number() OVER (ORDER BY score_micro DESC, pair) AS BIGINT)
+       AS rank
+FROM s ORDER BY score_micro DESC, pair LIMIT 50
+"""
+
+CORPUS_INVENTORY["text_wordpiece_pairs"] = (q_text_wordpiece_pairs,
+                                            SQL_TEXT_WORDPIECE_PAIRS)

@@ -410,3 +410,55 @@ def lang_id_ngram(df: DataFrame, id_col: str, text_col: str,
                     .alias("pred_lang"),
                     F.coalesce(F.col("h"), F.lit(0)).cast("long")
                     .alias("n_hits")))
+
+
+def wordpiece_pair_scores(df: DataFrame, text_col: str,
+                          top_k: int = 50) -> DataFrame:
+    """One round of WordPiece merge statistics: adjacent character pairs
+    scored by pointwise likelihood gain ``count(ab) / (count(a)*count(b))``
+    (Schuster & Nakajima 2012; the scoring that distinguishes WordPiece
+    from BPE's raw-frequency merges) — a rare pair of two common symbols
+    loses to a faithful pair of rare symbols.
+
+    Same distinct-word compression as bpe_pair_counts: one hash
+    aggregation to (word, freq), then pair/char explosions run over the
+    VOCABULARY, not the token stream.  The score is emitted as the exact
+    integer ``round((ln c_ab - ln c_a - ln c_b) * 1e6)`` (micro-log
+    units) so ranking is engine-exact; ties break on the pair string.
+    Returns (pair, cnt, score_micro, rank) top-``top_k`` by score.
+
+    Scale shape: two vocabulary-keyed aggregations (map-side combinable)
+    + the char-count table re-joined onto pairs — char vocabulary is
+    alphabet-sized, so both joins broadcast; nothing corpus-keyed ever
+    shuffles.
+    """
+    from pyspark.sql import Window as W
+    from kstream_spark.functions.text import words
+    w = words(F.col(text_col))
+    word_freq = (df.select(F.explode(w).alias("w"))
+                 .filter(F.length("w") >= 2)
+                 .groupBy("w").agg(F.count("*").cast("long").alias("wf")))
+    pairs = (word_freq.select(
+        "wf",
+        F.explode(F.expr(
+            "transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))"
+        )).alias("pair"))
+        .groupBy("pair").agg(F.sum("wf").cast("long").alias("cnt")))
+    chars = (word_freq.select(
+        "wf",
+        F.explode(F.expr(
+            "transform(sequence(1, length(w)), i -> substr(w, i, 1))"
+        )).alias("ch"))
+        .groupBy("ch").agg(F.sum("wf").cast("long").alias("cc")))
+    ca = chars.select(F.col("ch").alias("_a"), F.col("cc").alias("_ca"))
+    cb = chars.select(F.col("ch").alias("_b"), F.col("cc").alias("_cb"))
+    scored = (pairs
+              .join(F.broadcast(ca), F.substring("pair", 1, 1) == F.col("_a"))
+              .join(F.broadcast(cb), F.substring("pair", 2, 1) == F.col("_b"))
+              .select("pair", "cnt",
+                      F.round((F.log("cnt") - F.log("_ca") - F.log("_cb"))
+                              * 1e6, 0).cast("long").alias("score_micro")))
+    out = (scored.orderBy(F.desc("score_micro"), F.asc("pair")).limit(top_k)
+           .withColumn("rank", F.row_number().over(
+               W.orderBy(F.desc("score_micro"), F.asc("pair"))).cast("long")))
+    return out

@@ -87,3 +87,50 @@ def convert_to_parquet(spark: SparkSession, src_path: str, fmt: str,
     ingest step every 100 TB pipeline runs before real queries."""
     df = read_table(spark, src_path, fmt, schema=schema, **options)
     write_table(df, dest_path, "parquet", partition_by=partition_by)
+
+
+def read_table_with_dlq(spark: SparkSession, path: str, fmt: str,
+                        schema: T.StructType | str,
+                        corrupt_col: str = "_corrupt_record",
+                        **options) -> tuple[DataFrame, DataFrame]:
+    """Batch read with per-record error routing: rows that fail to parse
+    against the declared schema land in a DLQ relation (raw text +
+    source file) instead of aborting the job or silently nulling — the
+    file-source analog of the reference's per-record abort -> retry ->
+    DLQ contract (processors/filter.go:72-89; streams get the same via
+    streaming/core.route_errors).
+
+    Returns ``(good, dlq)``.  Spark's PERMISSIVE mode parks the raw line
+    of any unparseable record in ``columnNameOfCorruptRecord``; good rows
+    carry NULL there.  Works for json and csv (the row ingest formats —
+    columnar formats fail at the footer, not per record).
+
+    Scale shape: one scan feeds both relations (the corrupt column is a
+    projection, the split two filters); no shuffle at all.  Spark
+    requires the corrupt-record column to be PART of the declared schema
+    for the split to survive column pruning — this helper appends it.
+    """
+    if fmt not in ("json", "csv"):
+        raise ValueError(f"per-record DLQ needs a row format, got {fmt!r}")
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    full = T.StructType(schema.fields
+                        + [T.StructField(corrupt_col, T.StringType())])
+    r = (spark.read.format(fmt).schema(full)
+         .option("mode", "PERMISSIVE")
+         .option("columnNameOfCorruptRecord", corrupt_col))
+    if fmt == "csv":
+        r = r.option("header", options.pop("header", "true"))
+    for k, v in options.items():
+        r = r.option(k, v)
+    df = r.load(path)
+    # Spark refuses to filter on ONLY the corrupt column of a json scan
+    # (SPARK-26108) unless the parsed columns are referenced too — cache
+    # the split point so both relations come from one materialization
+    from pyspark.sql import functions as F
+    df = df.cache()
+    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    dlq = (df.filter(F.col(corrupt_col).isNotNull())
+           .select(F.col(corrupt_col).alias("raw"),
+                   F.input_file_name().alias("source_file")))
+    return good, dlq

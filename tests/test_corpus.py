@@ -323,3 +323,16 @@ def test_bpe_train_iterates_merge_recount(spark):
             for r in group_split(df.repartition(13), "source",
                                  val_pct=30).collect()}
     assert out2 == {(r.doc_id, r.split) for r in out}
+
+
+def test_wordpiece_scores_prefer_faithful_rare_pairs(spark):
+    from kstream_spark.operators.text import wordpiece_pair_scores
+    # 'xq' appears whenever x or q appear (faithful pair of rare chars);
+    # 'ab' is frequent but a and b are everywhere independently
+    rows = [(0, "abab abba baba xq"), (1, "aabb abab baab xq"),
+            (2, "abba baba abab xq")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = wordpiece_pair_scores(df, "text", top_k=10).toPandas()
+    sc = out.set_index("pair")["score_micro"]
+    assert sc["xq"] > sc["ab"]
+    assert out["rank"].tolist() == sorted(out["rank"].tolist())

@@ -64,3 +64,32 @@ def test_convert_to_parquet_one_hop(spark, tmp_path):
                           partition_by=["name"])
     back = spark.read.parquet(dest)
     assert back.count() == 3
+
+
+def test_read_json_with_dlq_routes_corrupt_records(spark, tmp_path):
+    from kstream_spark.sources.files import read_table_with_dlq
+    p = tmp_path / "in.jsonl"
+    p.write_text('{"id": 1, "v": "a"}\n'
+                 'not json at all\n'
+                 '{"id": 2, "v": "b"}\n'
+                 '{"id": "x"', encoding="utf-8")
+    good, dlq = read_table_with_dlq(spark, str(p), "json",
+                                    "id long, v string")
+    g = good.toPandas().sort_values("id")
+    assert g["id"].tolist() == [1, 2]
+    assert "_corrupt_record" not in g.columns
+    d = dlq.toPandas()
+    assert len(d) == 2
+    assert set(d.columns) == {"raw", "source_file"}
+    assert any("not json" in r for r in d["raw"])
+
+
+def test_read_csv_with_dlq_routes_bad_rows(spark, tmp_path):
+    from kstream_spark.sources.files import read_table_with_dlq
+    p = tmp_path / "in.csv"
+    p.write_text("id,v\n1,a\njunk_row_with_no_comma_and_bad_arity,x,y,z\n2,b\n",
+                 encoding="utf-8")
+    good, dlq = read_table_with_dlq(spark, str(p), "csv",
+                                    "id long, v string")
+    assert sorted(good.toPandas()["id"].dropna().tolist()) == [1, 2]
+    assert dlq.count() == 1
