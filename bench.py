@@ -95,6 +95,7 @@ HEADLINE = [
     "sim_mmr_rerank",
     "dedup_cross_source",
     "text_wordpiece_pairs",
+    "sim_ivfsq_topk",
 ]
 
 

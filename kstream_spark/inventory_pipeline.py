@@ -1959,3 +1959,66 @@ PIPELINE_INVENTORY["sim_sq8_topk"] = (q_sim_sq8_topk, SQL_SIM_SQ8_TOPK)
 PIPELINE_INVENTORY["sim_mmr_rerank"] = (q_sim_mmr_rerank, _mmr_sql())
 PIPELINE_INVENTORY["dedup_cross_source"] = (q_dedup_cross_source,
                                             SQL_DEDUP_CROSS_SOURCE)
+
+
+def q_sim_ivfsq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF + SQ8 composed index: cell-probed search over dequantized
+    1-byte-per-dim codes (operators/similarity.ivfsq_topk)."""
+    return S.ivfsq_topk(_embs(StreamBuilder(spark), sf), "vec_id",
+                        "embedding", query_ids=list(range(5)),
+                        k=10, n_cells=16, n_probe=4)
+
+
+_IVFSQ_COS = ("round(list_sum(list_transform(range(1, len({a})+1), "
+              "i -> {a}[i] * {b}[i]))"
+              " / (sqrt(list_sum(list_transform({a}, x -> x*x)))"
+              " * sqrt(list_sum(list_transform({b}, x -> x*x)))), 6)")
+
+SQL_SIM_IVFSQ_TOPK = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+d AS (SELECT unnest(v) AS x, unnest(range(1, len(v)+1)) AS i FROM e),
+st AS (SELECT i, min(x) AS mn, max(x) AS mx FROM d GROUP BY i),
+bounds AS (SELECT list(mn ORDER BY i) AS mns,
+                  list(CASE WHEN mx > mn THEN 255.0 / (mx - mn)
+                       ELSE 0.0 END ORDER BY i) AS scs,
+                  list((mx - mn) / 255.0 ORDER BY i) AS stps
+           FROM st),
+dqe AS (SELECT vec_id, v,
+               list_transform(range(1, len(v)+1),
+                 i -> mns[i] + least(255.0, floor((v[i] - mns[i]) * scs[i]))
+                      * stps[i]) AS dv
+        FROM e, bounds),
+cents AS (SELECT vec_id AS cell_id, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+cos_ac AS (
+  SELECT dqe.vec_id AS neighbor_id, dqe.dv, c.cell_id,
+         {_IVFSQ_COS.format(a='dqe.v', b='c.cv')} AS cell_cos
+  FROM dqe, cents c),
+assigned AS (
+  SELECT neighbor_id, dv, cell_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY neighbor_id
+                                 ORDER BY cell_cos DESC, cell_id) AS rn
+    FROM cos_ac) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0,1,2,3,4)),
+cos_qc AS (
+  SELECT q.query_id, q.qv, c.cell_id,
+         {_IVFSQ_COS.format(a='q.qv', b='c.cv')} AS cell_cos
+  FROM q, cents c),
+probes AS (
+  SELECT query_id, qv, cell_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cell_cos DESC, cell_id) AS rn
+    FROM cos_qc) WHERE rn <= 4),
+scored AS (
+  SELECT p.query_id, a.neighbor_id,
+         round(list_sum(list_transform(range(1, len(p.qv)+1),
+                                       i -> p.qv[i] * a.dv[i])), 6) AS score
+  FROM probes p JOIN assigned a USING (cell_id)
+  WHERE p.query_id <> a.neighbor_id)
+SELECT query_id, neighbor_id, score,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id) AS BIGINT)
+       AS rank
+FROM scored QUALIFY rank <= 10
+"""
+
+PIPELINE_INVENTORY["sim_ivfsq_topk"] = (q_sim_ivfsq_topk, SQL_SIM_IVFSQ_TOPK)

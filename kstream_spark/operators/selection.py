@@ -29,6 +29,60 @@ from kstream_spark.functions.vectors import as_double, dot, norm
 
 
 # -- DSIR-style hashed importance resampling --------------------------------
+def _dsir_tokens(df: DataFrame, id_col: str, text_col: str,
+                 n_buckets: int, extra=None) -> DataFrame:
+    """(id, bucket) token stream: whitespace tokens hashed into
+    ``n_buckets`` portable md5 feature buckets (seed 'dsir')."""
+    from kstream_spark.operators.corpus import _clean_words, _hash_mod
+    cols = [F.col(id_col)] + ([] if extra is None else [extra])
+    tok = df.select(
+        *cols,
+        F.explode(_clean_words(F.lower(F.col(text_col)))).alias("tok"))
+    return tok.withColumn("_b", _hash_mod(F.col("tok"), n_buckets, "dsir"))
+
+
+def dsir_weights(df: DataFrame, text_col: str, target_pred,
+                 n_buckets: int = 256) -> DataFrame:
+    """The trained DSIR "model": per-bucket integer micro-log-ratio
+    weights, (bucket, weight_micro).  A bucket's weight is the smoothed
+    log-ratio of its probability under the TARGET distribution (rows
+    matching ``target_pred``) vs the RAW distribution (the whole corpus).
+    ``n_buckets`` rows — persist it (parquet) and broadcast it at apply
+    time; the streaming admission path (streaming/selection.py) scores
+    arrivals against exactly this table."""
+    tok = _dsir_tokens(df.withColumn(
+        "__t", F.lit(True) if target_pred is None else target_pred),
+        "__t", text_col, n_buckets)
+    counts = tok.groupBy("_b").agg(
+        F.count("*").alias("_cs"),
+        F.sum(F.col("__t").cast("long")).alias("_ct"))
+    tot = counts.agg(F.sum("_cs").alias("_ns"), F.sum("_ct").alias("_nt"))
+    return (counts.crossJoin(F.broadcast(tot))
+            .select(F.col("_b").alias("bucket"),
+                    F.round((F.log((F.col("_ct") + 1)
+                                   / (F.col("_nt") + F.lit(n_buckets)))
+                             - F.log((F.col("_cs") + 1)
+                                     / (F.col("_ns") + F.lit(n_buckets))))
+                            * 1e6, 0).cast("long").alias("weight_micro")))
+
+
+def dsir_apply(df: DataFrame, id_col: str, text_col: str,
+               weights: DataFrame, n_buckets: int = 256) -> DataFrame:
+    """Score documents against a (persisted) DSIR weight table: per-doc
+    exact integer sum of token-bucket weights.  Returns
+    (id, n_tokens, dsir_micro).  Tokens hashing into buckets absent from
+    the table (possible when scoring NEW data against an old model)
+    contribute 0 — the neutral prior, not a dropped token."""
+    tok = _dsir_tokens(df, id_col, text_col, n_buckets)
+    w = F.broadcast(weights.select(F.col("bucket").alias("_b"),
+                                   F.col("weight_micro").alias("_w")))
+    return (tok.join(w, "_b", "left")
+            .withColumn("_w", F.coalesce("_w", F.lit(0)))
+            .groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_tokens"),
+                 F.sum("_w").alias("dsir_micro")))
+
+
 def dsir_scores(df: DataFrame, id_col: str, text_col: str,
                 target_pred, n_buckets: int = 256) -> DataFrame:
     """Per-document importance score for target-domain selection.
@@ -54,29 +108,14 @@ def dsir_scores(df: DataFrame, id_col: str, text_col: str,
     back onto the token stream, one per-doc map-side-combinable sum.  The
     corpus token stream is never shuffled; at 100 TB the only shuffled
     keys are the n_buckets feature ids and the doc ids (count-bounded
-    partial aggs).  add-1 smoothing keeps empty buckets finite.
+    partial aggs).  add-1 smoothing keeps empty buckets finite.  In the
+    train-once/score-many production shape, ``dsir_weights`` persists and
+    ``dsir_apply`` scores (this convenience fuses them for the
+    oracle-checked single-corpus query).
     """
-    from kstream_spark.operators.corpus import _clean_words, _hash_mod
-    tok = df.select(
-        F.col(id_col),
-        (F.lit(True) if target_pred is None else target_pred).alias("_t"),
-        F.explode(_clean_words(F.lower(F.col(text_col)))).alias("tok"))
-    tok = tok.withColumn("_b", _hash_mod(F.col("tok"), n_buckets, "dsir"))
-    counts = tok.groupBy("_b").agg(
-        F.count("*").alias("_cs"),
-        F.sum(F.col("_t").cast("long")).alias("_ct"))
-    tot = counts.agg(F.sum("_cs").alias("_ns"), F.sum("_ct").alias("_nt"))
-    w = (counts.crossJoin(F.broadcast(tot))
-         .select("_b",
-                 F.round((F.log((F.col("_ct") + 1)
-                                / (F.col("_nt") + F.lit(n_buckets)))
-                          - F.log((F.col("_cs") + 1)
-                                  / (F.col("_ns") + F.lit(n_buckets))))
-                         * 1e6, 0).cast("long").alias("_w")))
-    return (tok.join(F.broadcast(w), "_b")
-            .groupBy(id_col)
-            .agg(F.count("*").cast("long").alias("n_tokens"),
-                 F.sum("_w").alias("dsir_micro")))
+    return dsir_apply(df, id_col, text_col,
+                      dsir_weights(df, text_col, target_pred, n_buckets),
+                      n_buckets)
 
 
 def select_dsir(df: DataFrame, id_col: str, text_col: str, target_pred,

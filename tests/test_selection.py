@@ -183,3 +183,22 @@ def test_kcenter_exhausts_small_corpus(spark):
     out = SEL.kcenter_select(emb, "vec_id", "v", k=5).toPandas()
     assert out["vec_id"].tolist() == [0, 1]  # min(k, n) rows, no repeats
 
+
+
+def test_ivfsq_no_corpus_shuffle_and_tracks_exact(spark, sf_dir):
+    from kstream_spark.builder import StreamBuilder
+    emb = StreamBuilder(spark).table(f"{sf_dir}/embeddings.parquet").to_df()
+    df = S.ivfsq_topk(emb, "vec_id", "embedding", query_ids=[0, 1],
+                      k=5, n_cells=4, n_probe=4)
+    # assignment + quantization are projections; probe join broadcasts;
+    # the only exchanges are the |Q| x n_cells probe window and the rank
+    # window over pruned candidates — neither corpus-sized
+    P.assert_max_shuffles(df, 2)
+    P.assert_no_sort_merge_join(df)
+    out = df.toPandas()
+    # n_probe == n_cells -> no cell pruning: must agree with plain SQ8
+    sq = S.sq8_topk(emb, "vec_id", "embedding", query_ids=[0, 1],
+                    k=5).toPandas()
+    key = ["query_id", "rank"]
+    assert out.sort_values(key)["neighbor_id"].tolist() == \
+        sq.sort_values(key)["neighbor_id"].tolist()

@@ -1019,3 +1019,43 @@ def test_compact_code_store_latest_wins_and_cell_layout(spark, tmp_path):
             A.adc_topk_from_codes(raw, queries, "vec_id", "embedding",
                                   books, k=5).collect()}
     assert got == want
+
+
+def test_selection_admit_stream_matches_batch_scores(spark, tmp_path):
+    """Streaming DSIR admission: arrivals score against the persisted
+    weight table bit-identically to the batch operator (exact integer
+    scores), and only above-threshold docs are admitted."""
+    from kstream_spark.operators import selection as SEL
+    from kstream_spark.streaming.selection import admit_stream
+
+    ref = spark.createDataFrame(
+        [(0, "spark shuffle executor stage partition", "tgt"),
+         (1, "spark codegen catalyst shuffle executor", "tgt"),
+         (2, "banana apple orange grape melon", "other"),
+         (3, "pear kiwi banana apple grape", "other")],
+        "doc_id long, text string, src string")
+    w = SEL.dsir_weights(ref, "text", F.col("src") == "tgt", n_buckets=64)
+    w.write.parquet(str(tmp_path / "weights"))
+
+    arrivals = spark.createDataFrame(
+        [(10, "spark executor shuffle plan stage"),
+         (11, "melon grape banana orange kiwi")],
+        "doc_id long, text string")
+    src = tmp_path / "in"
+    arrivals.coalesce(1).write.parquet(str(src))
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .parquet(str(src)))
+    q = admit_stream(stream, str(tmp_path / "weights"),
+                     str(tmp_path / "out"), str(tmp_path / "ck"),
+                     id_col="doc_id", text_col="text", min_micro=1,
+                     n_buckets=64)
+    _run(q)
+
+    out = spark.read.parquet(str(tmp_path / "out")).toPandas()
+    assert out["doc_id"].tolist() == [10]      # spark-y doc admitted only
+    batch = (SEL.dsir_apply(arrivals, "doc_id", "text",
+                            spark.read.parquet(str(tmp_path / "weights")),
+                            n_buckets=64)
+             .toPandas().set_index("doc_id"))
+    assert int(out["dsir_micro"].iloc[0]) == int(batch.loc[10, "dsir_micro"])
+    assert int(batch.loc[11, "dsir_micro"]) < 1
