@@ -96,6 +96,7 @@ HEADLINE = [
     "dedup_cross_source",
     "text_wordpiece_pairs",
     "sim_ivfsq_topk",
+    "sim_sq8_recall",
 ]
 
 

@@ -2022,3 +2022,40 @@ FROM scored QUALIFY rank <= 10
 """
 
 PIPELINE_INVENTORY["sim_ivfsq_topk"] = (q_sim_ivfsq_topk, SQL_SIM_IVFSQ_TOPK)
+
+
+def q_sim_sq8_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """SQ8 fidelity as a DRIVER-PROVABLE fact: recall@10 of the scalar-
+    quantized asymmetric search against brute-force cosine, per query —
+    the audit row for the 4x-compressed tier (8-bit per-dim codes should
+    be near-lossless at dim 64; the oracle replays both pipelines and
+    derives the identical intersection)."""
+    emb = _embs(StreamBuilder(spark), sf)
+    approx = S.sq8_topk(emb, "vec_id", "embedding",
+                        query_ids=list(range(5)), k=10) \
+        .select("query_id", "neighbor_id")
+    exact = S.cosine_topk(emb, "vec_id", "embedding",
+                          query_ids=list(range(5)), k=10) \
+        .select("query_id", "neighbor_id")
+    ind = F.broadcast(approx.withColumn("_hit", F.lit(1)))
+    return (exact.join(ind, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(F.count("_hit").cast("long").alias("n_hits"))
+            .select("query_id", "n_hits",
+                    (F.col("n_hits") >= 7).alias("recall_ok")))
+
+
+def _sq8_recall_sql() -> str:
+    return f"""
+WITH sq AS (SELECT query_id, neighbor_id FROM ({SQL_SIM_SQ8_TOPK}) t),
+brute AS (SELECT query_id, neighbor_id FROM ({SQL_SIM_COSINE_TOPK}) t),
+hits AS (SELECT b.query_id, s.neighbor_id AS hit
+         FROM brute b LEFT JOIN sq s
+           ON b.query_id = s.query_id AND b.neighbor_id = s.neighbor_id)
+SELECT query_id, CAST(count(hit) AS BIGINT) AS n_hits,
+       count(hit) >= 7 AS recall_ok
+FROM hits GROUP BY query_id
+"""
+
+
+PIPELINE_INVENTORY["sim_sq8_recall"] = (q_sim_sq8_recall, _sq8_recall_sql())
