@@ -112,3 +112,12 @@ def test_example_5_vector_search(capsys):
     out = capsys.readouterr().out
     assert "recall@5 vs brute force" in out
     assert recall >= 0.4  # 3 of 8 cells probed on near-random vectors
+
+
+def test_example_6_data_selection(capsys):
+    import examples.data_selection as ex6
+    radii = ex6.main()
+    out = capsys.readouterr().out
+    assert "coverage radii:" in out
+    assert len(radii) == 5
+    assert all(a >= b for a, b in zip(radii, radii[1:]))  # non-increasing
