@@ -97,6 +97,7 @@ HEADLINE = [
     "text_wordpiece_pairs",
     "sim_ivfsq_topk",
     "sim_sq8_recall",
+    "sketch_kmv_overlap",
 ]
 
 

@@ -483,3 +483,56 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
 
 EXTRA_INVENTORY["wf_value_functions"] = (q_wf_value_functions,
                                          SQL_WF_VALUE_FUNCTIONS)
+
+
+def q_sketch_kmv_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV theta-sketch pairwise source overlap (k=256 minimum md5
+    hashes of distinct 3-shingles per source) — a DETERMINISTIC sketch,
+    so unlike the HLL rows this one carries a full value-hash oracle.
+    Restricted to 4 sources to keep the oracle replay readable; the
+    operator handles all pairs identically."""
+    from kstream_spark.builder import StreamBuilder
+    from kstream_spark.operators.sketches import kmv_source_overlap
+    docs = (StreamBuilder(spark)
+            .table(f"{sf}/documents.parquet", name="documents").to_df()
+            .filter(F.col("source").isin("src18", "src6", "src7", "src12")))
+    return kmv_source_overlap(docs, "doc_id", "text", "source",
+                              k=128, n=3)
+
+
+SQL_SKETCH_KMV_OVERLAP = r"""
+WITH d AS (SELECT * FROM documents
+           WHERE source IN ('src18', 'src6', 'src7', 'src12')),
+w AS (SELECT source AS src, string_split_regex(lower(text), '\s+') AS words
+      FROM d),
+sh AS (SELECT DISTINCT src,
+              md5('kmv:' || unnest(list_transform(
+                  range(1, greatest(len(words) - 2, 0) + 1),
+                  i -> array_to_string(words[i:i+2], ' ')))) AS h
+       FROM w),
+sk AS (SELECT src, h FROM (
+         SELECT src, h, row_number() OVER (PARTITION BY src ORDER BY h)
+                AS rn FROM sh) WHERE rn <= 128),
+srcs AS (SELECT DISTINCT src FROM sk),
+pairs AS (SELECT a.src AS src_a, b.src AS src_b
+          FROM srcs a JOIN srcs b ON a.src < b.src),
+pr AS (SELECT DISTINCT p.src_a, p.src_b, s.h
+       FROM pairs p JOIN sk s ON s.src = p.src_a OR s.src = p.src_b),
+uni AS (SELECT src_a, src_b, h FROM (
+          SELECT *, row_number() OVER (PARTITION BY src_a, src_b
+                                       ORDER BY h) AS rn FROM pr)
+        WHERE rn <= 128),
+flg AS (SELECT u.src_a, u.src_b,
+               CASE WHEN a.h IS NULL THEN 0 ELSE 1 END
+               * CASE WHEN b.h IS NULL THEN 0 ELSE 1 END AS b2
+        FROM uni u
+        LEFT JOIN sk a ON a.src = u.src_a AND a.h = u.h
+        LEFT JOIN sk b ON b.src = u.src_b AND b.h = u.h)
+SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS k_used,
+       CAST(sum(b2) AS BIGINT) AS n_both,
+       CAST(round(sum(b2) * 1e6 / count(*), 0) AS BIGINT) AS jaccard_micro
+FROM flg GROUP BY 1, 2
+"""
+
+EXTRA_INVENTORY["sketch_kmv_overlap"] = (q_sketch_kmv_overlap,
+                                         SQL_SKETCH_KMV_OVERLAP)

@@ -328,3 +328,37 @@ def parse_joined(df: DataFrame, left_schema: T.StructType,
                    for f in left_schema.fields]).alias("l"),
         F.struct(*[F.col(f"__r_{f.name}").cast(f.dataType).alias(f.name)
                    for f in right_schema.fields]).alias("r"))
+
+
+def watermarked_stream_join(left: DataFrame, right: DataFrame, key: str,
+                            left_ts: str, right_ts: str,
+                            watermark: str = "10 minutes",
+                            within: str = "5 minutes",
+                            how: str = "inner") -> DataFrame:
+    """Spark-NATIVE bounded-state stream-stream join — the production
+    complement to ``stateful_stream_join``'s reference parity.
+
+    The reference buffers both sides FOREVER (window.go never evicts), so
+    the parity joiner reproduces that with explicit state + TTL.  What a
+    100 TB deployment should actually run is this: watermark both sides
+    and constrain the match to a time interval
+    (``|left_ts - right_ts| <= within``), and Spark's symmetric hash join
+    manages the buffers AND evicts rows older than watermark + interval
+    on its own — bounded state with engine-native cleanup, no Python in
+    the loop, and late data handled by the same watermark contract as
+    the windowed aggregations (§2.5).
+
+    Column hygiene: payload column names must not collide across sides
+    (join keys excepted) — the native join keeps both schemas.  Outer
+    joins (``how='leftOuter'``/``'rightOuter'``/``'fullOuter'``) are
+    supported by Spark with the same condition; null rows emit once the
+    watermark passes the interval bound.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (F.col(right_ts) >= F.col(left_ts) - F.expr(f"interval {within}"))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"interval {within}"))
+    )
+    return lw.join(rw, cond, how).drop(rw[key])

@@ -367,3 +367,21 @@ def test_bpe_tokenize_single_pass_doubling_matches_per_round(spark):
            .select("doc_id", "tokens").toPandas())
     assert old.sort_values("doc_id")["tokens"].map(list).tolist() == \
         new.sort_values("doc_id")["tokens"].map(list).tolist()
+
+
+def test_kmv_overlap_detects_shared_shingles(spark):
+    from kstream_spark.operators.sketches import kmv_source_overlap
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(0, shared + " alpha", "a"), (1, shared + " beta", "b"),
+            (2, "totally disjoint content about catalyst plans", "c"),
+            (3, shared + " gamma", "a")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = (kmv_source_overlap(docs, "doc_id", "text", "source", k=64)
+           .toPandas().set_index(["src_a", "src_b"]))
+    # a and b share most shingles; c shares none with either
+    assert out.loc[("a", "b"), "jaccard_micro"] > 500_000
+    assert out.loc[("a", "c"), "jaccard_micro"] == 0
+    assert out.loc[("b", "c"), "jaccard_micro"] == 0
+    # exact-integer estimate: n_both/k_used scaled by 1e6
+    r = out.loc[("a", "b")]
+    assert r.jaccard_micro == round(r.n_both * 1e6 / r.k_used)

@@ -1059,3 +1059,36 @@ def test_selection_admit_stream_matches_batch_scores(spark, tmp_path):
              .toPandas().set_index("doc_id"))
     assert int(out["dsir_micro"].iloc[0]) == int(batch.loc[10, "dsir_micro"])
     assert int(batch.loc[11, "dsir_micro"]) < 1
+
+
+def test_watermarked_native_stream_join(spark, tmp_path):
+    """The Spark-native bounded-state join matches within the interval and
+    excludes pairs outside it; state cleanup is engine-managed (no custom
+    state schema in the plan)."""
+    import datetime as dt
+    from kstream_spark.streaming.join import watermarked_stream_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    lrows = [(1, t0, "l1"), (2, t0 + dt.timedelta(minutes=30), "l2")]
+    rrows = [(1, t0 + dt.timedelta(minutes=2), "r1"),     # within 5m of l1
+             (1, t0 + dt.timedelta(minutes=20), "r2"),    # outside
+             (2, t0 + dt.timedelta(minutes=29), "r3")]    # within of l2
+    lsrc, rsrc = tmp_path / "l", tmp_path / "r"
+    spark.createDataFrame(lrows, "k long, lts timestamp, lv string") \
+        .coalesce(1).write.parquet(str(lsrc))
+    spark.createDataFrame(rrows, "k long, rts timestamp, rv string") \
+        .coalesce(1).write.parquet(str(rsrc))
+    lstream = spark.readStream.schema("k long, lts timestamp, lv string") \
+        .parquet(str(lsrc))
+    rstream = spark.readStream.schema("k long, rts timestamp, rv string") \
+        .parquet(str(rsrc))
+    joined = watermarked_stream_join(lstream, rstream, "k", "lts", "rts",
+                                     watermark="10 minutes",
+                                     within="5 minutes")
+    q = (joined.writeStream.format("memory").queryName("wm_join_out")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    _run(q)
+    got = {(r.lv, r.rv) for r in spark.sql(
+        "SELECT lv, rv FROM wm_join_out").collect()}
+    assert got == {("l1", "r1"), ("l2", "r3")}
