@@ -219,3 +219,98 @@ def test_bpe_tokenize_preserves_content(words_list, n_merges):
               .orderBy("merge_rank").collect()]
     toks = bpe_tokenize(df, "text", merges).collect()[0]["tokens"]
     assert "".join(toks) == "".join(words_list)
+
+
+VECS = st.lists(
+    st.lists(st.integers(-5, 5), min_size=3, max_size=3),
+    min_size=2, max_size=12, unique_by=tuple)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(VECS)
+def test_kcenter_matches_naive_greedy(vecs):
+    """Distributed greedy k-center == the naive sequential algorithm
+    (seed = lowest id; round-6 max-min squared L2; id tie-breaks)."""
+    from kstream_spark.operators.selection import kcenter_select
+    spark = _spark()
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    k = min(4, len(rows))
+    emb = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    got = [(r.rank, r.vec_id, r.dist) for r in
+           kcenter_select(emb, "vec_id", "v", k=k)
+           .orderBy("rank").collect()]
+
+    def d2(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return round(acc, 6)
+
+    centers = [rows[0]]
+    want = [(1, 0, 0.0)]
+    while len(centers) < k:
+        best = None
+        for i, v in rows:
+            dist = min(d2(v, c[1]) for c in centers)
+            # argmax with id tie-break toward the LOWER id
+            if best is None or dist > best[1] or \
+               (dist == best[1] and i < best[0]):
+                best = (i, dist)
+        if any(c[0] == best[0] for c in centers):
+            break
+        centers.append(rows[best[0]])
+        want.append((len(centers), best[0], best[1]))
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(VECS)
+def test_mmr_matches_naive_greedy(vecs):
+    """Distributed MMR == naive sequential greedy on exact integer
+    deci-micro scores (7*rel_u - 3*max_sim_u, id tie-breaks)."""
+    from kstream_spark.operators.selection import mmr_rerank
+    spark = _spark()
+    # drop zero vectors (NaN cosine is guarded engine-side; the naive
+    # reference would divide by zero)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)
+            if any(x != 0 for x in v)]
+    if len(rows) < 3:
+        return
+    emb = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    qid = rows[0][0]
+    got = [(r.mmr_rank, r.sel_id, r.mmr_score) for r in
+           mmr_rerank(emb, "vec_id", "v", query_ids=[qid],
+                      n_candidates=5, k=3).orderBy("mmr_rank").collect()]
+
+    def cos6(a, b):
+        import math
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        from decimal import Decimal, ROUND_HALF_UP
+        return float(Decimal(repr(dot / (na * nb))).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+    qv = dict(rows)[qid]
+    scored = sorted(((cos6(qv, v), -i) for i, v in rows if i != qid),
+                    reverse=True)
+    cand = [(-ni, c) for c, ni in scored[:5]]          # (id, rel)
+    rel = {i: int(round(c * 1e6)) for i, c in cand}
+    vec = dict(rows)
+    remaining, chosen, want = sorted(rel), [], []
+    for rank in range(1, 4):
+        if not remaining:
+            break
+        best = None
+        for c in remaining:
+            ms = max((int(round(cos6(vec[c], vec[s]) * 1e6))
+                      for s in chosen), default=0)
+            score = 7 * rel[c] - (0 if not chosen else 3 * ms)
+            if best is None or score > best[1]:
+                best = (c, score)
+        chosen.append(best[0])
+        remaining.remove(best[0])
+        want.append((rank, best[0], best[1]))
+    assert got == want
