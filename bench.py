@@ -98,6 +98,7 @@ HEADLINE = [
     "sim_ivfsq_topk",
     "sim_sq8_recall",
     "sketch_kmv_overlap",
+    "text_bigram_lm",
 ]
 
 

@@ -646,3 +646,37 @@ FROM s ORDER BY score_micro DESC, pair LIMIT 50
 
 CORPUS_INVENTORY["text_wordpiece_pairs"] = (q_text_wordpiece_pairs,
                                             SQL_TEXT_WORDPIECE_PAIRS)
+
+
+def q_text_bigram_lm(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-self bigram LM per-document log-probability (exact integer
+    micro-units; operators/corpus.bigram_logprob) — the conditional
+    upgrade of text_unigram_lm, restricted to the first 100 docs so the
+    oracle's bigram replay stays readable."""
+    from kstream_spark.operators.corpus import bigram_logprob
+    return bigram_logprob(_docs(spark, sf), "doc_id", "text") \
+        .filter(F.col("doc_id") < 100)
+
+
+SQL_TEXT_BIGRAM_LM = r"""
+WITH w AS (SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> x <> '') AS ws
+           FROM documents),
+big AS (SELECT doc_id,
+               unnest(list_transform(range(2, len(ws) + 1),
+                                     i -> ws[i-1] || ' ' || ws[i])) AS bg
+        FROM w WHERE len(ws) >= 2),
+cb AS (SELECT bg, count(*) AS cab FROM big GROUP BY bg),
+ca AS (SELECT split_part(bg, ' ', 1) AS a, sum(cab) AS ca
+       FROM cb GROUP BY 1),
+lp AS (SELECT bg, CAST(round(ln(cab / ca) * 1e6, 0) AS BIGINT) AS lpi
+       FROM cb JOIN ca ON split_part(cb.bg, ' ', 1) = ca.a)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(lpi) AS BIGINT) AS sum_logp_micro
+FROM big JOIN lp USING (bg)
+WHERE doc_id < 100
+GROUP BY doc_id
+"""
+
+CORPUS_INVENTORY["text_bigram_lm"] = (q_text_bigram_lm, SQL_TEXT_BIGRAM_LM)

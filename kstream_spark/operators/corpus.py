@@ -392,3 +392,45 @@ def corpus_stats(df: DataFrame, text_col: str, lang_col: str,
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("_t").alias("total_tokens"),
                  F.sum("_c").alias("total_chars")))
+
+
+def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Corpus-self BIGRAM LM quality score — the conditional upgrade of
+    ``unigram_logprob``: each document is scored by the total
+    ``ln P(w_i | w_{i-1})`` under the corpus's own bigram statistics
+    (P(b|a) = c(ab) / c(a·), with c(a·) = a's count as a predecessor, so
+    the conditional distribution sums to 1).  Repetitive boilerplate
+    scores suspiciously high, rare-transition gibberish low — one LM
+    order closer to the KenLM perplexity gate than the unigram while
+    still exactly replayable by a SQL oracle.
+
+    Numeric determinism: per-bigram log-probs quantize to integer
+    micro-units (the unigram_logprob trick), so the per-doc score is an
+    exact integer sum.  Returns (id, n_bigrams, sum_logp_micro).
+
+    Scale shape: unlike the unigram's vocab-sized BROADCAST table, the
+    bigram table grows with the corpus's distinct-bigram count — so it
+    joins back onto the bigram stream by a SHUFFLE keyed on the bigram
+    (count-bounded: both sides collapse map-side first), never a
+    broadcast.  Two aggregations + one bounded equi-join; the raw token
+    stream itself is never shuffled wider than its distinct bigrams.
+    """
+    w = _clean_words(F.lower(F.col(text_col)))
+    big = (df.withColumn("_w", w).filter(F.size("_w") >= 2)
+           .select(F.col(id_col),
+                   F.explode(F.expr(
+                       "transform(sequence(2, size(_w)), "
+                       "i -> concat(element_at(_w, i - 1), ' ', "
+                       "element_at(_w, i)))")).alias("bg")))
+    cb = big.groupBy("bg").agg(F.count("*").alias("_cab"))
+    ca = (cb.withColumn("_a", F.substring_index("bg", " ", 1))
+          .groupBy("_a").agg(F.sum("_cab").alias("_ca")))
+    lp = (cb.withColumn("_a", F.substring_index("bg", " ", 1))
+          .join(ca, "_a")
+          .select("bg",
+                  F.round(F.log(F.col("_cab") / F.col("_ca")) * 1e6, 0)
+                  .cast("long").alias("_lpi")))
+    return (big.join(lp, "bg")
+            .groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_bigrams"),
+                 F.sum("_lpi").alias("sum_logp_micro")))
