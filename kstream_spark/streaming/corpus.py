@@ -69,3 +69,35 @@ def admit_stream(df: DataFrame, corpus_path: str, signature_path: str,
 
     return (df.writeStream.foreachBatch(_admit)
             .option("checkpointLocation", checkpoint_dir).start())
+
+
+def compact_signature_store(spark, store_dir: str, out_dir: str,
+                            id_col: str = "doc_id",
+                            epoch_col: str = "__epoch") -> DataFrame:
+    """Compact the epoch partitions ``admit_stream`` accumulates in the
+    signature store into one latest-wins layout — the maintenance twin of
+    ``streaming/ann.compact_code_store`` for the dedup state.
+
+    LATEST-WINS by document id: a doc re-admitted in a later micro-batch
+    (same id, revised text) supersedes its older signature row, so the
+    store stays one row per document regardless of replays; epoch dirs
+    collapse into a single epoch-0 partition (kept so a resumed
+    ``admit_stream`` appends new epochs next to it).  The output is
+    repartitioned by the first band column, which co-locates each band
+    bucket's rows for the increment-vs-corpus band join that
+    ``incremental_dedup`` runs every batch.
+
+    Out-of-place and stop-compact-swap-resume, same as the code store:
+    compacting under a live admitting query would race the epoch listing.
+    Returns the compacted DataFrame.
+    """
+    from pyspark.sql import Window as W
+    sig = spark.read.parquet(store_dir)
+    w = W.partitionBy(id_col).orderBy(F.desc(epoch_col))
+    latest = (sig.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") == 1)
+              .drop("_rn", epoch_col))
+    (latest.withColumn(epoch_col, F.lit(0))
+     .repartition("b0")
+     .write.mode("overwrite").partitionBy(epoch_col).parquet(out_dir))
+    return spark.read.parquet(out_dir)

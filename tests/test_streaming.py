@@ -1092,3 +1092,30 @@ def test_watermarked_native_stream_join(spark, tmp_path):
     got = {(r.lv, r.rv) for r in spark.sql(
         "SELECT lv, rv FROM wm_join_out").collect()}
     assert got == {("l1", "r1"), ("l2", "r3")}
+
+
+def test_compact_signature_store_latest_wins(spark, tmp_path):
+    """Signature-store compaction: re-admitted docs keep only their newest
+    signature; the compacted store drives incremental_dedup identically."""
+    from kstream_spark.operators.dedup import corpus_signatures
+    from kstream_spark.streaming.corpus import compact_signature_store
+
+    d1 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "completely different text about spark state stores")],
+        "doc_id long, text string")
+    d2 = spark.createDataFrame(
+        [(1, "totally revised text for document one after an edit")],
+        "doc_id long, text string")
+    store = str(tmp_path / "sigs")
+    for epoch, batch in ((0, d1), (1, d2)):
+        (corpus_signatures(batch, "doc_id", "text")
+         .withColumn("__epoch", F.lit(epoch))
+         .write.mode("overwrite").partitionBy("__epoch")
+         .option("partitionOverwriteMode", "dynamic").parquet(store))
+    out = compact_signature_store(spark, store, str(tmp_path / "compacted"))
+    pdf = out.toPandas()
+    assert sorted(pdf["doc_id"].tolist()) == [1, 2]      # one row per doc
+    fresh = corpus_signatures(d2, "doc_id", "text").toPandas()
+    assert pdf.set_index("doc_id").loc[1, "__ch"] == \
+        fresh.set_index("doc_id").loc[1, "__ch"]          # newest text won
