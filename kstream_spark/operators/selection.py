@@ -240,8 +240,10 @@ def mmr_rerank(emb: DataFrame, id_col: str, vec_col: str, query_ids: list,
                   F.col("nv").alias("_va"), F.col("nn").alias("_na"))
     b = cv.select("query_id", F.col("neighbor_id").alias("_cb"),
                   F.col("nv").alias("_vb"), F.col("nn").alias("_nb"))
+    # self-pairs (ca == cb) are kept as carriers so a query with a single
+    # candidate still reaches the selector (the selector ignores them —
+    # max-sim only ever consults pairs against ALREADY-CHOSEN other ids)
     pairs = (a.join(F.broadcast(b), "query_id")
-             .filter(F.col("_ca") != F.col("_cb"))
              .select("query_id", "_ca", "_cb", "_rela",
                      F.round(dot(F.col("_va"), F.col("_vb"))
                              / (F.col("_na") * F.col("_nb")), 6)
@@ -254,7 +256,7 @@ def mmr_rerank(emb: DataFrame, id_col: str, vec_col: str, query_ids: list,
         rel = {ca: int(round(r * 1e6)) for ca, r in
                zip(pdf["_ca"], pdf["_rela"])}
         sim = {(ca, cb): int(round(s * 1e6)) for ca, cb, s in
-               zip(pdf["_ca"], pdf["_cb"], pdf["_sim"])}
+               zip(pdf["_ca"], pdf["_cb"], pdf["_sim"]) if ca != cb}
         remaining = sorted(rel)
         chosen: list = []
         out = []

@@ -202,3 +202,11 @@ def test_ivfsq_no_corpus_shuffle_and_tracks_exact(spark, sf_dir):
     key = ["query_id", "rank"]
     assert out.sort_values(key)["neighbor_id"].tolist() == \
         sq.sort_values(key)["neighbor_id"].tolist()
+
+
+def test_mmr_single_candidate_still_ranked(spark):
+    emb = spark.createDataFrame([(0, [1.0, 0.0]), (1, [0.5, 0.5])],
+                                "vec_id long, v array<double>")
+    out = (SEL.mmr_rerank(emb, "vec_id", "v", query_ids=[0],
+                          n_candidates=3, k=2).toPandas())
+    assert out["sel_id"].tolist() == [1] and out["mmr_rank"].tolist() == [1]
