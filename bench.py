@@ -99,6 +99,10 @@ HEADLINE = [
     "sim_sq8_recall",
     "sketch_kmv_overlap",
     "text_bigram_lm",
+    "vec_random_projection",
+    "sim_rp_rerank_topk",
+    "select_curriculum",
+    "text_lexical_diversity",
 ]
 
 

@@ -556,6 +556,10 @@ _TOUCHED_THIS_ROUND = [
     # HALF_UP) — centroid/codebook means could shift at .5e-6 boundaries,
     # so the kmeans-derived dedup path re-proves alongside the sim_* set
     "dedup_semantic",
+    # r7: with_global_rank pins its range shuffle with localCheckpoint
+    # (branch-recompute under AQE resampled boundaries -> corrupt ranks);
+    # the one registered consumer re-proves on the new evaluation path
+    "wf_ntile_dist",
 ]
 
 

@@ -680,3 +680,72 @@ GROUP BY doc_id
 """
 
 CORPUS_INVENTORY["text_bigram_lm"] = (q_text_bigram_lm, SQL_TEXT_BIGRAM_LM)
+
+
+def q_select_curriculum(spark: SparkSession, sf: str) -> DataFrame:
+    """Curriculum difficulty deciles over the corpus-self bigram LM score
+    (operators/selection.curriculum_bins): distributed two-phase ntile —
+    no single-task sort of the corpus — cut into 10 equal-depth bins,
+    one exact-integer audit row per bin."""
+    from kstream_spark.operators.selection import curriculum_bins
+    return curriculum_bins(_docs(spark, sf), "doc_id", "text", n_bins=10)
+
+
+SQL_SELECT_CURRICULUM = r"""
+WITH w AS (SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> x <> '') AS ws
+           FROM documents),
+big AS (SELECT doc_id,
+               unnest(list_transform(range(2, len(ws) + 1),
+                                     i -> ws[i-1] || ' ' || ws[i])) AS bg
+        FROM w WHERE len(ws) >= 2),
+cb AS (SELECT bg, count(*) AS cab FROM big GROUP BY bg),
+ca AS (SELECT split_part(bg, ' ', 1) AS a, sum(cab) AS ca
+       FROM cb GROUP BY 1),
+lp AS (SELECT bg, CAST(round(ln(cab / ca) * 1e6, 0) AS BIGINT) AS lpi
+       FROM cb JOIN ca ON split_part(cb.bg, ' ', 1) = ca.a),
+lm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+              CAST(sum(lpi) AS BIGINT) AS sum_logp_micro
+       FROM big JOIN lp USING (bg) GROUP BY doc_id),
+b AS (SELECT *, CAST(ntile(10) OVER (
+        ORDER BY CAST(sum_logp_micro AS DOUBLE) / n_bigrams ASC,
+                 doc_id ASC) AS BIGINT) AS difficulty
+      FROM lm)
+SELECT difficulty, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+       CAST(sum(sum_logp_micro) AS BIGINT) AS sum_logp_micro
+FROM b GROUP BY difficulty
+"""
+
+CORPUS_INVENTORY["select_curriculum"] = (q_select_curriculum,
+                                         SQL_SELECT_CURRICULUM)
+
+
+def q_text_lexical_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document type-token + hapax ratios in exact integer micro-units
+    (operators/text.lexical_diversity) — the cheap lexical screens ahead
+    of any LM perplexity gate."""
+    from kstream_spark.operators.text import lexical_diversity
+    return lexical_diversity(_docs(spark, sf), "doc_id", "text")
+
+
+SQL_TEXT_LEXDIV = r"""
+WITH w AS (SELECT doc_id,
+                  unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                     x -> x <> '')) AS tok
+           FROM documents),
+pt AS (SELECT doc_id, tok, count(*) AS c FROM w GROUP BY doc_id, tok),
+agg AS (SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_types,
+               CAST(count(*) FILTER (c = 1) AS BIGINT) AS n_hapax
+        FROM pt GROUP BY doc_id)
+SELECT doc_id, n_tokens, n_types, n_hapax,
+       (2000000 * n_types + n_tokens) // (2 * n_tokens) AS ttr_micro,
+       (2000000 * n_hapax + n_tokens) // (2 * n_tokens) AS hapax_micro
+FROM agg
+"""
+
+CORPUS_INVENTORY["text_lexical_diversity"] = (q_text_lexical_diversity,
+                                              SQL_TEXT_LEXDIV)

@@ -2059,3 +2059,147 @@ FROM hits GROUP BY query_id
 
 
 PIPELINE_INVENTORY["sim_sq8_recall"] = (q_sim_sq8_recall, _sq8_recall_sql())
+
+
+def q_vec_random_projection(spark: SparkSession, sf: str) -> DataFrame:
+    """Johnson-Lindenstrauss 64->16 Rademacher projection
+    (operators/vectors.random_projection): literal +-1 sign matrix,
+    pure codegen add/subtract chains, zero shuffle.  Exploded to
+    (vec_id, idx, p) for driver hashability (same convention as
+    vec_normalize)."""
+    from kstream_spark.operators.vectors import random_projection
+    return (random_projection(_embs(StreamBuilder(spark), sf), "embedding",
+                              in_dim=64, out_dim=16)
+            .select("vec_id", F.posexplode("rp").alias("idx", "p"))
+            .withColumn("idx", F.col("idx").cast("long")))
+
+
+def _rp_chains() -> list[str]:
+    """The 16 projection chains as DuckDB expressions over v (DOUBLE[]),
+    generated from the SAME rp_sign_matrix the Spark operator uses —
+    literal-for-literal identical arithmetic, left-associated in input
+    order (0.25 = 1/sqrt(16) is a power of two, so the scaling is
+    exact)."""
+    from kstream_spark.operators.vectors import rp_sign_matrix
+    chains = []
+    for row in rp_sign_matrix(64, 16):
+        body = "- v[1]" if row[0] < 0 else "v[1]"
+        for d, s in enumerate(row[1:], start=2):
+            body += f" {'-' if s < 0 else '+'} v[{d}]"
+        # + 0.0 normalizes -0.0 -> 0.0 (signed-zero parity with the Spark
+        # operator — see operators/vectors.random_projection)
+        chains.append(f"round(({body}) * 0.25, 6) + 0.0")
+    return chains
+
+
+def _rp_sql() -> str:
+    cols = ",\n  ".join(_rp_chains())
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (SELECT vec_id, [{cols}] AS rp FROM e)
+SELECT vec_id, CAST(ii.i AS BIGINT) AS idx, rp[ii.i + 1] AS p
+FROM p CROSS JOIN range(0, 16) ii(i)
+"""
+
+
+PIPELINE_INVENTORY["vec_random_projection"] = (q_vec_random_projection,
+                                               _rp_sql())
+
+
+def q_sim_rp_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """JL-tier fidelity as a DRIVER-PROVABLE fact: recall@10 of the
+    shortlist-then-rerank path (operators/similarity.rp_rerank_topk:
+    projected-space top-100 shortlist, exact re-rank) against brute-force
+    64-dim cosine, per query.  An exact re-rank can never displace a true
+    top-10 member that made the shortlist, so composed recall ==
+    |exact top-10 ∩ projected top-100| — which is what the oracle
+    replays.  (Raw projected top-10 without the re-rank measures 1-2/10
+    on this isotropic synthetic data; the shortlist recovers 4-8/10 —
+    the honest price of 4x-cheaper scan dots here, see SCALING.md.)"""
+    from kstream_spark.operators.vectors import random_projection
+    emb = _embs(StreamBuilder(spark), sf)
+    proj = random_projection(emb, "embedding", in_dim=64, out_dim=16)
+    shortlist = S.cosine_topk(proj.select("vec_id", "rp"), "vec_id", "rp",
+                              query_ids=list(range(5)), k=100) \
+        .select("query_id", "neighbor_id")
+    exact = S.cosine_topk(emb, "vec_id", "embedding",
+                          query_ids=list(range(5)), k=10) \
+        .select("query_id", "neighbor_id")
+    ind = F.broadcast(shortlist.withColumn("_hit", F.lit(1)))
+    return (exact.join(ind, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(F.count("_hit").cast("long").alias("n_hits")))
+
+
+def _rp_recall_sql() -> str:
+    cols = ",\n  ".join(_rp_chains())
+    rp_cos = ("round(list_sum(list_transform(range(1, len({a})+1), "
+              "i -> {a}[i] * {b}[i]))"
+              " / (sqrt(list_sum(list_transform({a}, x -> x*x)))"
+              " * sqrt(list_sum(list_transform({b}, x -> x*x)))), 6)")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (SELECT vec_id, [{cols}] AS rp FROM e),
+q AS (SELECT vec_id AS query_id, rp AS qv FROM p
+      WHERE vec_id IN (0, 1, 2, 3, 4)),
+s AS (SELECT query_id, p.vec_id AS neighbor_id,
+        {rp_cos.format(a='qv', b='p.rp')} AS cos
+      FROM q, p WHERE query_id <> p.vec_id),
+rp_top AS (SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id) AS rank
+    FROM s) WHERE rank <= 100),
+brute AS (SELECT query_id, neighbor_id FROM ({SQL_SIM_COSINE_TOPK}) t),
+hits AS (SELECT b.query_id, r.neighbor_id AS hit
+         FROM brute b LEFT JOIN rp_top r
+           ON b.query_id = r.query_id AND b.neighbor_id = r.neighbor_id)
+SELECT query_id, CAST(count(hit) AS BIGINT) AS n_hits
+FROM hits GROUP BY query_id
+"""
+
+
+PIPELINE_INVENTORY["sim_rp_recall"] = (q_sim_rp_recall, _rp_recall_sql())
+
+
+def q_sim_rp_rerank_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """The production JL-tier query: projected-space top-100 shortlist,
+    exact full-dim cosine re-rank, top-10
+    (operators/similarity.rp_rerank_topk)."""
+    return S.rp_rerank_topk(_embs(StreamBuilder(spark), sf), "vec_id",
+                            "embedding", query_ids=list(range(5)),
+                            k=10, shortlist=100, out_dim=16)
+
+
+def _rp_rerank_sql() -> str:
+    cols = ",\n  ".join(_rp_chains())
+    rp_cos = ("round(list_sum(list_transform(range(1, len({a})+1), "
+              "i -> {a}[i] * {b}[i]))"
+              " / (sqrt(list_sum(list_transform({a}, x -> x*x)))"
+              " * sqrt(list_sum(list_transform({b}, x -> x*x)))), 6)")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (SELECT vec_id, [{cols}] AS rp FROM e),
+q AS (SELECT vec_id AS query_id, rp AS qv FROM p
+      WHERE vec_id IN (0, 1, 2, 3, 4)),
+s AS (SELECT query_id, p.vec_id AS neighbor_id,
+        {rp_cos.format(a='qv', b='p.rp')} AS pcos
+      FROM q, p WHERE query_id <> p.vec_id),
+shortlist AS (SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY pcos DESC, neighbor_id) AS rn
+    FROM s) WHERE rn <= 100),
+ex AS (SELECT sl.query_id, sl.neighbor_id,
+         {rp_cos.format(a='qe.v', b='ne.v')} AS cos
+       FROM shortlist sl
+       JOIN e qe ON qe.vec_id = sl.query_id
+       JOIN e ne ON ne.vec_id = sl.neighbor_id)
+SELECT query_id, neighbor_id, cos,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS BIGINT)
+       AS rank
+FROM ex QUALIFY rank <= 10
+"""
+
+
+PIPELINE_INVENTORY["sim_rp_rerank_topk"] = (q_sim_rp_rerank_topk,
+                                            _rp_rerank_sql())

@@ -17,8 +17,23 @@ no single-partition sort:
   4. per-partition row counts -> cumulative offsets (at most one row per
      partition — driver-size by construction) broadcast-joined back;
      global rank = offset + local index + 1.
-The per-partition counts reuse the range shuffle (identical exchange
-subtree — Spark's ReuseExchange dedupes it), so the data shuffles once.
+
+CORRECTNESS GUARD: the ranked rows, the per-partition counts, and the
+total are three plan branches over the SAME range exchange — and
+``repartitionByRange`` SAMPLES its boundaries while
+``monotonically_increasing_id`` is nondeterministic, so the scheme is
+only sound if all branches read the identical physical shuffle.  Spark's
+ReuseExchange usually dedupes the subtree, but with AQE and a complex
+upstream (measured: the bigram-LM-scored corpus at sf1) the branches can
+re-execute with RESAMPLED boundaries — offsets from one partitioning
+paired with local indices from another, producing duplicate/overflowing
+ranks (an 11th ntile bucket out of 10).  ``local`` is therefore pinned
+with ``localCheckpoint(eager=False)``: the range-shuffled, id-stamped
+rows materialize exactly once on first use and every branch reads that
+one RDD.  The materialization is the price of ANY two-pass global
+ranking (the alternative is recomputing the shuffle per branch); lineage
+truncation is harmless here because the checkpoint sits immediately
+above its own shuffle.
 
 ``ntile``/``percent_rank`` then derive from (rank, total) arithmetically:
   percent_rank = (rank - 1) / (total - 1)
@@ -60,6 +75,10 @@ def with_global_rank(df: DataFrame, order_by: list[Column],
     mid = F.monotonically_increasing_id()
     local = ranged.withColumn("__pid", F.shiftright(mid, _LOCAL_BITS)) \
         .withColumn("__lrn", mid.bitwiseAND(F.lit((1 << _LOCAL_BITS) - 1)))
+    # pin ONE materialization: counts/offsets/total must see the same
+    # sampled range boundaries and the same nondeterministic ids as the
+    # ranked rows (see module docstring — ReuseExchange is not guaranteed)
+    local = local.localCheckpoint(eager=False)
     # per-partition counts -> cumulative offsets: <= n_parts rows, so the
     # single-partition running sum is over a driver-sized relation, and the
     # join back is a broadcast (no second shuffle of the ranked data)

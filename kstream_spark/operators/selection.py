@@ -279,3 +279,40 @@ def mmr_rerank(emb: DataFrame, id_col: str, vec_col: str, query_ids: list,
             .applyInPandas(pick, "query_id bigint, sel_id bigint, "
                                  "mmr_rank bigint, mmr_score bigint")
             .filter(F.col("mmr_rank") <= k))
+
+
+# -- curriculum difficulty binning -------------------------------------------
+def curriculum_bins(df: DataFrame, id_col: str, text_col: str,
+                    n_bins: int = 10) -> DataFrame:
+    """Curriculum-learning difficulty bins: score every document with the
+    corpus-self bigram LM (operators/corpus.bigram_logprob — higher
+    per-bigram log-prob = more predictable = easier), rank the corpus by
+    mean log-prob per bigram ascending (hardest first), and cut it into
+    ``n_bins`` equal-depth difficulty deciles.  The output is one audit
+    row per bin (doc count, total bigrams, total micro-log-prob) — the
+    table a curriculum sampler joins back on ``difficulty`` to schedule
+    epochs from easy to hard (or to drop the gibberish tail, which lands
+    in bin 1 by construction).
+
+    The global rank uses the DISTRIBUTED two-phase ntile
+    (operators/ranking.with_ntile_percent_rank): range-shuffle + local
+    sort + broadcast offsets — no single-task sort of the corpus, so the
+    binning survives a corpus too big for one reducer.  Ordering key is
+    (sum_logp_micro / n_bigrams, id): a float division of two exact
+    integers is bit-identical in any engine, and the id tie-break makes
+    the total order — hence every bin boundary — deterministic.
+    [[oracle-parity]]
+    """
+    from kstream_spark.operators.corpus import bigram_logprob
+    from kstream_spark.operators.ranking import with_ntile_percent_rank
+    lm = bigram_logprob(df, id_col, text_col)
+    scored = lm.withColumn(
+        "_lpb", F.col("sum_logp_micro").cast("double") / F.col("n_bigrams"))
+    binned = with_ntile_percent_rank(
+        scored, [F.asc("_lpb"), F.asc(id_col)], n_buckets=n_bins,
+        ntile_col="difficulty", pct_col="_pct")
+    return (binned.groupBy("difficulty")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_bigrams").cast("long").alias("n_bigrams"),
+                 F.sum("sum_logp_micro").cast("long")
+                 .alias("sum_logp_micro")))

@@ -475,3 +475,38 @@ def wordpiece_pair_scores(df: DataFrame, text_col: str,
            .withColumn("rank", F.row_number().over(
                W.orderBy(F.desc("score_micro"), F.asc("pair"))).cast("long")))
     return out
+
+
+def lexical_diversity(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document lexical-diversity signals for corpus quality gating:
+    type-token ratio (distinct words / total words) and hapax ratio
+    (once-only words / total words).  Boilerplate and template spam score
+    low TTR; OCR noise and gibberish score anomalously high hapax — the
+    two cheap screens the Gopher/C4 rule stacks apply before any LM-based
+    perplexity gate.
+
+    Returns (id, n_tokens, n_types, n_hapax, ttr_micro, hapax_micro) for
+    every document with at least one token.  Ratios are emitted as exact
+    round-half-up integer micro-units via pure BIGINT arithmetic
+    ((2e6*num + den) div (2*den)) so every engine derives the identical
+    value — no float division anywhere.  [[oracle-parity]]
+
+    Plan shape: one explode + one (id, token)-keyed aggregation (map-side
+    partial combine collapses repeated tokens before the exchange) + one
+    id-keyed rollup.  No broadcast tables, no windows; state is bounded
+    by distinct (doc, token) pairs, linear in corpus size.
+    """
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.filter(words(F.col(text_col)),
+                           lambda w: w != F.lit(""))).alias("_tok"))
+    per_tok = tok.groupBy(id_col, "_tok").agg(F.count("*").alias("_c"))
+    agg = per_tok.groupBy(id_col).agg(
+        F.sum("_c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.count_if(F.col("_c") == 1).cast("long").alias("n_hapax"))
+    return (agg
+            .withColumn("ttr_micro", F.expr(
+                "(2000000 * n_types + n_tokens) div (2 * n_tokens)"))
+            .withColumn("hapax_micro", F.expr(
+                "(2000000 * n_hapax + n_tokens) div (2 * n_tokens)")))

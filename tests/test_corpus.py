@@ -385,3 +385,25 @@ def test_kmv_overlap_detects_shared_shingles(spark):
     # exact-integer estimate: n_both/k_used scaled by 1e6
     r = out.loc[("a", "b")]
     assert r.jaccard_micro == round(r.n_both * 1e6 / r.k_used)
+
+
+def test_lexical_diversity_known_values(spark):
+    from kstream_spark.operators.text import lexical_diversity
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "x y z"), (3, "w w w w"), (4, "   ")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           lexical_diversity(df, "doc_id", "text").collect()}
+    # doc 1: 3 tokens, 2 types, 1 hapax; ttr = round(2/3 * 1e6)
+    assert (out[1]["n_tokens"], out[1]["n_types"], out[1]["n_hapax"]) \
+        == (3, 2, 1)
+    assert out[1]["ttr_micro"] == 666667
+    assert out[1]["hapax_micro"] == 333333
+    # doc 2: all distinct, all hapax
+    assert out[2]["ttr_micro"] == 1000000
+    assert out[2]["hapax_micro"] == 1000000
+    # doc 3: one type, no hapax
+    assert out[3]["ttr_micro"] == 250000
+    assert out[3]["n_hapax"] == 0
+    # doc 4: whitespace-only text has no tokens -> no row
+    assert 4 not in out

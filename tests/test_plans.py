@@ -311,12 +311,18 @@ def test_distributed_rank_matches_window_and_avoids_global_sort(spark):
 
     plan = two_phase._jdf.queryExecution().executedPlan().toString()
     # Sort nodes print "Sort [keys], <global>, 0" — a single-task sort of
-    # the data would be "true"
+    # the data would be "true".  (The range shuffle + partition-local sort
+    # themselves run inside the pinned localCheckpoint materialization —
+    # sortWithinPartitions is global=false by construction.)
     assert ", true, 0" not in plan, plan
-    assert "rangepartitioning" in plan
-    # the counts pass must read the SAME range exchange (rank consistency
-    # depends on it: boundaries are sampled, a re-run could differ)
-    assert "ReusedExchange" in plan, plan
+    # r7 regression guard: the ranked rows, the per-partition counts, and
+    # the total must all read the ONE pinned materialization — rank
+    # consistency previously leaned on ReuseExchange, and with AQE over a
+    # complex upstream the branches re-executed with RESAMPLED range
+    # boundaries (offsets from one partitioning, local ids from another:
+    # an 11th ntile bucket out of 10 at sf1).  localCheckpoint makes the
+    # shared scan structural:
+    assert "Scan ExistingRDD" in plan, plan
 
 
 def test_ivfpq_corpus_never_shuffles_before_rank(spark):

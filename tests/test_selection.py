@@ -210,3 +210,22 @@ def test_mmr_single_candidate_still_ranked(spark):
     out = (SEL.mmr_rerank(emb, "vec_id", "v", query_ids=[0],
                           n_candidates=3, k=2).toPandas())
     assert out["sel_id"].tolist() == [1] and out["mmr_rank"].tolist() == [1]
+
+
+def test_curriculum_bins_equal_depth_and_ordered(spark):
+    # 3 fully-predictable docs (every bigram transition is the ONLY one
+    # its predecessor makes -> logprob 0) vs 3 docs whose bigrams share
+    # the predecessor 'a' with 6 different successors (-> ln(1/6) each):
+    # the ambiguous-transition docs are "harder" and must fill bin 1
+    rows = [(i, "x y " * 20) for i in range(3)] + \
+        [(10 + i, f"a u{i} a v{i}") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = SEL.curriculum_bins(df, "doc_id", "text", n_bins=2).toPandas() \
+        .set_index("difficulty").sort_index()
+    assert out["n_docs"].sum() == 6
+    # equal-depth: 2 bins x 3 docs
+    assert list(out["n_docs"]) == [3, 3]
+    # bin 1 = hardest (lowest mean logprob) = the unique-transition docs,
+    # whose per-bigram logprob is far more negative
+    assert (out.loc[1, "sum_logp_micro"] / out.loc[1, "n_bigrams"]
+            < out.loc[2, "sum_logp_micro"] / out.loc[2, "n_bigrams"])

@@ -97,3 +97,57 @@ def test_weighted_sample_prefers_heavy_weights(spark):
     assert got1 == got2                       # deterministic
     assert 100 not in got1                    # zero weight excluded
     assert sum(1 for i in got1 if i < 10) >= 8, got1
+
+
+# -- JL random projection ----------------------------------------------------
+def test_rp_sign_matrix_deterministic_and_pm1(spark):
+    m1 = V.rp_sign_matrix(8, 4)
+    m2 = V.rp_sign_matrix(8, 4)
+    assert m1 == m2
+    assert all(s in (1, -1) for row in m1 for s in row)
+    # a different seed gives a different matrix
+    assert V.rp_sign_matrix(8, 4, seed="other") != m1
+
+
+def test_random_projection_one_hot_exact(spark):
+    # projecting the d-th basis vector must yield exactly
+    # sign[j][d] / sqrt(out_dim) in every output component
+    dim, out = 8, 4
+    signs = V.rp_sign_matrix(dim, out)
+    rows = [(d, [1.0 if i == d else 0.0 for i in range(dim)])
+            for d in range(dim)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r["rp"] for r in
+           V.random_projection(df, "embedding", dim, out).collect()}
+    for d in range(dim):
+        assert got[d] == [signs[j][d] * 0.5 for j in range(out)]
+
+
+def test_rp_rerank_equals_exact_when_shortlist_covers_corpus(spark, sf_dir):
+    # with shortlist >= |corpus| the re-rank sees every candidate, so the
+    # composed path must return EXACTLY the brute-force top-k
+    from kstream_spark.builder import StreamBuilder
+    from kstream_spark.operators import similarity as S
+    emb = StreamBuilder(spark).table(f"{sf_dir}/embeddings.parquet").to_df() \
+        .filter(F.col("vec_id") < 60)
+    composed = S.rp_rerank_topk(emb, "vec_id", "embedding", query_ids=[0, 1],
+                                k=5, shortlist=100).toPandas()
+    exact = S.cosine_topk(emb, "vec_id", "embedding", query_ids=[0, 1],
+                          k=5).toPandas()
+    lhs = sorted(map(tuple, composed[["query_id", "neighbor_id", "rank"]]
+                     .itertuples(index=False, name=None)))
+    rhs = sorted(map(tuple, exact[["query_id", "neighbor_id", "rank"]]
+                     .itertuples(index=False, name=None)))
+    assert lhs == rhs
+
+
+def test_rp_rerank_no_sort_merge_join(spark, sf_dir):
+    from kstream_spark.builder import StreamBuilder
+    from kstream_spark.operators import similarity as S
+    from kstream_spark.plans import inspect as P
+    emb = StreamBuilder(spark).table(f"{sf_dir}/embeddings.parquet").to_df()
+    df = S.rp_rerank_topk(emb, "vec_id", "embedding", query_ids=[0, 1],
+                          k=5, shortlist=20)
+    # both the shortlist pass and the exact re-rank broadcast the small
+    # side; the corpus is never the build side of a shuffle join
+    P.assert_no_sort_merge_join(df)
