@@ -103,6 +103,9 @@ HEADLINE = [
     "sim_rp_rerank_topk",
     "select_curriculum",
     "text_lexical_diversity",
+    "text_unigram_seed",
+    "text_unigram_viterbi",
+    "text_unigram_train",
 ]
 
 

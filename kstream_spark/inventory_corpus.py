@@ -749,3 +749,206 @@ FROM agg
 
 CORPUS_INVENTORY["text_lexical_diversity"] = (q_text_lexical_diversity,
                                               SQL_TEXT_LEXDIV)
+
+
+# -- unigram-LM (SentencePiece-family) tokenizer ------------------------------
+_UNI_SEED_V = 50          # seed vocab size for the seed/viterbi queries
+_UNI_PLEN = 4             # max piece length (seed/viterbi)
+_UNI_OOV = -20_000_000    # single-char OOV floor, micro-log units
+
+# DuckDB replay of unigram_seed_vocab over the corpus-wide distinct words:
+# substring enumeration is a per-word list comprehension, then one count
+_SQL_UNI_WF = r"""
+t AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+      FROM documents),
+wf AS (SELECT w, CAST(count(*) AS BIGINT) AS wf
+       FROM t WHERE w <> '' GROUP BY w)"""
+
+
+def _sql_uni_seed(plen: int, top_v: int) -> str:
+    return f"""
+WITH {_SQL_UNI_WF},
+sub AS (SELECT unnest(flatten(list_transform(range(1, length(w) + 1),
+          i -> list_transform(range(i, least(i + {plen} - 1, length(w)) + 1),
+                              j -> substr(w, i, j - i + 1))))) AS piece, wf
+        FROM wf),
+p AS (SELECT piece, CAST(sum(wf) AS BIGINT) AS cnt
+      FROM sub GROUP BY piece ORDER BY cnt DESC, piece LIMIT {top_v}),
+tot AS (SELECT sum(cnt) AS tot FROM p)
+SELECT piece, cnt,
+       CAST(round(ln(cnt / tot) * 1e6, 0) AS BIGINT) AS logp_micro
+FROM p, tot
+"""
+
+
+def q_text_unigram_seed(spark: SparkSession, sf: str) -> DataFrame:
+    """Seed vocabulary for unigram-LM tokenizer training (Kudo 2018):
+    top-50 corpus substrings <= 4 chars with initial micro-log probs
+    (operators/text.unigram_seed_vocab) — the third tokenizer family
+    next to BPE (merge-grown) and WordPiece (likelihood-grown): unigram
+    starts from a superset and PRUNES."""
+    from kstream_spark.operators.text import unigram_seed_vocab
+    return unigram_seed_vocab(_docs(spark, sf), "text",
+                              max_piece_len=_UNI_PLEN, top_v=_UNI_SEED_V)
+
+
+CORPUS_INVENTORY["text_unigram_seed"] = (
+    q_text_unigram_seed, _sql_uni_seed(_UNI_PLEN, _UNI_SEED_V))
+
+
+def q_text_unigram_viterbi(spark: SparkSession, sf: str) -> DataFrame:
+    """Viterbi segmentation under the seed unigram vocab — best-path
+    total micro-log-prob + piece count for the 40 most frequent corpus
+    words (<= 16 chars so the oracle's exhaustive path enumeration stays
+    bounded).  The DP is exact-integer with a total-order tie-break
+    (max score, then fewest pieces), so a recursive-CTE oracle that
+    enumerates EVERY segmentation and sorts reproduces it bit-for-bit
+    (operators/text.unigram_viterbi_stats)."""
+    from kstream_spark.operators.text import (unigram_seed_vocab,
+                                              unigram_viterbi_stats)
+    docs = _docs(spark, sf)
+    pieces = [(r["piece"], int(r["logp_micro"])) for r in
+              unigram_seed_vocab(docs, "text", _UNI_PLEN,
+                                 _UNI_SEED_V).collect()]
+    stats = unigram_viterbi_stats(docs, "text", pieces,
+                                  max_piece_len=_UNI_PLEN,
+                                  oov_logp_micro=_UNI_OOV)
+    return (stats.filter(F.length("w") <= 16)
+            .orderBy(F.desc("wf"), F.asc("w")).limit(40))
+
+
+def _sql_uni_viterbi() -> str:
+    seed = _sql_uni_seed(_UNI_PLEN, _UNI_SEED_V)
+    # reuse the seed query's CTE chain: strip the leading WITH and the
+    # final SELECT (everything after the tot CTE)
+    seed_ctes = seed.split("\nSELECT piece,")[0].lstrip()[len("WITH "):]
+    return f"""
+WITH RECURSIVE {seed_ctes},
+vocab AS (SELECT piece,
+                 CAST(round(ln(cnt / tot) * 1e6, 0) AS BIGINT) AS lp
+          FROM p, tot),
+slice AS (SELECT w, wf FROM wf WHERE length(w) <= 16
+          ORDER BY wf DESC, w ASC LIMIT 40),
+-- single chars of the slice words absent from the vocab segment at the
+-- OOV floor (exactly operators/text._viterbi_best)
+chars AS (SELECT DISTINCT substr(w, i, 1) AS piece
+          FROM slice, unnest(range(1, length(w) + 1)) AS u(i)),
+allp AS (SELECT piece, lp FROM vocab
+         UNION ALL
+         SELECT c.piece, CAST({_UNI_OOV} AS BIGINT) AS lp
+         FROM chars c WHERE c.piece NOT IN (SELECT piece FROM vocab)),
+seg AS (SELECT w, wf, 0 AS pos, CAST(0 AS BIGINT) AS score,
+               CAST(0 AS BIGINT) AS np
+        FROM slice
+        UNION ALL
+        SELECT s.w, s.wf, s.pos + length(p.piece),
+               s.score + p.lp, s.np + 1
+        FROM seg s JOIN allp p
+          ON substr(s.w, s.pos + 1, length(p.piece)) = p.piece
+        WHERE s.pos < length(s.w))
+SELECT w, wf, np AS n_pieces, score AS best_logp_micro
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY w ORDER BY score DESC, np ASC) AS rn
+      FROM seg WHERE pos = length(w))
+WHERE rn = 1
+"""
+
+
+CORPUS_INVENTORY["text_unigram_viterbi"] = (q_text_unigram_viterbi,
+                                            _sql_uni_viterbi())
+
+
+_UNT_DOCS = 300     # training slice: doc_id < 300 (SF-independent ids)
+_UNT_PLEN = 3
+_UNT_SEED_V = 40
+_UNT_KEEP_V = 25
+_UNT_WLEN = 12      # E-step cap: words longer than this are dropped
+
+
+def q_text_unigram_train(spark: SparkSession, sf: str) -> DataFrame:
+    """Unigram-LM tokenizer training by hard (Viterbi) EM with pruning
+    (operators/text.unigram_train) on the documented bounded slice
+    (doc_id < 300, piece len <= 3, words <= 12 chars, 2 EM rounds): the
+    oracle replays BOTH rounds — exhaustive segmentation enumeration,
+    the DP's (score desc, fewest pieces, longest-last-piece) path order,
+    count, prune, re-estimate — as chained recursive CTEs.  The operator
+    itself is unbounded (vocab-sized rounds, bounded driver traffic);
+    the slice only bounds the ORACLE's exponential path replay, same
+    protocol as the capped dedup baselines."""
+    from kstream_spark.operators.text import unigram_train
+    docs = _docs(spark, sf).filter(F.col("doc_id") < _UNT_DOCS)
+    return unigram_train(docs, "text", seed_v=_UNT_SEED_V,
+                         keep_v=_UNT_KEEP_V, iters=2,
+                         max_piece_len=_UNT_PLEN,
+                         max_word_len=_UNT_WLEN)
+
+
+def _sql_uni_train() -> str:
+    plen, seedv, keepv, wlen, docs = (_UNT_PLEN, _UNT_SEED_V, _UNT_KEEP_V,
+                                      _UNT_WLEN, _UNT_DOCS)
+    oov = _UNI_OOV
+
+    def em_round(r: int, vocab: str) -> str:
+        """One hard-EM round: path-enumerating recursion under ``vocab``
+        (+ OOV floor chars), best path per word by the DP's total order,
+        piece counts, prune, re-estimate."""
+        return f""",
+allp{r} AS (SELECT piece, lp FROM {vocab}
+            UNION ALL
+            SELECT c.piece, CAST({oov} AS BIGINT) AS lp
+            FROM chars c
+            WHERE c.piece NOT IN (SELECT piece FROM {vocab})),
+seg{r} AS (SELECT w, wf, 0 AS pos, CAST(0 AS BIGINT) AS score,
+                  CAST(0 AS BIGINT) AS np,
+                  []::VARCHAR[] AS pieces, []::BIGINT[] AS revlens
+           FROM wfe
+           UNION ALL
+           SELECT s.w, s.wf, s.pos + length(p.piece),
+                  s.score + p.lp, s.np + 1,
+                  list_append(s.pieces, p.piece),
+                  list_prepend(CAST(length(p.piece) AS BIGINT), s.revlens)
+           FROM seg{r} s JOIN allp{r} p
+             ON substr(s.w, s.pos + 1, length(p.piece)) = p.piece
+           WHERE s.pos < length(s.w)),
+best{r} AS (SELECT w, wf, pieces
+            FROM (SELECT *, row_number() OVER (PARTITION BY w
+                    ORDER BY score DESC, np ASC, revlens DESC) AS rn
+                  FROM seg{r} WHERE pos = length(w))
+            WHERE rn = 1),
+cnt{r} AS (SELECT piece, CAST(sum(wf) AS BIGINT) AS cnt
+           FROM (SELECT wf, unnest(pieces) AS piece FROM best{r})
+           GROUP BY piece),
+rank{r} AS (SELECT piece, cnt, row_number() OVER (
+              ORDER BY cnt DESC, piece ASC) AS rk FROM cnt{r}),
+kept{r} AS (SELECT piece, cnt FROM rank{r}
+            WHERE rk <= {keepv} OR length(piece) = 1),
+tot{r} AS (SELECT sum(cnt) AS tot FROM kept{r}),
+vocab{r} AS (SELECT piece, cnt,
+               CAST(round(ln(cnt / tot) * 1e6, 0) AS BIGINT) AS lp
+             FROM kept{r}, tot{r})"""
+
+    return f"""
+WITH RECURSIVE
+t AS (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+      FROM documents WHERE doc_id < {docs}),
+wfa AS (SELECT w, CAST(count(*) AS BIGINT) AS wf
+        FROM t WHERE w <> '' GROUP BY w),
+wfe AS (SELECT w, wf FROM wfa WHERE length(w) <= {wlen}),
+sub AS (SELECT unnest(flatten(list_transform(range(1, length(w) + 1),
+          i -> list_transform(range(i, least(i + {plen} - 1, length(w)) + 1),
+                              j -> substr(w, i, j - i + 1))))) AS piece, wf
+        FROM wfa),
+p0 AS (SELECT piece, CAST(sum(wf) AS BIGINT) AS cnt
+       FROM sub GROUP BY piece ORDER BY cnt DESC, piece LIMIT {seedv}),
+tot0 AS (SELECT sum(cnt) AS tot FROM p0),
+vocab0 AS (SELECT piece,
+             CAST(round(ln(cnt / tot) * 1e6, 0) AS BIGINT) AS lp
+           FROM p0, tot0),
+chars AS (SELECT DISTINCT substr(w, i, 1) AS piece
+          FROM wfe, unnest(range(1, length(w) + 1)) AS u(i)){em_round(1, "vocab0")}{em_round(2, "vocab1")}
+SELECT piece, cnt, lp AS logp_micro FROM vocab2
+"""
+
+
+CORPUS_INVENTORY["text_unigram_train"] = (q_text_unigram_train,
+                                          _sql_uni_train())

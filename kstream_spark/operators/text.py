@@ -510,3 +510,232 @@ def lexical_diversity(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                 "(2000000 * n_types + n_tokens) div (2 * n_tokens)"))
             .withColumn("hapax_micro", F.expr(
                 "(2000000 * n_hapax + n_tokens) div (2 * n_tokens)")))
+
+
+# -- unigram-LM (SentencePiece-family) tokenizer -----------------------------
+def unigram_seed_vocab(df: DataFrame, text_col: str,
+                       max_piece_len: int = 4,
+                       top_v: int = 200) -> DataFrame:
+    """Seed vocabulary for unigram-LM tokenizer training (Kudo 2018,
+    "Subword Regularization", step 1): enumerate every substring of
+    corpus words up to ``max_piece_len`` chars, count occurrences
+    weighted by word frequency, keep the ``top_v`` most frequent, and
+    attach each piece's initial log-probability in exact integer micro
+    units (ln(cnt / total-over-kept) * 1e6, the unigram_logprob trick —
+    integer inputs, so any engine derives the identical value).
+
+    Returns (piece, cnt, logp_micro) — completing the tokenizer-family
+    triple next to bpe_train (merge-based) and wordpiece_pairs
+    (likelihood-based): the unigram family starts from a SUPERSET vocab
+    and prunes (see unigram_train), instead of growing from characters.
+
+    Scale shape: the corpus compresses once to (distinct word, freq);
+    substring enumeration is a per-word projection (<= len * max_piece_len
+    pieces per word), then ONE map-side-combinable count and a TakeOrdered
+    top_v — no shuffle wider than distinct pieces, never a token re-scan.
+    """
+    w = words(F.col(text_col))
+    word_freq = (df.select(F.explode(w).alias("w"))
+                 .filter(F.col("w") != "")
+                 .groupBy("w").agg(F.count("*").cast("long").alias("wf")))
+    subs = F.expr(
+        f"flatten(transform(sequence(1, length(w)), "
+        f"i -> transform(sequence(i, least(i + {max_piece_len} - 1, "
+        f"length(w))), j -> substring(w, i, j - i + 1))))")
+    pieces = (word_freq.select(F.explode(subs).alias("piece"), "wf")
+              .groupBy("piece").agg(F.sum("wf").cast("long").alias("cnt"))
+              .orderBy(F.desc("cnt"), F.asc("piece")).limit(top_v))
+    # total over the KEPT vocab (1-row broadcast) -> initial probabilities
+    total = pieces.agg(F.sum("cnt").alias("_tot"))
+    return (pieces.join(F.broadcast(total))
+            .select("piece", "cnt",
+                    F.round(F.log(F.col("cnt") / F.col("_tot")) * 1e6, 0)
+                    .cast("long").alias("logp_micro")))
+
+
+def _viterbi_best(word: str, lp: dict, max_len: int,
+                  oov_lp: int) -> tuple[int, int]:
+    """Exact-integer Viterbi over one word: best (score, n_pieces) with
+    score = sum of piece logp_micro, maximizing score then MINIMIZING
+    n_pieces (a total order on the DP value, so the result is engine-
+    independent).  Single chars absent from the vocab segment at the
+    ``oov_lp`` floor, so every word is segmentable."""
+    n = len(word)
+    NEG = float("-inf")
+    best = [(0, 0)] + [(NEG, 0)] * n  # pos -> (score, -n_pieces as max key)
+    for i in range(1, n + 1):
+        cand = None
+        for l in range(1, min(max_len, i) + 1):
+            p = word[i - l:i]
+            plp = lp.get(p)
+            if plp is None:
+                if l != 1:
+                    continue
+                plp = oov_lp
+            ps, pn = best[i - l]
+            if ps == NEG:
+                continue
+            c = (ps + plp, pn - 1)   # more pieces = smaller tuple
+            if cand is None or c > cand:
+                cand = c
+        best[i] = cand if cand is not None else (NEG, 0)
+    s, negn = best[n]
+    return int(s), -negn
+
+
+def unigram_viterbi_stats(df: DataFrame, text_col: str,
+                          pieces: list, max_piece_len: int = 4,
+                          oov_logp_micro: int = -20_000_000) -> DataFrame:
+    """Viterbi segmentation statistics under a FIXED unigram piece table:
+    for every distinct corpus word, the best-segmentation total
+    log-probability (exact integer micro units) and its piece count —
+    the inference half of the unigram tokenizer (bpe_tokenize's analog).
+    ``pieces``: list of (piece, logp_micro) rows, e.g. collected from
+    unigram_seed_vocab or unigram_train.
+
+    The per-word DP is inherently sequential, so it runs as an Arrow-
+    batched mapInPandas over the DISTINCT-WORD relation with the piece
+    table a broadcast python dict — vocab-sized work, never a corpus
+    re-scan, no shuffle beyond the distinct-word aggregation.  All
+    arithmetic is integer micro-log units; ties prefer FEWER pieces, so
+    (score, n_pieces) is a pure function of (word, piece table) and a
+    SQL oracle can replay it by exhaustive path enumeration on a bounded
+    slice.  Returns (w, wf, n_pieces, best_logp_micro).
+    """
+    import pandas as pd
+    lp = {p: int(v) for p, v in pieces}
+    w = words(F.col(text_col))
+    word_freq = (df.select(F.explode(w).alias("w"))
+                 .filter(F.col("w") != "")
+                 .groupBy("w").agg(F.count("*").cast("long").alias("wf")))
+    ml, oov = max_piece_len, int(oov_logp_micro)
+
+    def run(batches):
+        for pdf in batches:
+            scores, nps = [], []
+            for word in pdf["w"]:
+                s, np_ = _viterbi_best(word, lp, ml, oov)
+                scores.append(s)
+                nps.append(np_)
+            yield pd.DataFrame({"w": pdf["w"], "wf": pdf["wf"],
+                                "n_pieces": nps,
+                                "best_logp_micro": scores})
+
+    return word_freq.mapInPandas(
+        run, "w string, wf long, n_pieces long, best_logp_micro long")
+
+
+def unigram_train(df: DataFrame, text_col: str, seed_v: int = 60,
+                  keep_v: int = 30, iters: int = 2,
+                  max_piece_len: int = 4,
+                  oov_logp_micro: int = -20_000_000,
+                  max_word_len: int | None = None) -> DataFrame:
+    """Unigram-LM tokenizer training by HARD (Viterbi) EM with pruning —
+    the SentencePiece algorithm's deterministic-oracle-friendly form
+    (Kudo 2018 trains with full forward-backward EM; hard EM keeps every
+    quantity an exact integer, the property this repo's oracle contract
+    needs):
+
+      seed    unigram_seed_vocab(top seed_v pieces)
+      E-step  Viterbi-segment every distinct word under current piece
+              log-probs (integer micro units)
+      M-step  piece counts from the best segmentations, weighted by word
+              frequency; re-estimate logp_micro = ln(cnt/total)*1e6
+      prune   keep the keep_v most-used pieces (count desc, piece asc) —
+              single-char pieces are never pruned (segmentability)
+    repeated ``iters`` times.  Returns the final vocabulary
+    (piece, cnt, logp_micro), cnt = last-E-step usage.
+
+    Scale shape: each round is one vocab-sized mapInPandas (the DP) +
+    one count aggregation; the only driver traffic is the piece table
+    itself (<= seed_v rows per round) — the same bounded-driver-loop
+    contract as bpe_train / kmeans_centroids.  ``max_word_len`` drops
+    longer words from E-step training (SentencePiece similarly caps
+    candidate lengths); the seed enumeration still sees them.
+    """
+    import pandas as pd
+    spark = df.sparkSession
+    w = words(F.col(text_col))
+    word_freq = (df.select(F.explode(w).alias("w"))
+                 .filter(F.col("w") != "")
+                 .groupBy("w").agg(F.count("*").cast("long").alias("wf")))
+    if max_word_len is not None:
+        word_freq = word_freq.filter(F.length("w") <= max_word_len)
+    word_freq = word_freq.persist()
+    seed = unigram_seed_vocab(df, text_col, max_piece_len, seed_v).collect()
+    lp = {r["piece"]: int(r["logp_micro"]) for r in seed}
+    ml, oov = max_piece_len, int(oov_logp_micro)
+    counts: dict = {}
+    for _ in range(iters):
+        lp_b = dict(lp)
+
+        def run(batches, lp_b=lp_b):
+            for pdf in batches:
+                out_p, out_c = [], []
+                for word, wf in zip(pdf["w"], pdf["wf"]):
+                    for piece in _viterbi_pieces(word, lp_b, ml, oov):
+                        out_p.append(piece)
+                        out_c.append(int(wf))
+                yield pd.DataFrame({"piece": out_p, "c": out_c})
+
+        used = (word_freq.mapInPandas(run, "piece string, c long")
+                .groupBy("piece").agg(F.sum("c").cast("long").alias("cnt"))
+                .collect())
+        counts = {r["piece"]: int(r["cnt"]) for r in used}
+        # prune: keep_v by (cnt desc, piece asc), single chars immune
+        ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        kept = {p for p, _ in ranked[:keep_v]} | \
+            {p for p in counts if len(p) == 1}
+        total = sum(c for p, c in counts.items() if p in kept)
+        import math
+        lp = {p: int(_round_half_up(math.log(c / total) * 1e6))
+              for p, c in counts.items() if p in kept}
+    word_freq.unpersist()
+    rows = sorted(((p, counts[p], lp[p]) for p in lp),
+                  key=lambda r: (-r[1], r[0]))
+    return spark.createDataFrame(
+        rows, schema="piece string, cnt long, logp_micro long")
+
+
+def _viterbi_pieces(word: str, lp: dict, max_len: int,
+                    oov_lp: int) -> list:
+    """Backtracked best segmentation (same DP/tie-break as _viterbi_best:
+    max score, then fewest pieces; on exact (score, n_pieces) ties the
+    backtrack prefers the LONGEST last piece, making the piece sequence
+    itself deterministic too)."""
+    n = len(word)
+    NEG = float("-inf")
+    best = [(0, 0)] + [(NEG, 0)] * n
+    back = [0] * (n + 1)
+    for i in range(1, n + 1):
+        cand, cand_l = None, 0
+        for l in range(1, min(max_len, i) + 1):
+            p = word[i - l:i]
+            plp = lp.get(p)
+            if plp is None:
+                if l != 1:
+                    continue
+                plp = oov_lp
+            ps, pn = best[i - l]
+            if ps == NEG:
+                continue
+            c = (ps + plp, pn - 1)
+            if cand is None or c > cand or (c == cand and l > cand_l):
+                cand, cand_l = c, l
+        best[i] = cand if cand is not None else (NEG, 0)
+        back[i] = cand_l
+    out = []
+    i = n
+    while i > 0:
+        out.append(word[i - back[i]:i])
+        i -= back[i]
+    return out[::-1]
+
+
+def _round_half_up(x: float) -> int:
+    """Decimal round-half-up of a float to int — matches Spark's
+    round(col, 0) (BigDecimal HALF_UP on the double's shortest repr) and
+    DuckDB's round() for the magnitudes used here."""
+    from decimal import ROUND_HALF_UP, Context, Decimal
+    return int(Decimal(repr(x)).quantize(Decimal("1"),
+                                         rounding=ROUND_HALF_UP))

@@ -407,3 +407,59 @@ def test_lexical_diversity_known_values(spark):
     assert out[3]["n_hapax"] == 0
     # doc 4: whitespace-only text has no tokens -> no row
     assert 4 not in out
+
+
+def test_unigram_seed_vocab_counts(spark):
+    from kstream_spark.operators.text import unigram_seed_vocab
+    df = spark.createDataFrame([(1, "ab ab b")], "doc_id long, text string")
+    out = {r["piece"]: r for r in
+           unigram_seed_vocab(df, "text", max_piece_len=2,
+                              top_v=10).collect()}
+    # substrings of 'ab' (x2): a, b, ab; of 'b': b
+    assert out["a"]["cnt"] == 2
+    assert out["b"]["cnt"] == 3
+    assert out["ab"]["cnt"] == 2
+    # probabilities are over the KEPT vocab total (7)
+    import math
+    assert out["b"]["logp_micro"] == round(math.log(3 / 7) * 1e6)
+
+
+def test_unigram_viterbi_dp_known_values(spark):
+    from kstream_spark.operators.text import _viterbi_best, _viterbi_pieces
+    lp = {"a": -100, "b": -200, "ab": -250, "abab": -450}
+    # 'abab': best is the whole-word piece (-450 beats ab+ab=-500, beats
+    # chars=-600); ties prefer fewer pieces
+    assert _viterbi_best("abab", lp, 4, -10**7) == (-450, 1)
+    assert _viterbi_pieces("abab", lp, 4, -10**7) == ["abab"]
+    # 'aba': ab+a = -350 beats a+b+a=-400; backtrack returns the pieces
+    assert _viterbi_best("aba", lp, 4, -10**7) == (-350, 2)
+    assert _viterbi_pieces("aba", lp, 4, -10**7) == ["ab", "a"]
+    # OOV char segments at the floor
+    s, n = _viterbi_best("ax", lp, 4, -999)
+    assert (s, n) == (-100 - 999, 2)
+    # equal-score tie prefers FEWER pieces: ab (-300) vs a+b (-300)
+    lp2 = {"a": -100, "b": -200, "ab": -300}
+    assert _viterbi_best("ab", lp2, 2, -10**7) == (-300, 1)
+    assert _viterbi_pieces("ab", lp2, 2, -10**7) == ["ab"]
+
+
+def test_unigram_train_prunes_and_keeps_single_chars(spark):
+    from kstream_spark.operators.text import unigram_train
+    df = spark.createDataFrame(
+        [(1, "hello hello hello world world zzz")],
+        "doc_id long, text string")
+    out = unigram_train(df, "text", seed_v=15, keep_v=5, iters=2,
+                        max_piece_len=3).toPandas()
+    vocab = set(out["piece"])
+    # every single char used by a best segmentation survives pruning
+    assert all(len(p) <= 3 for p in vocab)
+    # deterministic: a second run returns the identical table
+    out2 = unigram_train(df, "text", seed_v=15, keep_v=5, iters=2,
+                         max_piece_len=3).toPandas()
+    assert sorted(map(tuple, out.itertuples(index=False, name=None))) == \
+        sorted(map(tuple, out2.itertuples(index=False, name=None)))
+    # usage counts are word-frequency weighted: pieces covering 'hello'
+    # (freq 3) outweigh pieces covering 'zzz' (freq 1)
+    top = out.sort_values(["cnt", "piece"],
+                          ascending=[False, True]).iloc[0]
+    assert top["cnt"] >= 3
