@@ -106,6 +106,7 @@ HEADLINE = [
     "text_unigram_seed",
     "text_unigram_viterbi",
     "text_unigram_train",
+    "text_unigram_tokenize",
 ]
 
 

@@ -952,3 +952,62 @@ SELECT piece, cnt, lp AS logp_micro FROM vocab2
 
 CORPUS_INVENTORY["text_unigram_train"] = (q_text_unigram_train,
                                           _sql_uni_train())
+
+
+def q_text_unigram_tokenize(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer inference with the trained unigram vocab
+    (operators/text.unigram_tokenize): train on the bounded slice, then
+    Viterbi-tokenize the slice corpus and report every (token, cnt) —
+    the unigram analog of text_bpe_tokenize.  Same slice bounds as
+    text_unigram_train (they bound the ORACLE's path enumeration, not
+    the operator)."""
+    from kstream_spark.operators.text import unigram_tokenize, unigram_train
+    docs = _docs(spark, sf).filter(F.col("doc_id") < _UNT_DOCS)
+    vocab = [(r["piece"], int(r["logp_micro"])) for r in
+             unigram_train(docs, "text", seed_v=_UNT_SEED_V,
+                           keep_v=_UNT_KEEP_V, iters=2,
+                           max_piece_len=_UNT_PLEN,
+                           max_word_len=_UNT_WLEN).collect()]
+    return unigram_tokenize(docs, "text", vocab,
+                            max_piece_len=_UNT_PLEN,
+                            max_word_len=_UNT_WLEN)
+
+
+def _sql_uni_tokenize() -> str:
+    """Replay training (both EM rounds), then one more Viterbi pass under
+    the FINAL vocab (vocab2 + OOV floor chars) and count the segmented
+    pieces — the apply-the-model round, exactly unigram_tokenize."""
+    train = _sql_uni_train()
+    ctes = train.rsplit("\nSELECT piece, cnt, lp AS logp_micro", 1)[0]
+    oov = _UNI_OOV
+    return f"""{ctes},
+allp3 AS (SELECT piece, lp FROM vocab2
+          UNION ALL
+          SELECT c.piece, CAST({oov} AS BIGINT) AS lp
+          FROM chars c
+          WHERE c.piece NOT IN (SELECT piece FROM vocab2)),
+seg3 AS (SELECT w, wf, 0 AS pos, CAST(0 AS BIGINT) AS score,
+                CAST(0 AS BIGINT) AS np,
+                []::VARCHAR[] AS pieces, []::BIGINT[] AS revlens
+         FROM wfe
+         UNION ALL
+         SELECT s.w, s.wf, s.pos + length(p.piece),
+                s.score + p.lp, s.np + 1,
+                list_append(s.pieces, p.piece),
+                list_prepend(CAST(length(p.piece) AS BIGINT), s.revlens)
+         FROM seg3 s JOIN allp3 p
+           ON substr(s.w, s.pos + 1, length(p.piece)) = p.piece
+         WHERE s.pos < length(s.w)),
+best3 AS (SELECT w, wf, pieces
+          FROM (SELECT *, row_number() OVER (PARTITION BY w
+                  ORDER BY score DESC, np ASC, revlens DESC) AS rn
+                FROM seg3 WHERE pos = length(w))
+          WHERE rn = 1)
+SELECT token, CAST(sum(wf) AS BIGINT) AS cnt
+FROM (SELECT wf, unnest(pieces) AS token FROM best3)
+GROUP BY token
+"""
+
+
+CORPUS_INVENTORY["text_unigram_tokenize"] = (q_text_unigram_tokenize,
+                                             _sql_uni_tokenize())

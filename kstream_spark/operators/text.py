@@ -739,3 +739,38 @@ def _round_half_up(x: float) -> int:
     from decimal import ROUND_HALF_UP, Context, Decimal
     return int(Decimal(repr(x)).quantize(Decimal("1"),
                                          rounding=ROUND_HALF_UP))
+
+
+def unigram_tokenize(df: DataFrame, text_col: str, pieces: list,
+                     max_piece_len: int = 4,
+                     oov_logp_micro: int = -20_000_000,
+                     max_word_len: int | None = None) -> DataFrame:
+    """Tokenizer INFERENCE with a trained unigram vocabulary: Viterbi-
+    segment every distinct corpus word under ``pieces`` (list of
+    (piece, logp_micro)) and return the corpus token counts
+    (token, cnt), cnt weighted by word frequency — bpe_tokenize's analog
+    for the unigram family.  Same DP/tie-breaks as unigram_train's
+    E-step (max score, fewest pieces, longest-last piece), one Arrow
+    pass over the distinct-word relation, one final count aggregation.
+    """
+    import pandas as pd
+    lp = {p: int(v) for p, v in pieces}
+    w = words(F.col(text_col))
+    word_freq = (df.select(F.explode(w).alias("w"))
+                 .filter(F.col("w") != "")
+                 .groupBy("w").agg(F.count("*").cast("long").alias("wf")))
+    if max_word_len is not None:
+        word_freq = word_freq.filter(F.length("w") <= max_word_len)
+    ml, oov = max_piece_len, int(oov_logp_micro)
+
+    def run(batches):
+        for pdf in batches:
+            out_p, out_c = [], []
+            for word, wf in zip(pdf["w"], pdf["wf"]):
+                for piece in _viterbi_pieces(word, lp, ml, oov):
+                    out_p.append(piece)
+                    out_c.append(int(wf))
+            yield pd.DataFrame({"token": out_p, "c": out_c})
+
+    return (word_freq.mapInPandas(run, "token string, c long")
+            .groupBy("token").agg(F.sum("c").cast("long").alias("cnt")))

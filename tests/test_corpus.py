@@ -463,3 +463,14 @@ def test_unigram_train_prunes_and_keeps_single_chars(spark):
     top = out.sort_values(["cnt", "piece"],
                           ascending=[False, True]).iloc[0]
     assert top["cnt"] >= 3
+
+
+def test_unigram_tokenize_counts_match_manual_segmentation(spark):
+    from kstream_spark.operators.text import unigram_tokenize
+    df = spark.createDataFrame([(1, "abab ab ab")], "doc_id long, text string")
+    pieces = [("ab", -100), ("a", -500), ("b", -600)]
+    out = {r["token"]: r["cnt"] for r in
+           unigram_tokenize(df, "text", pieces,
+                            max_piece_len=2).collect()}
+    # 'abab' -> ab+ab (1 word), 'ab' x2 -> ab each: total ab count 4
+    assert out == {"ab": 4}
