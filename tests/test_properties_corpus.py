@@ -222,3 +222,69 @@ def test_winnow_pairs_matches_reference(docs, k, window):
             if n >= 1:
                 want[(a, b_)] = n
     assert got == dict(want)
+
+
+# -- unigram Viterbi DP vs exhaustive path enumeration -----------------------
+_UNI_WORDS = st.text(alphabet="abc", min_size=1, max_size=9)
+_UNI_VOCAB = st.dictionaries(
+    st.text(alphabet="abc", min_size=1, max_size=3),
+    st.integers(-1_000_000, -1), min_size=1, max_size=12)
+
+
+def _all_segmentations(word, lp, max_len, oov):
+    """Every segmentation as (score, n_pieces, pieces), OOV floor for
+    vocab-missing single chars — the reference the SQL oracle enumerates."""
+    if not word:
+        return [(0, 0, [])]
+    out = []
+    for l in range(1, min(max_len, len(word)) + 1):
+        p = word[:l]
+        plp = lp.get(p)
+        if plp is None:
+            if l != 1:
+                continue
+            plp = oov
+        for s, n, rest in _all_segmentations(word[l:], lp, max_len, oov):
+            out.append((plp + s, n + 1, [p] + rest))
+    return out
+
+
+@SET
+@given(_UNI_WORDS, _UNI_VOCAB)
+def test_viterbi_dp_matches_exhaustive_enumeration(word, lp):
+    """_viterbi_best == the max over ALL segmentations under the DP's
+    total order (score desc, fewest pieces), and _viterbi_pieces returns
+    exactly the path the oracle's (score DESC, np ASC, revlens DESC)
+    ordering picks — the equivalence the recursive-CTE oracles rely on."""
+    from kstream_spark.operators.text import _viterbi_best, _viterbi_pieces
+    oov = -5_000_000
+    paths = _all_segmentations(word, lp, 3, oov)
+    assert paths  # single-char OOV floor makes every word segmentable
+    best_score, best_np, _ = max(paths, key=lambda t: (t[0], -t[1]))
+    assert _viterbi_best(word, lp, 3, oov) == (best_score, best_np)
+    want = max(paths, key=lambda t: (
+        t[0], -t[1], [len(p) for p in reversed(t[2])]))[2]
+    assert _viterbi_pieces(word, lp, 3, oov) == want
+
+
+@SET
+@given(st.lists(st.lists(st.floats(-1, 1, allow_nan=False, width=32),
+                         min_size=6, max_size=6),
+                min_size=1, max_size=8))
+def test_random_projection_is_linear_in_known_basis(vecs):
+    """Projection of any vector equals the sign-weighted sum of its
+    components (checked against a numpy replay of the same literal
+    matrix), up to the documented round-6."""
+    import numpy as np
+    from kstream_spark.operators.vectors import (random_projection,
+                                                 rp_sign_matrix)
+    spark = _spark()
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r["rp"] for r in
+           random_projection(df, "embedding", 6, 4).collect()}
+    S = np.array(rp_sign_matrix(6, 4), dtype=np.float64)
+    for i, v in enumerate(vecs):
+        want = (S @ np.array(v, dtype=np.float64)) * 0.5
+        assert np.allclose(got[i], want, atol=1e-6)
