@@ -121,3 +121,14 @@ def test_example_6_data_selection(capsys):
     assert "coverage radii:" in out
     assert len(radii) == 5
     assert all(a >= b for a, b in zip(radii, radii[1:]))  # non-increasing
+
+
+def test_example_7_tokenizers(capsys):
+    import examples.tokenizers as ex7
+    bpe_fert, uni_fert = ex7.main()
+    out = capsys.readouterr().out
+    assert "BPE: the 6 learned merges" in out
+    assert "Unigram: final vocabulary" in out
+    # subword tokenizers emit more tokens than words but fewer than chars
+    assert 1.0 < bpe_fert < 8.0
+    assert 1.0 < uni_fert < 8.0
