@@ -107,6 +107,7 @@ HEADLINE = [
     "text_unigram_viterbi",
     "text_unigram_train",
     "text_unigram_tokenize",
+    "dq_drift_psi",
 ]
 
 

@@ -824,14 +824,14 @@ def _sql_uni_viterbi() -> str:
     seed_ctes = seed.split("\nSELECT piece,")[0].lstrip()[len("WITH "):]
     return f"""
 WITH RECURSIVE {seed_ctes},
-vocab AS (SELECT piece,
+vocab AS MATERIALIZED (SELECT piece,
                  CAST(round(ln(cnt / tot) * 1e6, 0) AS BIGINT) AS lp
           FROM p, tot),
-slice AS (SELECT w, wf FROM wf WHERE length(w) <= 16
+slice AS MATERIALIZED (SELECT w, wf FROM wf WHERE length(w) <= 16
           ORDER BY wf DESC, w ASC LIMIT 40),
 -- single chars of the slice words absent from the vocab segment at the
 -- OOV floor (exactly operators/text._viterbi_best)
-chars AS (SELECT DISTINCT substr(w, i, 1) AS piece
+chars AS MATERIALIZED (SELECT DISTINCT substr(w, i, 1) AS piece
           FROM slice, unnest(range(1, length(w) + 1)) AS u(i)),
 allp AS (SELECT piece, lp FROM vocab
          UNION ALL
@@ -862,7 +862,9 @@ _UNT_DOCS = 300     # training slice: doc_id < 300 (SF-independent ids)
 _UNT_PLEN = 3
 _UNT_SEED_V = 40
 _UNT_KEEP_V = 25
-_UNT_WLEN = 12      # E-step cap: words longer than this are dropped
+_UNT_WLEN = 10      # E-step cap: words longer than this are dropped
+                    # (paths/word ~ 1.84^len — 10 keeps the oracle's
+                    # exhaustive enumeration ~3x cheaper than 12)
 
 
 def q_text_unigram_train(spark: SparkSession, sf: str) -> DataFrame:
@@ -893,37 +895,38 @@ def _sql_uni_train() -> str:
         (+ OOV floor chars), best path per word by the DP's total order,
         piece counts, prune, re-estimate."""
         return f""",
-allp{r} AS (SELECT piece, lp FROM {vocab}
+allp{r} AS MATERIALIZED (SELECT piece, lp FROM {vocab}
             UNION ALL
             SELECT c.piece, CAST({oov} AS BIGINT) AS lp
             FROM chars c
             WHERE c.piece NOT IN (SELECT piece FROM {vocab})),
 seg{r} AS (SELECT w, wf, 0 AS pos, CAST(0 AS BIGINT) AS score,
                   CAST(0 AS BIGINT) AS np,
-                  []::VARCHAR[] AS pieces, []::BIGINT[] AS revlens
+                  []::VARCHAR[] AS pieces
            FROM wfe
            UNION ALL
            SELECT s.w, s.wf, s.pos + length(p.piece),
                   s.score + p.lp, s.np + 1,
-                  list_append(s.pieces, p.piece),
-                  list_prepend(CAST(length(p.piece) AS BIGINT), s.revlens)
+                  list_append(s.pieces, p.piece)
            FROM seg{r} s JOIN allp{r} p
              ON substr(s.w, s.pos + 1, length(p.piece)) = p.piece
            WHERE s.pos < length(s.w)),
-best{r} AS (SELECT w, wf, pieces
+best{r} AS MATERIALIZED (SELECT w, wf, pieces
             FROM (SELECT *, row_number() OVER (PARTITION BY w
-                    ORDER BY score DESC, np ASC, revlens DESC) AS rn
+                    ORDER BY score DESC, np ASC,
+                             list_transform(list_reverse(pieces),
+                                            x -> length(x)) DESC) AS rn
                   FROM seg{r} WHERE pos = length(w))
             WHERE rn = 1),
-cnt{r} AS (SELECT piece, CAST(sum(wf) AS BIGINT) AS cnt
+cnt{r} AS MATERIALIZED (SELECT piece, CAST(sum(wf) AS BIGINT) AS cnt
            FROM (SELECT wf, unnest(pieces) AS piece FROM best{r})
            GROUP BY piece),
-rank{r} AS (SELECT piece, cnt, row_number() OVER (
+rank{r} AS MATERIALIZED (SELECT piece, cnt, row_number() OVER (
               ORDER BY cnt DESC, piece ASC) AS rk FROM cnt{r}),
-kept{r} AS (SELECT piece, cnt FROM rank{r}
+kept{r} AS MATERIALIZED (SELECT piece, cnt FROM rank{r}
             WHERE rk <= {keepv} OR length(piece) = 1),
-tot{r} AS (SELECT sum(cnt) AS tot FROM kept{r}),
-vocab{r} AS (SELECT piece, cnt,
+tot{r} AS MATERIALIZED (SELECT sum(cnt) AS tot FROM kept{r}),
+vocab{r} AS MATERIALIZED (SELECT piece, cnt,
                CAST(round(ln(cnt / tot) * 1e6, 0) AS BIGINT) AS lp
              FROM kept{r}, tot{r})"""
 
@@ -931,20 +934,20 @@ vocab{r} AS (SELECT piece, cnt,
 WITH RECURSIVE
 t AS (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
       FROM documents WHERE doc_id < {docs}),
-wfa AS (SELECT w, CAST(count(*) AS BIGINT) AS wf
+wfa AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS wf
         FROM t WHERE w <> '' GROUP BY w),
-wfe AS (SELECT w, wf FROM wfa WHERE length(w) <= {wlen}),
+wfe AS MATERIALIZED (SELECT w, wf FROM wfa WHERE length(w) <= {wlen}),
 sub AS (SELECT unnest(flatten(list_transform(range(1, length(w) + 1),
           i -> list_transform(range(i, least(i + {plen} - 1, length(w)) + 1),
                               j -> substr(w, i, j - i + 1))))) AS piece, wf
         FROM wfa),
-p0 AS (SELECT piece, CAST(sum(wf) AS BIGINT) AS cnt
+p0 AS MATERIALIZED (SELECT piece, CAST(sum(wf) AS BIGINT) AS cnt
        FROM sub GROUP BY piece ORDER BY cnt DESC, piece LIMIT {seedv}),
-tot0 AS (SELECT sum(cnt) AS tot FROM p0),
-vocab0 AS (SELECT piece,
+tot0 AS MATERIALIZED (SELECT sum(cnt) AS tot FROM p0),
+vocab0 AS MATERIALIZED (SELECT piece,
              CAST(round(ln(cnt / tot) * 1e6, 0) AS BIGINT) AS lp
            FROM p0, tot0),
-chars AS (SELECT DISTINCT substr(w, i, 1) AS piece
+chars AS MATERIALIZED (SELECT DISTINCT substr(w, i, 1) AS piece
           FROM wfe, unnest(range(1, length(w) + 1)) AS u(i)){em_round(1, "vocab0")}{em_round(2, "vocab1")}
 SELECT piece, cnt, lp AS logp_micro FROM vocab2
 """
@@ -981,26 +984,27 @@ def _sql_uni_tokenize() -> str:
     ctes = train.rsplit("\nSELECT piece, cnt, lp AS logp_micro", 1)[0]
     oov = _UNI_OOV
     return f"""{ctes},
-allp3 AS (SELECT piece, lp FROM vocab2
+allp3 AS MATERIALIZED (SELECT piece, lp FROM vocab2
           UNION ALL
           SELECT c.piece, CAST({oov} AS BIGINT) AS lp
           FROM chars c
           WHERE c.piece NOT IN (SELECT piece FROM vocab2)),
 seg3 AS (SELECT w, wf, 0 AS pos, CAST(0 AS BIGINT) AS score,
                 CAST(0 AS BIGINT) AS np,
-                []::VARCHAR[] AS pieces, []::BIGINT[] AS revlens
+                []::VARCHAR[] AS pieces
          FROM wfe
          UNION ALL
          SELECT s.w, s.wf, s.pos + length(p.piece),
                 s.score + p.lp, s.np + 1,
-                list_append(s.pieces, p.piece),
-                list_prepend(CAST(length(p.piece) AS BIGINT), s.revlens)
+                list_append(s.pieces, p.piece)
          FROM seg3 s JOIN allp3 p
            ON substr(s.w, s.pos + 1, length(p.piece)) = p.piece
          WHERE s.pos < length(s.w)),
-best3 AS (SELECT w, wf, pieces
+best3 AS MATERIALIZED (SELECT w, wf, pieces
           FROM (SELECT *, row_number() OVER (PARTITION BY w
-                  ORDER BY score DESC, np ASC, revlens DESC) AS rn
+                  ORDER BY score DESC, np ASC,
+                           list_transform(list_reverse(pieces),
+                                          x -> length(x)) DESC) AS rn
                 FROM seg3 WHERE pos = length(w))
           WHERE rn = 1)
 SELECT token, CAST(sum(wf) AS BIGINT) AS cnt

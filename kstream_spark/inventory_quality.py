@@ -113,9 +113,55 @@ FROM runs
 """
 
 
+def q_dq_drift_psi(spark: SparkSession, sf: str) -> DataFrame:
+    """Population-stability drift between the first and second half of
+    the events month (day <= 15 vs day > 15), per event_type, over
+    power-of-two value buckets (quality.drift_psi).  The bucketizer is
+    bit-length of floor(value) — exact integer arithmetic, no libm floor
+    at boundaries — and each PSI contribution is a rounded integer micro
+    term from Laplace-smoothed exact-integer ratios."""
+    ev = _t(spark, sf, "events")
+    ref = ev.filter(F.dayofmonth("ts") <= 15)
+    cur = ev.filter(F.dayofmonth("ts") > 15)
+    bucket = (F.length(F.bin(F.floor("value").cast("long"))) - 1) \
+        .cast("long")
+    return Q.drift_psi(ref, cur, bucket, group_cols=["event_type"],
+                       n_buckets=10)
+
+
+SQL_DQ_DRIFT_PSI = """
+WITH b AS (SELECT event_type,
+                  CAST(length(bin(CAST(floor(value) AS BIGINT))) - 1
+                       AS BIGINT) AS bucket,
+                  CASE WHEN day(ts) <= 15 THEN 'r' ELSE 'c' END AS period
+           FROM events),
+cr AS (SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS count_ref
+       FROM b WHERE period = 'r' GROUP BY 1, 2),
+cc AS (SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS count_cur
+       FROM b WHERE period = 'c' GROUP BY 1, 2),
+tr AS (SELECT event_type, sum(count_ref) AS nr FROM cr GROUP BY 1),
+tc AS (SELECT event_type, sum(count_cur) AS nc FROM cc GROUP BY 1),
+j AS (SELECT coalesce(cr.event_type, cc.event_type) AS event_type,
+             coalesce(cr.bucket, cc.bucket) AS bucket,
+             coalesce(count_ref, 0) AS count_ref,
+             coalesce(count_cur, 0) AS count_cur
+      FROM cr FULL OUTER JOIN cc
+        ON cr.event_type = cc.event_type AND cr.bucket = cc.bucket)
+SELECT j.event_type, bucket, count_ref, count_cur,
+       CAST(round(((count_cur + 1) / (coalesce(nc, 0) + 10)
+                   - (count_ref + 1) / (coalesce(nr, 0) + 10))
+                  * ln(((count_cur + 1) / (coalesce(nc, 0) + 10))
+                       / ((count_ref + 1) / (coalesce(nr, 0) + 10)))
+                  * 1e6, 0) AS BIGINT) AS psi_micro
+FROM j LEFT JOIN tr ON j.event_type = tr.event_type
+       LEFT JOIN tc ON j.event_type = tc.event_type
+"""
+
+
 QUALITY_INVENTORY: dict[str, tuple] = {
     "dq_profile": (q_dq_profile, SQL_DQ_PROFILE),
     "dq_violations": (q_dq_violations, SQL_DQ_VIOLATIONS),
     "dq_orphans": (q_dq_orphans, SQL_DQ_ORPHANS),
     "scd2_history": (q_scd2_history, SQL_SCD2_HISTORY),
+    "dq_drift_psi": (q_dq_drift_psi, SQL_DQ_DRIFT_PSI),
 }

@@ -89,3 +89,56 @@ def orphans(child: DataFrame, child_key: str, parent: DataFrame,
     (left-anti join; AQE broadcasts the parent key set when small)."""
     keys = parent.select(F.col(parent_key).alias(child_key)).distinct()
     return child.join(keys, child_key, "left_anti")
+
+
+def drift_psi(ref: DataFrame, cur: DataFrame, bucket_col,
+              group_cols: list[str] | None = None,
+              n_buckets: int = 10) -> DataFrame:
+    """Population Stability Index between a REFERENCE snapshot and the
+    CURRENT one — the standard drift alarm a pipeline runs before
+    retraining on a new corpus version (PSI > 0.25 = major shift).
+
+    ``bucket_col``: an integer Column mapping each row to a bucket id
+    (use an EXACT integer bucketizer — e.g. bit-length of a count, the
+    corpus_stats trick — never floor(log(x)): libm ulp differences at
+    bucket boundaries would make engines disagree).  Laplace smoothing
+    (+1 per bucket over ``n_buckets`` possible buckets) keeps empty
+    buckets finite and every probability an exact ratio of integers.
+
+    Per (group, bucket): count_ref, count_cur, and the PSI contribution
+    (p_cur - p_ref) * ln(p_cur / p_ref) in rounded integer micro units —
+    integer per-bucket terms sum order-insensitively to the headline PSI.
+
+    Plan shape: one aggregation per side over (group, bucket), a
+    broadcast-sized per-group totals join (groups x 1 rows), one
+    full-outer bucket join of two bucket-count relations (each at most
+    groups x n_buckets rows).  The event scans never shuffle more than
+    their bucket counts.
+    """
+    gcols = list(group_cols or [])
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        c = (df.select(*gcols, bucket_col.alias("bucket"))
+             .groupBy(*gcols, "bucket")
+             .agg(F.count("*").cast("long").alias(name)))
+        tot = c.groupBy(*gcols).agg(F.sum(name).alias(f"_n_{name}"))
+        return c, tot
+
+    cr, tr = counts(ref, "count_ref")
+    cc, tc = counts(cur, "count_cur")
+    keys = gcols + ["bucket"]
+    both = (cr.join(cc, keys, "full_outer")
+            .fillna(0, subset=["count_ref", "count_cur"]))
+    if gcols:
+        # left + fillna: a group present in only one snapshot still gets
+        # a finite smoothed probability on the empty side
+        both = (both.join(F.broadcast(tr), gcols, "left")
+                .join(F.broadcast(tc), gcols, "left")
+                .fillna(0, subset=["_n_count_ref", "_n_count_cur"]))
+    else:
+        both = both.join(F.broadcast(tr)).join(F.broadcast(tc))
+    pr = (F.col("count_ref") + 1) / (F.col("_n_count_ref") + n_buckets)
+    pc = (F.col("count_cur") + 1) / (F.col("_n_count_cur") + n_buckets)
+    psi = F.round((pc - pr) * F.log(pc / pr) * 1e6, 0).cast("long")
+    return both.select(*gcols, "bucket", "count_ref", "count_cur",
+                       psi.alias("psi_micro"))

@@ -85,3 +85,21 @@ def test_scd2_null_safe_change_detection(spark):
                                " tier string, ts timestamp")
     hist = scd2_history(df, "user_id", ["tier"], "ts", id_col="event_id")
     assert hist.count() == 2
+
+
+def test_drift_psi_detects_shift_and_is_zero_on_identical(spark):
+    from pyspark.sql import functions as F
+    from kstream_spark.operators.quality import drift_psi
+    a = spark.createDataFrame([(i, float(i % 4)) for i in range(400)],
+                              "id long, v double")
+    bucket = F.floor("v").cast("long")
+    # identical distributions -> every PSI term is exactly 0
+    same = drift_psi(a, a, bucket, n_buckets=4).toPandas()
+    assert (same["psi_micro"] == 0).all()
+    # shifted distribution -> strictly positive total PSI
+    b = spark.createDataFrame([(i, float(3)) for i in range(400)],
+                              "id long, v double")
+    shift = drift_psi(a, b, bucket, n_buckets=4).toPandas()
+    assert shift["psi_micro"].sum() > 250_000  # PSI > 0.25: major shift
+    # every bucket of either side is present in the output
+    assert set(shift["bucket"]) == {0, 1, 2, 3}
