@@ -1119,3 +1119,40 @@ def test_compact_signature_store_latest_wins(spark, tmp_path):
     fresh = corpus_signatures(d2, "doc_id", "text").toPandas()
     assert pdf.set_index("doc_id").loc[1, "__ch"] == \
         fresh.set_index("doc_id").loc[1, "__ch"]          # newest text won
+
+
+def test_tokenize_stream_matches_batch_unigram_tokenize(spark, tmp_path):
+    """Streamed tokenize-on-ingest is bit-identical to the batch
+    operator: same vocab, same DP, same counts."""
+    from kstream_spark.operators import text as T
+    from kstream_spark.streaming.text import tokenize_stream
+
+    corpus = spark.createDataFrame(
+        [(1, "hello hello world"), (2, "low lower lowest hello")],
+        "doc_id long, text string")
+    vocab_df = T.unigram_train(corpus, "text", seed_v=20, keep_v=10,
+                               iters=2, max_piece_len=3)
+    vocab_df.write.parquet(str(tmp_path / "vocab"))
+
+    src = tmp_path / "in"
+    corpus.coalesce(1).write.parquet(str(src))
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .parquet(str(src)))
+    q = tokenize_stream(stream, str(tmp_path / "vocab"),
+                        str(tmp_path / "out"), str(tmp_path / "ck"),
+                        id_col="doc_id", text_col="text",
+                        max_piece_len=3)
+    _run(q)
+
+    streamed = (spark.read.parquet(str(tmp_path / "out"))
+                .groupBy("token").count().toPandas()
+                .set_index("token")["count"].to_dict())
+    vocab = [(r["piece"], int(r["logp_micro"])) for r in vocab_df.collect()]
+    batch = {r["token"]: r["cnt"] for r in
+             T.unigram_tokenize(corpus, "text", vocab,
+                                max_piece_len=3).collect()}
+    assert streamed == batch
+    # positions are dense per doc
+    out = spark.read.parquet(str(tmp_path / "out")).toPandas()
+    for _, g in out.groupby("doc_id"):
+        assert sorted(g["pos"]) == list(range(len(g)))
