@@ -108,6 +108,7 @@ HEADLINE = [
     "text_unigram_train",
     "text_unigram_tokenize",
     "dq_drift_psi",
+    "corpus_fertility",
 ]
 
 

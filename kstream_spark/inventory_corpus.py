@@ -1015,3 +1015,62 @@ GROUP BY token
 
 CORPUS_INVENTORY["text_unigram_tokenize"] = (q_text_unigram_tokenize,
                                              _sql_uni_tokenize())
+
+
+def q_corpus_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source tokenizer fertility (tokens per word) under the trained
+    unigram vocab — the number a token-budgeted mixing step actually
+    prices sources by.  Same bounded slice as text_unigram_train; the
+    per-word piece counts broadcast-join back onto the (source, word)
+    relation, so the corpus side never shuffles wider than its distinct
+    words.  Fertility ships as round-half-up integer micro units via
+    pure BIGINT arithmetic."""
+    from kstream_spark.operators.text import (unigram_train,
+                                              unigram_viterbi_stats)
+    docs = _docs(spark, sf).filter(F.col("doc_id") < _UNT_DOCS)
+    vocab = [(r["piece"], int(r["logp_micro"])) for r in
+             unigram_train(docs, "text", seed_v=_UNT_SEED_V,
+                           keep_v=_UNT_KEEP_V, iters=2,
+                           max_piece_len=_UNT_PLEN,
+                           max_word_len=_UNT_WLEN).collect()]
+    stats = unigram_viterbi_stats(docs, "text", vocab,
+                                  max_piece_len=_UNT_PLEN) \
+        .select("w", "n_pieces")
+    ws = (docs.select(
+        "source",
+        F.explode(F.filter(F.split(F.lower("text"), r"\s+"),
+                           lambda w: w != F.lit(""))).alias("w"))
+        .filter(F.length("w") <= _UNT_WLEN)
+        .groupBy("source", "w").agg(F.count("*").cast("long").alias("c")))
+    per = (ws.join(F.broadcast(stats), "w")
+           .groupBy("source")
+           .agg(F.sum("c").cast("long").alias("n_words"),
+                F.sum(F.col("c") * F.col("n_pieces")).cast("long")
+                .alias("n_tokens")))
+    return per.withColumn("fertility_micro", F.expr(
+        "(2000000 * n_tokens + n_words) div (2 * n_words)"))
+
+
+def _sql_corpus_fertility() -> str:
+    tok = _sql_uni_tokenize()
+    ctes = tok.rsplit("\nSELECT token,", 1)[0]
+    return f"""{ctes},
+np AS MATERIALIZED (SELECT w, CAST(len(pieces) AS BIGINT) AS np
+                    FROM best3),
+wsrc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+         FROM (SELECT source,
+                      unnest(string_split_regex(lower(text), '\\s+')) AS w
+               FROM documents WHERE doc_id < {_UNT_DOCS})
+         WHERE w <> '' AND length(w) <= {_UNT_WLEN}
+         GROUP BY source, w),
+agg AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_words,
+               CAST(sum(c * np) AS BIGINT) AS n_tokens
+        FROM wsrc JOIN np USING (w) GROUP BY source)
+SELECT source, n_words, n_tokens,
+       (2000000 * n_tokens + n_words) // (2 * n_words) AS fertility_micro
+FROM agg
+"""
+
+
+CORPUS_INVENTORY["corpus_fertility"] = (q_corpus_fertility,
+                                        _sql_corpus_fertility())

@@ -189,6 +189,42 @@ def bench_ann_admit(spark, tmp: str, n: int) -> dict:
             "seconds": round(dt, 2), "codes_stored": stored}
 
 
+def bench_tokenize(spark, tmp: str, n: int) -> dict:
+    """Streaming tokenizer-inference throughput: n synthetic documents
+    arrive as a file stream and are Viterbi-tokenized against a FIXED
+    persisted unigram vocab (streaming/text.tokenize_stream) — the
+    per-batch cost of tokenize-at-ingest."""
+    import pyspark.sql.functions as F
+
+    from kstream_spark.operators.text import unigram_train
+    from kstream_spark.streaming import text as ST
+
+    src = f"{tmp}/tok_in"
+    # ~5-word synthetic docs from a 64-word vocabulary
+    word = lambda j: F.concat(F.lit("w"), F.pmod(
+        F.xxhash64(F.col("id") * j), F.lit(64)).cast("string"))
+    (spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", *[word(j) for j in range(1, 6)]).alias("text"))
+     .repartition(8).write.parquet(src))
+    train = spark.read.parquet(src).limit(5000)
+    unigram_train(train, "text", seed_v=60, keep_v=40, iters=1,
+                  max_piece_len=3).write.parquet(f"{tmp}/tok_vocab")
+    t0 = time.time()
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .parquet(src))
+    q = ST.tokenize_stream(stream, f"{tmp}/tok_vocab", f"{tmp}/tok_out",
+                           f"{tmp}/tok_ck", id_col="doc_id",
+                           text_col="text", max_piece_len=3)
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    dt = time.time() - t0
+    toks = spark.read.parquet(f"{tmp}/tok_out").count()
+    return {"records_per_sec": round(n / dt), "records": n,
+            "seconds": round(dt, 2), "tokens_emitted": toks}
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
 
@@ -205,6 +241,7 @@ def main():
             spark, tmp, n, buckets=1024)
         shapes["sessionize"] = bench_sessionize(spark, tmp, n)
         shapes["ann_admit"] = bench_ann_admit(spark, tmp, n // 2)
+        shapes["tokenize"] = bench_tokenize(spark, tmp, n // 2)
 
     m = shapes["materialize"]
     print(json.dumps({
