@@ -109,6 +109,7 @@ HEADLINE = [
     "text_unigram_tokenize",
     "dq_drift_psi",
     "corpus_fertility",
+    "scd2_incremental",
 ]
 
 

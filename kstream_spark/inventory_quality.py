@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from kstream_spark.builder import StreamBuilder
 from kstream_spark.operators import quality as Q
-from kstream_spark.operators.scd import scd2_history
+from kstream_spark.operators.scd import scd2_apply, scd2_history
 
 
 def _t(spark: SparkSession, sf: str, name: str) -> DataFrame:
@@ -158,10 +158,24 @@ FROM j LEFT JOIN tr ON j.event_type = tr.event_type
 """
 
 
+def q_scd2_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental SCD2 merge (operators/scd.scd2_apply): a snapshot built
+    from the first 20 days + the later days applied as a change batch.
+    The ORACLE is the plain full-log derivation — hash equality IS the
+    incremental == batch invariant."""
+    ev = _t(spark, sf, "events")
+    snap = scd2_history(ev.filter(F.dayofmonth("ts") <= 20), "user_id",
+                        ["event_type"], "ts", id_col="event_id")
+    changes = ev.filter(F.dayofmonth("ts") > 20)
+    return scd2_apply(snap, changes, "user_id", ["event_type"], "ts",
+                      id_col="event_id")
+
+
 QUALITY_INVENTORY: dict[str, tuple] = {
     "dq_profile": (q_dq_profile, SQL_DQ_PROFILE),
     "dq_violations": (q_dq_violations, SQL_DQ_VIOLATIONS),
     "dq_orphans": (q_dq_orphans, SQL_DQ_ORPHANS),
     "scd2_history": (q_scd2_history, SQL_SCD2_HISTORY),
     "dq_drift_psi": (q_dq_drift_psi, SQL_DQ_DRIFT_PSI),
+    "scd2_incremental": (q_scd2_incremental, SQL_SCD2_HISTORY),
 }

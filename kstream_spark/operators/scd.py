@@ -53,3 +53,49 @@ def scd2_lookup(history: DataFrame, key_col: str, as_of) -> DataFrame:
     return history.filter((F.col("valid_from") <= t)
                           & (F.col("valid_to").isNull()
                              | (F.col("valid_to") > t)))
+
+
+def scd2_apply(history: DataFrame, changes: DataFrame, key_col: str,
+               attr_cols: Sequence[str], ts_col: str,
+               id_col: str | None = None) -> DataFrame:
+    """Incrementally merge a CHANGE BATCH into an existing SCD2 table —
+    the nightly-warehouse shape (apply today's changes; never re-derive
+    closed history):
+
+      * CLOSED intervals pass through untouched — the bulk of a mature
+        dimension, never rewritten;
+      * each key's OPEN row re-enters as a pseudo-change at its own
+        ``valid_from`` and is re-derived TOGETHER with the key's new
+        changes (the same null-safe run-collapse as scd2_history, so an
+        unchanged observation never opens a spurious interval);
+      * late changes at ts <= the open row's ``valid_from`` are dropped
+        (the watermark contract — history already accounted for them);
+      * keys with no changes keep their open row verbatim; keys seen
+        only in the change batch derive from scratch.
+
+    INVARIANT (driver-proven): apply(history(log <= T), changes(log > T))
+    is row-identical to scd2_history(full log) — incremental == batch.
+
+    Scale shape: the passthrough never shuffles; the re-derivation
+    windows over (open rows + changes) only — bounded by the change
+    batch plus one row per LIVE key, not by history; the watermark
+    lookup is one key-join of the change batch against the open-row
+    relation (AQE broadcasts whichever side is small).
+    """
+    cur = F.col("is_current")
+    closed = history.filter(~cur).select(
+        key_col, *attr_cols, "valid_from", "valid_to", "is_current")
+    open_rows = history.filter(cur)
+    pseudo = open_rows.select(
+        F.col(key_col), *[F.col(a) for a in attr_cols],
+        F.col("valid_from").alias(ts_col),
+        *([F.lit(-1).cast("long").alias(id_col)] if id_col else []))
+    wm = open_rows.select(F.col(key_col),
+                          F.col("valid_from").alias("_wm"))
+    ch = (changes.join(wm, key_col, "left")
+          .filter(F.col("_wm").isNull() | (F.col(ts_col) > F.col("_wm")))
+          .select(key_col, *attr_cols, ts_col,
+                  *([id_col] if id_col else [])))
+    rederived = scd2_history(pseudo.unionByName(ch), key_col, attr_cols,
+                             ts_col, id_col=id_col)
+    return closed.unionByName(rederived)

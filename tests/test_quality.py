@@ -103,3 +103,32 @@ def test_drift_psi_detects_shift_and_is_zero_on_identical(spark):
     assert shift["psi_micro"].sum() > 250_000  # PSI > 0.25: major shift
     # every bucket of either side is present in the output
     assert set(shift["bucket"]) == {0, 1, 2, 3}
+
+
+def test_scd2_apply_edge_cases(spark):
+    import datetime as dt
+    from kstream_spark.operators.scd import scd2_apply, scd2_history
+    t = lambda d: dt.datetime(2024, 1, d)
+    log1 = spark.createDataFrame(
+        [(1, "a", t(1), 10), (1, "b", t(3), 11),   # key 1: a then b
+         (2, "x", t(2), 12)],                       # key 2: open x
+        "k long, attr string, ts timestamp, eid long")
+    snap = scd2_history(log1, "k", ["attr"], "ts", id_col="eid")
+    changes = spark.createDataFrame(
+        [(1, "b", t(5), 20),    # unchanged attr -> no new interval
+         (2, "y", t(1), 21),    # LATE (ts <= open valid_from) -> dropped
+         (3, "z", t(6), 22)],   # brand-new key
+        "k long, attr string, ts timestamp, eid long")
+    out = scd2_apply(snap, changes, "k", ["attr"], "ts",
+                     id_col="eid").toPandas()
+    rows = {(r.k, r.attr): (r.valid_to, r.is_current)
+            for r in out.itertuples()}
+    # key 1: closed 'a' passes through; 'b' stays open (no-op change)
+    assert rows[(1, "a")][1] is False or rows[(1, "a")][1] == False  # noqa: E712
+    assert rows[(1, "b")][1]
+    # key 2: late change dropped -> 'x' still the single open row
+    assert rows[(2, "x")][1]
+    assert (2, "y") not in rows
+    # key 3: derived from scratch
+    assert rows[(3, "z")][1]
+    assert len(out) == 4
