@@ -1156,3 +1156,38 @@ def test_tokenize_stream_matches_batch_unigram_tokenize(spark, tmp_path):
     out = spark.read.parquet(str(tmp_path / "out")).toPandas()
     for _, g in out.groupby("doc_id"):
         assert sorted(g["pos"]) == list(range(len(g)))
+
+
+def test_scd2_stream_matches_batch_history(spark, tmp_path):
+    """Streamed dimension maintenance == one batch scd2_history over the
+    full log, regardless of the batch split (here: one file per batch)."""
+    import datetime as dt
+    from kstream_spark.operators.scd import scd2_history
+    from kstream_spark.streaming.scd import read_dimension, scd2_stream
+
+    t = lambda d, h=0: dt.datetime(2024, 1, d, h)
+    log = [(1, "a", t(1), 10), (1, "b", t(3), 11), (1, "b", t(5), 12),
+           (2, "x", t(2), 13), (2, "y", t(6), 14), (3, "q", t(7), 15)]
+    df = spark.createDataFrame(
+        log, "k long, attr string, ts timestamp, eid long")
+    src = tmp_path / "in"
+    # two files -> maxFilesPerTrigger=1 gives two ordered micro-batches
+    df.filter("ts < '2024-01-04'").coalesce(1) \
+        .write.parquet(str(src / "b1"))
+    df.filter("ts >= '2024-01-04'").coalesce(1) \
+        .write.parquet(str(src / "b2"))
+    stream = (spark.readStream
+              .schema("k long, attr string, ts timestamp, eid long")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src / "*")))
+    q = scd2_stream(stream, str(tmp_path / "dim"), str(tmp_path / "ck"),
+                    "k", ["attr"], "ts", id_col="eid")
+    _run(q)
+
+    got = read_dimension(spark, str(tmp_path / "dim")).toPandas()
+    want = scd2_history(df, "k", ["attr"], "ts", id_col="eid").toPandas()
+    key = lambda p: sorted(map(tuple, p[["k", "attr", "valid_from",
+                                         "valid_to", "is_current"]]
+                               .astype(str).itertuples(index=False,
+                                                       name=None)))
+    assert key(got) == key(want)
