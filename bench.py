@@ -110,6 +110,7 @@ HEADLINE = [
     "dq_drift_psi",
     "corpus_fertility",
     "scd2_incremental",
+    "scd2_asof",
 ]
 
 

@@ -11,7 +11,8 @@ from pyspark.sql import functions as F
 
 from kstream_spark.builder import StreamBuilder
 from kstream_spark.operators import quality as Q
-from kstream_spark.operators.scd import scd2_apply, scd2_history
+from kstream_spark.operators.scd import (scd2_apply, scd2_history,
+                                         scd2_lookup)
 
 
 def _t(spark: SparkSession, sf: str, name: str) -> DataFrame:
@@ -171,6 +172,26 @@ def q_scd2_incremental(spark: SparkSession, sf: str) -> DataFrame:
                       id_col="event_id")
 
 
+def q_scd2_asof(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-time dimension read (operators/scd.scd2_lookup): every
+    user's state as of Jan 15 — the query a training-data join runs to
+    attach dimension attributes AS THEY WERE when the fact happened."""
+    ev = _t(spark, sf, "events")
+    hist = scd2_history(ev, "user_id", ["event_type"], "ts",
+                        id_col="event_id")
+    return scd2_lookup(hist, "user_id", "2024-01-15 00:00:00") \
+        .select("user_id", "event_type", "valid_from")
+
+
+SQL_SCD2_ASOF = f"""
+WITH h AS ({SQL_SCD2_HISTORY})
+SELECT user_id, event_type, valid_from
+FROM h
+WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
+"""
+
+
 QUALITY_INVENTORY: dict[str, tuple] = {
     "dq_profile": (q_dq_profile, SQL_DQ_PROFILE),
     "dq_violations": (q_dq_violations, SQL_DQ_VIOLATIONS),
@@ -178,4 +199,5 @@ QUALITY_INVENTORY: dict[str, tuple] = {
     "scd2_history": (q_scd2_history, SQL_SCD2_HISTORY),
     "dq_drift_psi": (q_dq_drift_psi, SQL_DQ_DRIFT_PSI),
     "scd2_incremental": (q_scd2_incremental, SQL_SCD2_HISTORY),
+    "scd2_asof": (q_scd2_asof, SQL_SCD2_ASOF),
 }
