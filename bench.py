@@ -111,6 +111,7 @@ HEADLINE = [
     "corpus_fertility",
     "scd2_incremental",
     "scd2_asof",
+    "mm_afp_dedup",
 ]
 
 

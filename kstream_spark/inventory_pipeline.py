@@ -2203,3 +2203,78 @@ FROM ex QUALIFY rank <= 10
 
 PIPELINE_INVENTORY["sim_rp_rerank_topk"] = (q_sim_rp_rerank_topk,
                                             _rp_rerank_sql())
+
+
+def q_mm_afp_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio near-duplicate pairs (multimodal.afp_pairs): Haitsma-Kalker
+    robust hash over the stubbed band energies (fake_decode_audio — 80
+    integer segment sums standing in for framed filterbank energies),
+    one re-encoded copy per document (energies jittered by k%3-1, the
+    re-compression artifact the fingerprint is designed to survive),
+    Hamming-LSH band join (shared banded_hamming_pairs machinery, never
+    all-pairs), exact verify at max_hamming=3 — complete by pigeonhole
+    over 4 LSH bands.  Completes the dedup modality triple:
+    text (MinHash/SimHash/winnow), image (dHash), audio (HK)."""
+    d0 = (_docs(StreamBuilder(spark), sf)
+          .filter(F.length("text") >= 80).select("doc_id", "text"))
+    base = M.fake_decode_audio(d0, "doc_id", "text", n_seg=80)
+    orig = base.select((F.col("doc_id") * 2).alias("clip_id"), "energies")
+    copy = base.select(
+        (F.col("doc_id") * 2 + 1).alias("clip_id"),
+        F.transform("energies",
+                    lambda x, i: x + (i % F.lit(3) - 1)).alias("energies"))
+    clips = orig.unionByName(copy).persist()  # decode once, hash many
+    return M.afp_pairs(clips, "clip_id", "energies", max_hamming=3)
+
+
+def _mm_afp_sql(n_seg: int = 80, frames: int = 16, fbands: int = 4,
+                lsh_bands: int = 4, max_hamming: int = 3) -> str:
+    """DuckDB replay: segment sums + jitter copy + HK second-difference
+    bits + banded candidates + Hamming verify."""
+    nbits = (frames - 1) * fbands
+    bbits = nbits // lsh_bands
+    seg = []
+    for k in range(n_seg):
+        st = f"CAST(({k}*n)//{n_seg} AS INT)+1"
+        ln = f"CAST((({k + 1})*n)//{n_seg} - ({k}*n)//{n_seg} AS INT)"
+        seg.append(
+            f"(CAST(coalesce(list_sum(list_transform("
+            f"string_split_regex(substr(t,{st},{ln}),''),"
+            f" ch -> ord(ch))),0) AS INT)"
+            f" + jit * ({k} % 3 - 1)) AS e{k}")
+    band_exprs = []
+    for g in range(lsh_bands):
+        terms = []
+        for p in range(bbits):
+            i = g * bbits + p
+            f, b = i // fbands + 1, i % fbands
+            d = (f"(e{f * (fbands + 1) + b} - e{f * (fbands + 1) + b + 1}"
+                 f" - e{(f - 1) * (fbands + 1) + b}"
+                 f" + e{(f - 1) * (fbands + 1) + b + 1})")
+            terms.append(f"(CASE WHEN {d} > 0 THEN {1 << p} ELSE 0 END)")
+        band_exprs.append("(" + " + ".join(terms) + f") AS band{g}")
+    band_case = " ".join(f"WHEN {g} THEN band{g}" for g in range(lsh_bands))
+    hamming = " + ".join(
+        f"bit_count(xor(x.band{g}, y.band{g}))" for g in range(lsh_bands))
+    return f"""
+WITH d0 AS (SELECT doc_id, text AS t, length(text) AS n FROM documents
+            WHERE length(text) >= {n_seg}),
+clips AS (SELECT doc_id*2 AS clip_id, t, n, 0 AS jit FROM d0
+          UNION ALL SELECT doc_id*2+1, t, n, 1 FROM d0),
+s AS (SELECT clip_id, {", ".join(seg)} FROM clips),
+hb AS (SELECT clip_id, {", ".join(band_exprs)} FROM s),
+sig AS (SELECT clip_id, b.band_idx,
+          CASE b.band_idx {band_case} END AS val
+        FROM hb CROSS JOIN
+          (SELECT unnest(range({lsh_bands})) AS band_idx) b),
+cand AS (SELECT DISTINCT a.clip_id AS clip_a, c.clip_id AS clip_b
+         FROM sig a JOIN sig c ON a.band_idx = c.band_idx
+           AND a.val = c.val AND a.clip_id < c.clip_id)
+SELECT cand.clip_a, cand.clip_b, CAST({hamming} AS BIGINT) AS hamming
+FROM cand JOIN hb x ON x.clip_id = cand.clip_a
+          JOIN hb y ON y.clip_id = cand.clip_b
+WHERE {hamming} <= {max_hamming}
+"""
+
+
+PIPELINE_INVENTORY["mm_afp_dedup"] = (q_mm_afp_dedup, _mm_afp_sql())

@@ -239,20 +239,98 @@ def phash_pairs(df: DataFrame, id_col: str, pixel_col: str,
     once, hash many), and inline the re-entered decode trees blow up
     plan optimization."""
     hb = dhash_bands(df, id_col, pixel_col, w, h, bands)
+    return banded_hamming_pairs(hb, id_col, bands, max_hamming,
+                                a_name="img_a", b_name="img_b")
+
+
+def banded_hamming_pairs(hb: DataFrame, id_col: str, n_bands: int,
+                         max_hamming: int, a_name: str = "id_a",
+                         b_name: str = "id_b") -> DataFrame:
+    """Hamming-LSH pair generation shared by the perceptual-hash dedup
+    arms (image dHash, audio Haitsma-Kalker): candidates by exact-band
+    equi-join (never all-pairs), verification by true Hamming over the
+    full fingerprint, complete for max_hamming <= n_bands - 1 by
+    pigeonhole.  ``hb``: (id, bands array<int>)."""
     sig = hb.select(F.col(id_col), F.posexplode("bands")
                     .alias("band_idx", "val"))
-    cand = (sig.select(F.col(id_col).alias("img_a"), "band_idx", "val")
-            .join(sig.select(F.col(id_col).alias("img_b"),
+    cand = (sig.select(F.col(id_col).alias(a_name), "band_idx", "val")
+            .join(sig.select(F.col(id_col).alias(b_name),
                              "band_idx", "val"), ["band_idx", "val"])
-            .filter(F.col("img_a") < F.col("img_b"))
-            .select("img_a", "img_b").distinct())
-    xa = hb.select(F.col(id_col).alias("img_a"), F.col("bands").alias("_ba"))
-    xb = hb.select(F.col(id_col).alias("img_b"), F.col("bands").alias("_bb"))
+            .filter(F.col(a_name) < F.col(b_name))
+            .select(a_name, b_name).distinct())
+    xa = hb.select(F.col(id_col).alias(a_name), F.col("bands").alias("_ba"))
+    xb = hb.select(F.col(id_col).alias(b_name), F.col("bands").alias("_bb"))
     ham = None
-    for b in range(bands):
+    for b in range(n_bands):
         term = F.bit_count(F.element_at("_ba", b + 1)
                            .bitwiseXOR(F.element_at("_bb", b + 1)))
         ham = term if ham is None else ham + term
-    return (cand.join(xa, "img_a").join(xb, "img_b")
-            .select("img_a", "img_b", ham.cast("long").alias("hamming"))
+    return (cand.join(xa, a_name).join(xb, b_name)
+            .select(a_name, b_name, ham.cast("long").alias("hamming"))
             .filter(F.col("hamming") <= max_hamming))
+
+
+def fake_decode_audio(df: DataFrame, id_col: str, text_col: str,
+                      n_seg: int = 80) -> DataFrame:
+    """STUB audio decode: deterministic integer "band energies" from a
+    text payload — ``n_seg`` segment SUMS of the char codes, standing in
+    for the framed filterbank energies a real decoder (absent from this
+    container) would produce.  Pure codegen; integer-exact.  Callers
+    should filter ``length >= n_seg``."""
+    src = df.select(F.col(id_col),
+                    F.transform(F.split(F.col(text_col), ""),
+                                lambda ch: F.ascii(ch)).alias("_pc"),
+                    F.length(F.col(text_col)).alias("_n"))
+    seg = []
+    for k in range(n_seg):
+        st = f"cast(({k} * _n) div {n_seg} as int) + 1"
+        ln = (f"cast((({k + 1}) * _n) div {n_seg} "
+              f"- ({k} * _n) div {n_seg} as int)")
+        seg.append(F.expr(
+            f"cast(aggregate(slice(_pc, {st}, {ln}), 0, (a, x) -> a + x)"
+            f" as int)"))
+    return src.select(F.col(id_col), F.array(*seg).alias("energies"))
+
+
+def afp_bands(df: DataFrame, id_col: str, energy_col: str,
+              frames: int = 16, fbands: int = 4,
+              lsh_bands: int = 4) -> DataFrame:
+    """Haitsma-Kalker audio fingerprint (the Philips robust hash, ISMIR
+    2002) over a framed band-energy array of size frames * (fbands+1):
+    bit(f, b) = sign of the SECOND difference of energies across time
+    and band, (E(f,b)-E(f,b+1)) - (E(f-1,b)-E(f-1,b+1)) > 0 — the
+    construction's robustness-to-re-encode property, and integer-exact
+    here, so the oracle replays it bit-for-bit.  (frames-1)*fbands bits,
+    packed into ``lsh_bands`` integer LSH bands for the Hamming band
+    join.  Pure projection."""
+    nbits = (frames - 1) * fbands
+    assert nbits % lsh_bands == 0
+    bbits = nbits // lsh_bands
+    e = [F.element_at(F.col(energy_col), i + 1)
+         for i in range(frames * (fbands + 1))]
+    band_cols = []
+    for g in range(lsh_bands):
+        acc = None
+        for p in range(bbits):
+            i = g * bbits + p
+            f, b = i // fbands + 1, i % fbands
+            d = ((e[f * (fbands + 1) + b] - e[f * (fbands + 1) + b + 1])
+                 - (e[(f - 1) * (fbands + 1) + b]
+                    - e[(f - 1) * (fbands + 1) + b + 1]))
+            bit = F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0))
+            acc = bit if acc is None else acc + bit
+        band_cols.append(acc.cast("int"))
+    return df.select(F.col(id_col), F.array(*band_cols).alias("bands"))
+
+
+def afp_pairs(df: DataFrame, id_col: str, energy_col: str,
+              max_hamming: int = 3, frames: int = 16, fbands: int = 4,
+              lsh_bands: int = 4) -> DataFrame:
+    """Audio near-duplicate pairs: Haitsma-Kalker fingerprint + the
+    shared Hamming-LSH band join (banded_hamming_pairs) — the audio arm
+    of the dedup family, completing text / image / audio.  Returns
+    (clip_a, clip_b, hamming); complete for max_hamming <= lsh_bands-1
+    by pigeonhole, candidates never all-pairs."""
+    hb = afp_bands(df, id_col, energy_col, frames, fbands, lsh_bands)
+    return banded_hamming_pairs(hb, id_col, lsh_bands, max_hamming,
+                                a_name="clip_a", b_name="clip_b")

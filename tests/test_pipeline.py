@@ -707,3 +707,31 @@ def test_fake_decode_image_segment_means(spark):
     assert len(px) == 72
     # each segment holds exactly 'ab' -> mean (97+98)//2 = 97
     assert set(px) == {97}
+
+
+def test_afp_dedup_survives_reencode_jitter_banded(spark):
+    """Haitsma-Kalker fingerprint: a small energy jitter (re-encode
+    artifact) stays within max_hamming and is recovered via the shared
+    band join; an unrelated clip is not paired; identical clips hash to
+    hamming 0.  Candidates come from the banded equi-join, no cartesian."""
+    from kstream_spark.operators import multimodal as M
+
+    # curved energy envelope (80 = 16 frames x 5 bands): k^2 gives a
+    # constant second difference of -10 across the frame lag, so every
+    # HK bit is stable under a +/-1 re-encode jitter (|delta d| <= 4);
+    # the alternating envelope flips sign with frame parity instead
+    env = [k * k for k in range(80)]
+    jit = [e + (k % 3 - 1) for k, e in enumerate(env)]
+    noise = [1000 + 500 * (k % 2) for k in range(80)]
+    df = spark.createDataFrame(
+        [(1, env), (2, jit), (3, noise)],
+        "clip_id long, energies array<int>")
+    out = M.afp_pairs(df, "clip_id", "energies", max_hamming=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    rows = [(r.clip_a, r.clip_b) for r in out.collect()]
+    assert (1, 2) in rows and (1, 3) not in rows and (2, 3) not in rows
+    same = spark.createDataFrame([(1, env), (2, list(env))],
+                                 "clip_id long, energies array<int>")
+    got = M.afp_pairs(same, "clip_id", "energies").collect()
+    assert [(r.clip_a, r.clip_b, r.hamming) for r in got] == [(1, 2, 0)]
