@@ -65,16 +65,20 @@ def main():
 
     # side-by-side fertility (tokens per word) — the number a pipeline
     # actually budgets by
-    n_words = docs.select(F.explode(
+    all_words = docs.select(F.explode(
         F.filter(F.split(F.lower("text"), r"\s+"),
-                 lambda w: w != F.lit(""))).alias("w")).count()
+                 lambda w: w != F.lit(""))).alias("w"))
+    n_words = all_words.count()
+    # the unigram arm tokenized only words <= 12 chars, so its fertility
+    # denominator must count the same population
+    n_words_le12 = all_words.filter(F.length("w") <= 12).count()
     bpe_tokens = bpe_top.agg(F.sum("count")).first()[0]
     uni_tokens = uni_top.agg(F.sum("cnt")).first()[0]
-    print(f"corpus words: {n_words}")
+    print(f"corpus words: {n_words} ({n_words_le12} of <= 12 chars)")
     print(f"BPE fertility:     {bpe_tokens / n_words:.3f} tokens/word")
-    print(f"Unigram fertility: {uni_tokens / n_words:.3f} tokens/word "
-          f"(words <= 12 chars)")
-    return bpe_tokens / n_words, uni_tokens / n_words
+    print(f"Unigram fertility: {uni_tokens / n_words_le12:.3f} tokens/word "
+          f"(over words <= 12 chars)")
+    return bpe_tokens / n_words, uni_tokens / n_words_le12
 
 
 if __name__ == "__main__":

@@ -2167,7 +2167,7 @@ def q_sim_rp_rerank_topk(spark: SparkSession, sf: str) -> DataFrame:
     (operators/similarity.rp_rerank_topk)."""
     return S.rp_rerank_topk(_embs(StreamBuilder(spark), sf), "vec_id",
                             "embedding", query_ids=list(range(5)),
-                            k=10, shortlist=100, out_dim=16)
+                            k=10, shortlist=100, out_dim=16, in_dim=64)
 
 
 def _rp_rerank_sql() -> str:

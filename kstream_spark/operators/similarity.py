@@ -1253,7 +1253,8 @@ def ivfsq_topk(emb: DataFrame, id_col: str, vec_col: str, query_ids: list,
 
 def rp_rerank_topk(emb: DataFrame, id_col: str, vec_col: str,
                    query_ids: list, k: int = 10, shortlist: int = 100,
-                   out_dim: int = 16, seed: str = "rp") -> DataFrame:
+                   out_dim: int = 16, seed: str = "rp",
+                   in_dim: int | None = None) -> DataFrame:
     """JL-shortlist + exact re-rank: the production pattern for a random-
     projection tier.  Stage 1 scores cosine in the PROJECTED ``out_dim``-
     dim space (operators/vectors.random_projection — 4x cheaper dots at
@@ -1274,7 +1275,14 @@ def rp_rerank_topk(emb: DataFrame, id_col: str, vec_col: str,
     """
     from kstream_spark.functions.vectors import dot, norm
     from kstream_spark.operators.vectors import random_projection
-    dim = len(emb.select(vec_col).first()[0])
+    if in_dim is None:  # cheap scalar probe; empty input -> empty result
+        row = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+        if row is None:
+            return emb.sparkSession.createDataFrame(
+                [], f"query_id long, neighbor_id long, cos double, "
+                    f"rank long")
+        in_dim = int(row["d"])
+    dim = in_dim
     proj = random_projection(emb, vec_col, in_dim=dim, out_dim=out_dim,
                              seed=seed)
     cand = cosine_topk(proj.select(id_col, "rp"), id_col, "rp",

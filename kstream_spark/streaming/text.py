@@ -40,6 +40,7 @@ def tokenize_stream(df: DataFrame, vocab_path: str, out_path: str,
     StreamingQuery."""
     import pandas as pd
 
+    from kstream_spark.functions.text import words
     from kstream_spark.operators.text import _viterbi_pieces
 
     def _tokenize(batch: DataFrame, epoch_id: int) -> None:
@@ -51,9 +52,9 @@ def tokenize_stream(df: DataFrame, vocab_path: str, out_path: str,
         def run(batches):
             for pdf in batches:
                 ids, poss, toks = [], [], []
-                for i, text in zip(pdf[id_col], pdf[text_col]):
+                for i, ws in zip(pdf[id_col], pdf["_ws"]):
                     pos = 0
-                    for word in str(text).lower().split():
+                    for word in ws:
                         for piece in _viterbi_pieces(word, vocab, ml, oov):
                             ids.append(i)
                             poss.append(pos)
@@ -62,7 +63,15 @@ def tokenize_stream(df: DataFrame, vocab_path: str, out_path: str,
                 yield pd.DataFrame({id_col: ids, "pos": poss,
                                     "token": toks})
 
-        out = batch.select(id_col, text_col).mapInPandas(
+        # tokenize JVM-side with the SAME words() the batch operator
+        # uses (Java \s+ is ASCII-only; Python str.split() also breaks
+        # on Unicode whitespace and would diverge on e.g. NBSP) — the
+        # Pandas pass only runs the DP
+        toks = batch.select(
+            F.col(id_col),
+            F.filter(words(F.col(text_col)),
+                     lambda w: w != F.lit("")).alias("_ws"))
+        out = toks.mapInPandas(
             run, f"{id_col} long, pos long, token string")
         (out.withColumn(epoch_col, F.lit(epoch_id))
          .write.mode("overwrite")

@@ -1160,7 +1160,8 @@ def test_tokenize_stream_matches_batch_unigram_tokenize(spark, tmp_path):
 
 def test_scd2_stream_matches_batch_history(spark, tmp_path):
     """Streamed dimension maintenance == one batch scd2_history over the
-    full log, regardless of the batch split (here: one file per batch)."""
+    full log for a strict event-time split (the documented contract:
+    same-timestamp events for a key must not straddle batches)."""
     import datetime as dt
     from kstream_spark.operators.scd import scd2_history
     from kstream_spark.streaming.scd import read_dimension, scd2_stream
