@@ -112,6 +112,7 @@ HEADLINE = [
     "scd2_incremental",
     "scd2_asof",
     "mm_afp_dedup",
+    "mm_video_dedup",
 ]
 
 

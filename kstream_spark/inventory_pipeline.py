@@ -2278,3 +2278,53 @@ WHERE {hamming} <= {max_hamming}
 
 
 PIPELINE_INVENTORY["mm_afp_dedup"] = (q_mm_afp_dedup, _mm_afp_sql())
+
+
+def q_mm_video_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Video near-dup by sampled-frame overlap (multimodal.
+    frame_overlap_pairs): each document yields two 8-frame clips — the
+    original and a TIME-SHIFTED copy (the payload trimmed by one frame
+    stride, the cut/re-mux artifact frame-set matching is built for) —
+    and the operator recovers the copy pairs from the exact-frame-hash
+    equi-join (7 of 8 frames shared; bucketed candidates, never
+    all-pairs).  Completes the dedup modality grid: text, image
+    (dHash), audio (Haitsma-Kalker), video (frame-set overlap)."""
+    stride = 32
+    d0 = (_docs(StreamBuilder(spark), sf)
+          .filter(F.length("text") >= 9 * stride).select("doc_id", "text"))
+    orig = d0.select((F.col("doc_id") * 2).alias("clip_id"), "text")
+    trimmed = d0.select((F.col("doc_id") * 2 + 1).alias("clip_id"),
+                        F.expr(f"substring(text, {stride + 1})")
+                        .alias("text"))
+    clips = orig.unionByName(trimmed)
+    frames = clips.select(
+        "clip_id",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("frame_idx"))
+    frames = (frames.join(clips, "clip_id")
+              .select("clip_id",
+                      F.sha2(F.expr(
+                          f"substring(text, frame_idx * {stride} + 1, "
+                          f"{stride})"), 256).alias("frame_sha")))
+    return M.frame_overlap_pairs(frames, "clip_id", "frame_sha",
+                                 min_shared=3)
+
+
+SQL_MM_VIDEO_DEDUP = """
+WITH d0 AS (SELECT doc_id, text FROM documents
+            WHERE length(text) >= 288),
+clips AS (SELECT doc_id*2 AS clip_id, text FROM d0
+          UNION ALL
+          SELECT doc_id*2+1, substring(text, 33) FROM d0),
+frames AS (SELECT DISTINCT clip_id,
+             lower(sha256(substring(text, f.i * 32 + 1, 32))) AS h
+           FROM clips CROSS JOIN (SELECT unnest(range(0, 8)) AS i) f)
+SELECT a.clip_id AS clip_a, b.clip_id AS clip_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM frames a JOIN frames b ON a.h = b.h AND a.clip_id < b.clip_id
+GROUP BY 1, 2
+HAVING count(*) >= 3
+"""
+
+
+PIPELINE_INVENTORY["mm_video_dedup"] = (q_mm_video_dedup,
+                                        SQL_MM_VIDEO_DEDUP)

@@ -334,3 +334,25 @@ def afp_pairs(df: DataFrame, id_col: str, energy_col: str,
     hb = afp_bands(df, id_col, energy_col, frames, fbands, lsh_bands)
     return banded_hamming_pairs(hb, id_col, lsh_bands, max_hamming,
                                 a_name="clip_a", b_name="clip_b")
+
+
+def frame_overlap_pairs(frames: DataFrame, id_col: str, hash_col: str,
+                        min_shared: int = 3) -> DataFrame:
+    """Video near-duplicate pairs by SAMPLED-FRAME overlap: clips sharing
+    at least ``min_shared`` exact frame fingerprints (the trim/time-shift
+    robustness model — a cut or re-muxed copy keeps most frame hashes
+    verbatim, so matching the frame SET catches what a whole-file hash
+    misses).  Candidates come from the equi-join on the frame hash —
+    bucketed by fingerprint, never all-pairs (identical scale shape to
+    the MinHash band join; a corpus-hot frame like a black slate fans
+    out as bucket^2 — pre-filter such frames with a document-frequency
+    cap the way dedup.winnow_pairs does if your corpus has them).
+    Input: one row per (clip, frame) with a fingerprint column (e.g.
+    sample_frames' frame_sha).  Returns (clip_a, clip_b, n_shared)."""
+    f = frames.select(F.col(id_col), F.col(hash_col).alias("_h")).distinct()
+    return (f.select(F.col(id_col).alias("clip_a"), "_h")
+            .join(f.select(F.col(id_col).alias("clip_b"), "_h"), "_h")
+            .filter(F.col("clip_a") < F.col("clip_b"))
+            .groupBy("clip_a", "clip_b")
+            .agg(F.count("*").cast("long").alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared))

@@ -735,3 +735,19 @@ def test_afp_dedup_survives_reencode_jitter_banded(spark):
                                  "clip_id long, energies array<int>")
     got = M.afp_pairs(same, "clip_id", "energies").collect()
     assert [(r.clip_a, r.clip_b, r.hamming) for r in got] == [(1, 2, 0)]
+
+
+def test_frame_overlap_pairs_recovers_trimmed_copy(spark):
+    """A time-shifted clip shares most exact frame hashes with its
+    original and is paired; an unrelated clip is not; candidates come
+    from the fingerprint equi-join (no cartesian)."""
+    from kstream_spark.operators import multimodal as M
+    rows = [(1, f"f{i}") for i in range(8)] + \
+        [(2, f"f{i}") for i in range(1, 9)] + \
+        [(3, f"g{i}") for i in range(8)]
+    df = spark.createDataFrame(rows, "clip_id long, h string")
+    out = M.frame_overlap_pairs(df, "clip_id", "h", min_shared=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    got = [(r.clip_a, r.clip_b, r.n_shared) for r in out.collect()]
+    assert got == [(1, 2, 7)]
