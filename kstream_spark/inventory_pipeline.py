@@ -2224,7 +2224,12 @@ def q_mm_afp_dedup(spark: SparkSession, sf: str) -> DataFrame:
         F.transform("energies",
                     lambda x, i: x + (i % F.lit(3) - 1)).alias("energies"))
     clips = orig.unionByName(copy).persist()  # decode once, hash many
-    return M.afp_pairs(clips, "clip_id", "energies", max_hamming=3)
+    # hot-bucket cap (winnow's max_fp_df dial): boilerplate envelopes
+    # hash whole cohorts into one band value — 322-occupancy buckets
+    # measured at sf0.1, a superlinear pair space; the cap is REPLAYED
+    # by the oracle's HAVING, so the query stays hash-exact
+    return M.afp_pairs(clips, "clip_id", "energies", max_hamming=3,
+                       max_band_df=50)
 
 
 def _mm_afp_sql(n_seg: int = 80, frames: int = 16, fbands: int = 4,
@@ -2267,8 +2272,11 @@ sig AS (SELECT clip_id, b.band_idx,
           CASE b.band_idx {band_case} END AS val
         FROM hb CROSS JOIN
           (SELECT unnest(range({lsh_bands})) AS band_idx) b),
+keep AS (SELECT band_idx, val FROM sig
+         GROUP BY 1, 2 HAVING count(*) <= 50),
+sigc AS (SELECT sig.* FROM sig JOIN keep USING (band_idx, val)),
 cand AS (SELECT DISTINCT a.clip_id AS clip_a, c.clip_id AS clip_b
-         FROM sig a JOIN sig c ON a.band_idx = c.band_idx
+         FROM sigc a JOIN sigc c ON a.band_idx = c.band_idx
            AND a.val = c.val AND a.clip_id < c.clip_id)
 SELECT cand.clip_a, cand.clip_b, CAST({hamming} AS BIGINT) AS hamming
 FROM cand JOIN hb x ON x.clip_id = cand.clip_a

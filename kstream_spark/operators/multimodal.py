@@ -245,14 +245,30 @@ def phash_pairs(df: DataFrame, id_col: str, pixel_col: str,
 
 def banded_hamming_pairs(hb: DataFrame, id_col: str, n_bands: int,
                          max_hamming: int, a_name: str = "id_a",
-                         b_name: str = "id_b") -> DataFrame:
+                         b_name: str = "id_b",
+                         max_band_df: int | None = None) -> DataFrame:
     """Hamming-LSH pair generation shared by the perceptual-hash dedup
     arms (image dHash, audio Haitsma-Kalker): candidates by exact-band
     equi-join (never all-pairs), verification by true Hamming over the
     full fingerprint, complete for max_hamming <= n_bands - 1 by
-    pigeonhole.  ``hb``: (id, bands array<int>)."""
+    pigeonhole.  ``hb``: (id, bands array<int>).
+
+    ``max_band_df`` is the hot-bucket cap (the max_fp_df dial of
+    dedup.winnow_pairs, applied to band buckets): a band value shared by
+    more than this many fingerprints — boilerplate envelopes hashing to
+    the same pattern — is dropped from CANDIDATE GENERATION, bounding
+    the pair space to occupancy^2 <= cap^2 per bucket.  A pair whose
+    every clean band is hot can then be missed (capped = the documented
+    approximate trade, exactly replayable by an oracle that applies the
+    same HAVING); None keeps pigeonhole-complete semantics."""
     sig = hb.select(F.col(id_col), F.posexplode("bands")
                     .alias("band_idx", "val"))
+    if max_band_df is not None:
+        keep = (sig.groupBy("band_idx", "val")
+                .agg(F.count("*").alias("_df"))
+                .filter(F.col("_df") <= max_band_df)
+                .select("band_idx", "val"))
+        sig = sig.join(keep, ["band_idx", "val"])
     cand = (sig.select(F.col(id_col).alias(a_name), "band_idx", "val")
             .join(sig.select(F.col(id_col).alias(b_name),
                              "band_idx", "val"), ["band_idx", "val"])
@@ -325,7 +341,8 @@ def afp_bands(df: DataFrame, id_col: str, energy_col: str,
 
 def afp_pairs(df: DataFrame, id_col: str, energy_col: str,
               max_hamming: int = 3, frames: int = 16, fbands: int = 4,
-              lsh_bands: int = 4) -> DataFrame:
+              lsh_bands: int = 4,
+              max_band_df: int | None = None) -> DataFrame:
     """Audio near-duplicate pairs: Haitsma-Kalker fingerprint + the
     shared Hamming-LSH band join (banded_hamming_pairs) — the audio arm
     of the dedup family, completing text / image / audio.  Returns
@@ -333,7 +350,8 @@ def afp_pairs(df: DataFrame, id_col: str, energy_col: str,
     by pigeonhole, candidates never all-pairs."""
     hb = afp_bands(df, id_col, energy_col, frames, fbands, lsh_bands)
     return banded_hamming_pairs(hb, id_col, lsh_bands, max_hamming,
-                                a_name="clip_a", b_name="clip_b")
+                                a_name="clip_a", b_name="clip_b",
+                                max_band_df=max_band_df)
 
 
 def frame_overlap_pairs(frames: DataFrame, id_col: str, hash_col: str,
