@@ -116,16 +116,27 @@ def drift_psi(ref: DataFrame, cur: DataFrame, bucket_col,
     their bucket counts.
     """
     gcols = list(group_cols or [])
+    cr = bucket_counts(ref, bucket_col, gcols, "count_ref")
+    cc = bucket_counts(cur, bucket_col, gcols, "count_cur")
+    return drift_psi_from_counts(cr, cc, gcols, n_buckets)
 
-    def counts(df: DataFrame, name: str) -> DataFrame:
-        c = (df.select(*gcols, bucket_col.alias("bucket"))
-             .groupBy(*gcols, "bucket")
-             .agg(F.count("*").cast("long").alias(name)))
-        tot = c.groupBy(*gcols).agg(F.sum(name).alias(f"_n_{name}"))
-        return c, tot
 
-    cr, tr = counts(ref, "count_ref")
-    cc, tc = counts(cur, "count_cur")
+def bucket_counts(df: DataFrame, bucket_col, gcols: list[str],
+                  name: str) -> DataFrame:
+    """(group..., bucket, <name>) counts — the persistable snapshot the
+    streaming drift monitor stores as its reference."""
+    return (df.select(*gcols, bucket_col.alias("bucket"))
+            .groupBy(*gcols, "bucket")
+            .agg(F.count("*").cast("long").alias(name)))
+
+
+def drift_psi_from_counts(cr: DataFrame, cc: DataFrame, gcols: list[str],
+                          n_buckets: int = 10) -> DataFrame:
+    """PSI from two pre-aggregated bucket-count relations (the shared
+    core of drift_psi and streaming/quality.drift_stream).  ``cr``
+    carries count_ref, ``cc`` count_cur."""
+    tr = cr.groupBy(*gcols).agg(F.sum("count_ref").alias("_n_count_ref"))
+    tc = cc.groupBy(*gcols).agg(F.sum("count_cur").alias("_n_count_cur"))
     keys = gcols + ["bucket"]
     both = (cr.join(cc, keys, "full_outer")
             .fillna(0, subset=["count_ref", "count_cur"]))

@@ -1192,3 +1192,37 @@ def test_scd2_stream_matches_batch_history(spark, tmp_path):
                                .astype(str).itertuples(index=False,
                                                        name=None)))
     assert key(got) == key(want)
+
+
+def test_drift_stream_matches_batch_psi(spark, tmp_path):
+    """A single-batch stream scored against the persisted reference
+    reproduces the batch drift_psi report bit-for-bit, and a shifted
+    batch raises a positive PSI alarm."""
+    from kstream_spark.operators.quality import (bucket_counts, drift_psi)
+    from kstream_spark.streaming.quality import drift_stream
+
+    ref = spark.createDataFrame([(i, float(i % 4)) for i in range(400)],
+                                "id long, v double")
+    bucket = F.floor("v").cast("long")
+    bucket_counts(ref, bucket, [], "count_ref") \
+        .write.parquet(str(tmp_path / "ref"))
+
+    cur = spark.createDataFrame([(i, float(3)) for i in range(100)],
+                                "id long, v double")
+    src = tmp_path / "in"
+    cur.coalesce(1).write.parquet(str(src))
+    stream = (spark.readStream.schema("id long, v double")
+              .parquet(str(src)))
+    q = drift_stream(stream, str(tmp_path / "ref"), str(tmp_path / "out"),
+                     str(tmp_path / "ck"), F.floor("v").cast("long"),
+                     n_buckets=4)
+    _run(q)
+
+    got = (spark.read.parquet(str(tmp_path / "out"))
+           .drop("__epoch").toPandas())
+    want = drift_psi(ref, cur, bucket, n_buckets=4).toPandas()
+    k = lambda p: sorted(map(tuple, p[["bucket", "count_ref", "count_cur",
+                                       "psi_micro"]]
+                             .itertuples(index=False, name=None)))
+    assert k(got) == k(want)
+    assert got["psi_micro"].sum() > 250_000  # the shift alarms
