@@ -132,3 +132,12 @@ def test_example_7_tokenizers(capsys):
     # subword tokenizers emit more tokens than words but fewer than chars
     assert 1.0 < bpe_fert < 8.0
     assert 1.0 < uni_fert < 8.0
+
+
+def test_example_8_ingest_pipeline(capsys):
+    import examples.ingest_pipeline as ex8
+    admitted, n_tokens = ex8.main()
+    out = capsys.readouterr().out
+    assert admitted == [1, 2, 4]     # exact re-ingest (3) rejected
+    assert n_tokens > 0
+    assert "per-batch drift PSI" in out
