@@ -547,11 +547,17 @@ _TOUCHED_THIS_ROUND = [
     # non-overlapping (delimiter-doubling triple-replace) — RESULTS
     # changed, both sides in lockstep
     "text_bpe_train", "text_bpe_tokenize",
-    # r7: _per_query_topk gained the NaN-score guard — every per-query
-    # ranker's evaluation path changed (values unchanged on real data)
-    "sim_cosine_topk", "sim_hard_negatives", "sim_ivf_topk",
-    "sim_ivf_kmeans_topk", "sim_ivf_recall", "sim_pq_adc_topk",
-    "sim_ivfpq_topk", "sim_ivfpq_residual_topk", "sim_ivfpq_recall",
+    # r7: _per_query_topk gained the NaN-score guard — the per-query
+    # ranker evaluation path changed (values unchanged on real data).
+    # One REPRESENTATIVE per distinct ranker shape re-proves with the
+    # driver; the siblings riding the identical guarded path
+    # (sim_hard_negatives, sim_ivf_topk, sim_ivf_recall, sim_ivfpq_topk,
+    # sim_ivfpq_recall) each carry a same-round sf1 sweep row instead —
+    # the window budget (50) must keep the ten r3-stale proofs inside
+    "sim_cosine_topk",          # plain broadcast-probe ranker
+    "sim_ivf_kmeans_topk",      # kmeans + literal-projection assignment
+    "sim_pq_adc_topk",          # ADC table ranker
+    "sim_ivfpq_residual_topk",  # residual ADC (the deepest composition)
     # r7: np_round6_half_up became decimal-exact (BigDecimal shortest-repr
     # HALF_UP) — centroid/codebook means could shift at .5e-6 boundaries,
     # so the kmeans-derived dedup path re-proves alongside the sim_* set
