@@ -113,6 +113,7 @@ HEADLINE = [
     "scd2_asof",
     "mm_afp_dedup",
     "mm_video_dedup",
+    "dedup_cdc_chunks",
 ]
 
 

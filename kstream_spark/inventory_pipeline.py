@@ -2336,3 +2336,66 @@ HAVING count(*) >= 3
 
 PIPELINE_INVENTORY["mm_video_dedup"] = (q_mm_video_dedup,
                                         SQL_MM_VIDEO_DEDUP)
+
+
+def q_dedup_cdc_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Content-defined chunking dedup audit (dedup.cdc_chunks): rolling-
+    hash boundaries chunk every document (shift-resistant, works on any
+    byte payload), then per document: chunk count and how many of its
+    chunks are SHARED verbatim with another document — the storage-layer
+    dedup ratio a blob store would realize."""
+    from kstream_spark.operators.dedup import cdc_chunks
+    # doc_id < 5000 bounds the ORACLE's per-position lambda replay at
+    # sf1 (covers every doc at the driver's sf0.01); the operator itself
+    # is a linear per-row projection at any scale
+    d0 = _docs(StreamBuilder(spark), sf).filter(F.col("doc_id") < 5000)
+    ch = cdc_chunks(d0, "doc_id", "text")
+    per = (ch.groupBy("chunk_md5")
+           .agg(F.count_distinct("doc_id").alias("_nd")))
+    return (ch.join(per, "chunk_md5")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_chunks"),
+                 F.sum(F.when(F.col("_nd") >= 2, 1).otherwise(0))
+                 .cast("long").alias("n_shared_chunks"),
+                 F.sum("chunk_len").cast("long").alias("n_bytes")))
+
+
+def _cdc_sql(window: int = 16, mask_bits: int = 6) -> str:
+    B, M = 257, (1 << 31) - 1
+    pows = [pow(B, j, M) for j in range(window)]
+    pows_sql = ",".join(str(p) for p in pows)
+    mask = 1 << mask_bits
+    return f"""
+WITH d AS (SELECT doc_id, text AS t, length(text) AS n,
+             list_transform(string_split_regex(text, ''),
+                            ch -> CAST(ord(ch) AS BIGINT)) AS codes
+           FROM documents WHERE doc_id < 5000),
+b AS (SELECT doc_id, t, n,
+        list_filter(range({window}, greatest(n, {window}) + 1), i ->
+          i <= n AND
+          list_sum(list_transform(range(0, {window}),
+            j -> codes[i - j] * ([{pows_sql}]::BIGINT[])[j + 1] % {M}))
+          % {M} % {mask} = 0) AS bounds
+      FROM d),
+se AS (SELECT doc_id, t,
+         list_prepend(0, bounds) AS starts,
+         list_append(bounds, CAST(n AS BIGINT)) AS ends
+       FROM b),
+ch AS (SELECT doc_id,
+         md5(substr(t, CAST(starts[k] AS INT) + 1,
+                    CAST(ends[k] - starts[k] AS INT))) AS chunk_md5,
+         ends[k] - starts[k] AS chunk_len
+       FROM se, unnest(range(1, len(starts) + 1)) AS u(k)
+       WHERE ends[k] - starts[k] > 0),
+per AS (SELECT chunk_md5, count(DISTINCT doc_id) AS nd
+        FROM ch GROUP BY 1)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared_chunks,
+       CAST(sum(chunk_len) AS BIGINT) AS n_bytes
+FROM ch JOIN per USING (chunk_md5)
+GROUP BY doc_id
+"""
+
+
+PIPELINE_INVENTORY["dedup_cdc_chunks"] = (q_dedup_cdc_chunks, _cdc_sql())

@@ -751,3 +751,35 @@ def test_frame_overlap_pairs_recovers_trimmed_copy(spark):
     assert "CartesianProduct" not in plan
     got = [(r.clip_a, r.clip_b, r.n_shared) for r in out.collect()]
     assert got == [(1, 2, 7)]
+
+
+def test_cdc_chunks_arrow_equals_expr_and_covers(spark):
+    """The Arrow (numpy sliding-dot) and pure-expression CDC paths are
+    bit-identical; chunks tile each document exactly; inserting a byte
+    early in a doc shifts at most the chunks around the edit (the
+    shift-resistance fixed-size blocking lacks)."""
+    import random
+    import string
+    from kstream_spark.operators.dedup import cdc_chunks
+    random.seed(3)
+    txt = "".join(random.choice(string.ascii_lowercase + " ")
+                  for _ in range(400))
+    rows = [(1, txt), (2, "x" + txt), (3, "sh"), (4, "é" * 40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = cdc_chunks(df, "doc_id", "text", impl="arrow").toPandas()
+    e = cdc_chunks(df, "doc_id", "text", impl="expr").toPandas()
+    key = lambda p: sorted(map(tuple, p.astype(str)
+                               .itertuples(index=False, name=None)))
+    assert key(a) == key(e)
+    # tiling: per doc, chunks are contiguous and cover [0, len)
+    for doc_id, g in a.groupby("doc_id"):
+        g = g.sort_values("chunk_start")
+        assert g["chunk_start"].iloc[0] == 0
+        assert (g["chunk_start"] + g["chunk_len"]).iloc[-1] == \
+            len(dict(rows)[doc_id])
+        assert ((g["chunk_start"] + g["chunk_len"]).iloc[:-1].values
+                == g["chunk_start"].iloc[1:].values).all()
+    # shift resistance: docs 1 and 2 share most chunk hashes
+    h1 = set(a[a.doc_id == 1]["chunk_md5"])
+    h2 = set(a[a.doc_id == 2]["chunk_md5"])
+    assert len(h1 & h2) >= max(1, len(h1) - 2)
