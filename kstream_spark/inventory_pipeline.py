@@ -2229,11 +2229,15 @@ def q_mm_afp_dedup(spark: SparkSession, sf: str) -> DataFrame:
     # measured at sf0.1, a superlinear pair space; the cap is REPLAYED
     # by the oracle's HAVING, so the query stays hash-exact
     return M.afp_pairs(clips, "clip_id", "energies", max_hamming=3,
-                       max_band_df=50)
+                       max_band_df=_AFP_BAND_DF)
+
+
+_AFP_BAND_DF = 50  # hot-bucket cap — ONE knob for driver call and oracle
 
 
 def _mm_afp_sql(n_seg: int = 80, frames: int = 16, fbands: int = 4,
-                lsh_bands: int = 4, max_hamming: int = 3) -> str:
+                lsh_bands: int = 4, max_hamming: int = 3,
+                band_df: int | None = None) -> str:
     """DuckDB replay: segment sums + jitter copy + HK second-difference
     bits + banded candidates + Hamming verify."""
     nbits = (frames - 1) * fbands
@@ -2273,7 +2277,7 @@ sig AS (SELECT clip_id, b.band_idx,
         FROM hb CROSS JOIN
           (SELECT unnest(range({lsh_bands})) AS band_idx) b),
 keep AS (SELECT band_idx, val FROM sig
-         GROUP BY 1, 2 HAVING count(*) <= 50),
+         GROUP BY 1, 2 HAVING count(*) <= {band_df or _AFP_BAND_DF}),
 sigc AS (SELECT sig.* FROM sig JOIN keep USING (band_idx, val)),
 cand AS (SELECT DISTINCT a.clip_id AS clip_a, c.clip_id AS clip_b
          FROM sigc a JOIN sigc c ON a.band_idx = c.band_idx
@@ -2305,14 +2309,15 @@ def q_mm_video_dedup(spark: SparkSession, sf: str) -> DataFrame:
                         F.expr(f"substring(text, {stride + 1})")
                         .alias("text"))
     clips = orig.unionByName(trimmed)
-    frames = clips.select(
-        "clip_id",
+    # explode + hash in ONE select (a generator may ride alongside other
+    # projection columns) — no self-join to re-attach text
+    frames = (clips.select(
+        "clip_id", "text",
         F.explode(F.sequence(F.lit(0), F.lit(7))).alias("frame_idx"))
-    frames = (frames.join(clips, "clip_id")
-              .select("clip_id",
-                      F.sha2(F.expr(
-                          f"substring(text, frame_idx * {stride} + 1, "
-                          f"{stride})"), 256).alias("frame_sha")))
+        .select("clip_id",
+                F.sha2(F.expr(
+                    f"substring(text, frame_idx * {stride} + 1, "
+                    f"{stride})"), 256).alias("frame_sha")))
     return M.frame_overlap_pairs(frames, "clip_id", "frame_sha",
                                  min_shared=3)
 

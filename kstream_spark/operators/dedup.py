@@ -779,6 +779,8 @@ def _cdc_chunks_arrow(df: DataFrame, id_col: str, text_col: str,
         for pdf in batches:
             ids, idxs, starts, lens, hashes = [], [], [], [], []
             for rid, t in zip(pdf["_id"], pdf["_t"]):
+                if t is None:  # null text: no chunks (== expr path's
+                    continue   # null propagation)
                 n = len(t)
                 bounds = []
                 if n >= w:
