@@ -114,6 +114,10 @@ HEADLINE = [
     "mm_afp_dedup",
     "mm_video_dedup",
     "dedup_cdc_chunks",
+    "text_wordpiece_train",
+    "text_wordpiece_tokenize",
+    "sim_ann_retrain",
+    "pipeline_selection_mix",
 ]
 
 

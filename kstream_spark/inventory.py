@@ -543,29 +543,16 @@ INVENTORY.update(QUALITY_INVENTORY)
 # queries appear in no CORRECTNESS file and land in group 2 automatically.
 
 _TOUCHED_THIS_ROUND = [
-    # r7: BPE merge semantics changed to Sennrich-exact greedy leftmost
-    # non-overlapping (delimiter-doubling triple-replace) — RESULTS
-    # changed, both sides in lockstep
-    "text_bpe_train", "text_bpe_tokenize",
-    # r7: _per_query_topk gained the NaN-score guard — the per-query
-    # ranker evaluation path changed (values unchanged on real data).
-    # One REPRESENTATIVE per distinct ranker shape re-proves with the
-    # driver; the siblings riding the identical guarded path
-    # (sim_hard_negatives, sim_ivf_topk, sim_ivf_recall, sim_ivfpq_topk,
-    # sim_ivfpq_recall) each carry a same-round sf1 sweep row instead —
-    # the window budget (50) must keep the ten r3-stale proofs inside
-    "sim_cosine_topk",          # plain broadcast-probe ranker
-    "sim_ivf_kmeans_topk",      # kmeans + literal-projection assignment
-    "sim_pq_adc_topk",          # ADC table ranker
-    "sim_ivfpq_residual_topk",  # residual ADC (the deepest composition)
-    # r7: np_round6_half_up became decimal-exact (BigDecimal shortest-repr
-    # HALF_UP) — centroid/codebook means could shift at .5e-6 boundaries,
-    # so the kmeans-derived dedup path re-proves alongside the sim_* set
-    "dedup_semantic",
-    # r7: with_global_rank pins its range shuffle with localCheckpoint
-    # (branch-recompute under AQE resampled boundaries -> corrupt ranks);
-    # the one registered consumer re-proves on the new evaluation path
-    "wf_ntile_dist",
+    # r8: kcenter_select's per-round argmax moved from the max-struct-
+    # with-negated-id trick to TakeOrderedAndProject (id-type-agnostic,
+    # advisor ask) — same winner, new evaluation path, re-prove
+    "select_kcenter",
+    # r8: drift_psi_from_counts ungrouped branch gained the empty-side
+    # fillna (grouped-branch parity) — evaluation path changed
+    "dq_drift_psi",
+    # r8: scd2_apply's open-row pseudo-change sentinel is now typed off
+    # the change batch's id column — both registered consumers re-prove
+    "scd2_incremental", "scd2_asof",
 ]
 
 

@@ -648,6 +648,133 @@ CORPUS_INVENTORY["text_wordpiece_pairs"] = (q_text_wordpiece_pairs,
                                             SQL_TEXT_WORDPIECE_PAIRS)
 
 
+_WPT_MERGES = 6     # WordPiece train rounds (mirrors _BPE_TRAIN_MERGES)
+_WPT_DOCS = 300     # tokenize slice: bounds the ORACLE's path enumeration
+_WPT_WLEN = 10      # tokenize word-length cap (same protocol as unigram)
+
+
+def _wordpiece_train_ctes(n: int) -> str:
+    """Unroll n WordPiece merge rounds as chained CTEs (no WITH prefix):
+    DuckDB replays the exact count -> score -> pick -> merge sequence the
+    Spark loop runs — pair counts AND current-symbol counts per round,
+    winner by likelihood gain ln(c_ab)-ln(c_a)-ln(c_b) in micro-log ints
+    (score desc, pair asc), merge via the same delimiter-doubling
+    triple-replace as the BPE oracle."""
+    parts = [r"""t AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+           FROM documents),
+wf AS (SELECT w, CAST(count(*) AS BIGINT) AS wf
+       FROM t WHERE length(w) >= 2 GROUP BY w),
+s0 AS (SELECT ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS seq, wf
+       FROM wf)"""]
+    for r in range(1, n + 1):
+        prev = f"s{r - 1}"
+        parts.append(f""",
+p{r} AS (SELECT pair, CAST(sum(wf) AS BIGINT) AS cnt
+  FROM (SELECT wf, unnest(list_transform(
+            range(1, len(string_split(trim(seq), ' '))),
+            i -> string_split(trim(seq), ' ')[i] || ' '
+                 || string_split(trim(seq), ' ')[i + 1])) AS pair
+        FROM {prev} WHERE len(string_split(trim(seq), ' ')) > 1)
+  GROUP BY pair),
+y{r} AS (SELECT sym, CAST(sum(wf) AS BIGINT) AS sc
+  FROM (SELECT wf, unnest(string_split(trim(seq), ' ')) AS sym
+        FROM {prev})
+  GROUP BY sym),
+b{r} AS (SELECT pair, replace(pair, ' ', '') AS merged, cnt, score_micro
+  FROM (SELECT pair, cnt,
+               CAST(round((ln(cnt) - ln(ya.sc) - ln(yb.sc)) * 1e6, 0)
+                    AS BIGINT) AS score_micro
+        FROM p{r} JOIN y{r} ya ON string_split(pair, ' ')[1] = ya.sym
+                  JOIN y{r} yb ON string_split(pair, ' ')[2] = yb.sym)
+  ORDER BY score_micro DESC, pair ASC LIMIT 1),
+s{r} AS (SELECT replace(replace(replace(seq, ' ', '  '),
+                        ' ' || replace(bb.pair, ' ', '  ') || ' ',
+                        ' ' || bb.merged || ' '),
+                        '  ', ' ') AS seq, wf
+  FROM {prev}, b{r} bb)""")
+    return "".join(parts)
+
+
+def _sql_wordpiece_train(n: int) -> str:
+    union = "\nUNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_rank, pair, merged, cnt, "
+        f"score_micro FROM b{r}" for r in range(1, n + 1))
+    return f"WITH {_wordpiece_train_ctes(n)}\n{union}"
+
+
+def q_text_wordpiece_train(spark: SparkSession, sf: str) -> DataFrame:
+    """Full iterative WordPiece training loop: merge the top LIKELIHOOD-
+    GAIN pair, recount both pair and symbol statistics, repeat
+    (operators/text.wordpiece_train; text_wordpiece_pairs is one round's
+    statistic) — completing the train half of the third tokenizer-family
+    cycle next to text_bpe_train and text_unigram_train."""
+    from kstream_spark.operators.text import wordpiece_train
+    return wordpiece_train(_docs(spark, sf), "text", n_merges=_WPT_MERGES)
+
+
+CORPUS_INVENTORY["text_wordpiece_train"] = (
+    q_text_wordpiece_train, _sql_wordpiece_train(_WPT_MERGES))
+
+
+def q_text_wordpiece_tokenize(spark: SparkSession, sf: str) -> DataFrame:
+    """WordPiece INFERENCE: train _WPT_MERGES merges on the full corpus,
+    then greedy longest-match-first (MaxMatch) tokenize the bounded
+    slice (doc_id < 300, words <= 10 chars — the slice bounds the
+    ORACLE's path enumeration, not the operator) and report every
+    (token, cnt).  The oracle replays training as unrolled CTEs, then
+    enumerates all segmentations and picks the lexicographically LARGEST
+    piece-length sequence — provably the MaxMatch path (see
+    operators/text._maxmatch_pieces)."""
+    from kstream_spark.operators.text import (wordpiece_tokenize,
+                                              wordpiece_train)
+    docs = _docs(spark, sf)
+    vocab = [r["merged"] for r in
+             wordpiece_train(docs, "text", n_merges=_WPT_MERGES)
+             .orderBy("merge_rank").collect()]
+    sl = docs.filter(F.col("doc_id") < _WPT_DOCS)
+    return wordpiece_tokenize(sl, "text", vocab, max_word_len=_WPT_WLEN)
+
+
+def _sql_wordpiece_tokenize(n: int) -> str:
+    vocab_union = "\nUNION ALL ".join(
+        f"SELECT merged FROM b{r}" for r in range(1, n + 1))
+    return f"""WITH RECURSIVE {_wordpiece_train_ctes(n)},
+t2 AS (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+       FROM documents WHERE doc_id < {_WPT_DOCS}),
+wf2 AS (SELECT w, CAST(count(*) AS BIGINT) AS wf
+        FROM t2 WHERE w <> '' GROUP BY w),
+wfe AS MATERIALIZED (SELECT w, wf FROM wf2 WHERE length(w) <= {_WPT_WLEN}),
+vocabw AS MATERIALIZED (SELECT DISTINCT merged AS piece
+                        FROM ({vocab_union})),
+chars2 AS MATERIALIZED (SELECT DISTINCT substr(w, i, 1) AS piece
+          FROM wfe, unnest(range(1, length(w) + 1)) AS u(i)),
+allp AS MATERIALIZED (SELECT piece FROM vocabw
+          UNION
+          SELECT piece FROM chars2),
+seg AS (SELECT w, wf, 0 AS pos, []::VARCHAR[] AS pieces
+        FROM wfe
+        UNION ALL
+        SELECT s.w, s.wf, s.pos + length(p.piece),
+               list_append(s.pieces, p.piece)
+        FROM seg s JOIN allp p
+          ON substr(s.w, s.pos + 1, length(p.piece)) = p.piece
+        WHERE s.pos < length(s.w)),
+best AS MATERIALIZED (SELECT w, wf, pieces
+          FROM (SELECT *, row_number() OVER (PARTITION BY w
+                  ORDER BY list_transform(pieces, x -> length(x)) DESC)
+                  AS rn
+                FROM seg WHERE pos = length(w))
+          WHERE rn = 1)
+SELECT token, CAST(sum(wf) AS BIGINT) AS cnt
+FROM (SELECT wf, unnest(pieces) AS token FROM best)
+GROUP BY token
+"""
+
+
+CORPUS_INVENTORY["text_wordpiece_tokenize"] = (
+    q_text_wordpiece_tokenize, _sql_wordpiece_tokenize(_WPT_MERGES))
+
+
 def q_text_bigram_lm(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus-self bigram LM per-document log-probability (exact integer
     micro-units; operators/corpus.bigram_logprob) — the conditional
@@ -720,6 +847,117 @@ FROM b GROUP BY difficulty
 
 CORPUS_INVENTORY["select_curriculum"] = (q_select_curriculum,
                                          SQL_SELECT_CURRICULUM)
+
+
+_MIX_SELECT = 200   # DSIR-kept docs feeding the mix
+_MIX_BINS = 5       # curriculum difficulty bins
+
+
+def q_pipeline_selection_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """The SELECTION family composed end-to-end — the "build a training
+    mix" story a real user runs: DSIR importance resampling toward the
+    target source (keep the top {n} docs) -> curriculum difficulty
+    binning of the KEPT slice (bigram-LM score, distributed two-phase
+    ntile) -> sequence-pack each difficulty bin (pack_chunks along the
+    bin as the shard) -> one audit row per bin: doc/token/chunk counts,
+    fill ratio, and the bin's total DSIR mass.  Every stage is the
+    already-oracle-checked operator (select_dsir, bigram_logprob +
+    with_ntile_percent_rank, pack_chunks); this row proves their
+    COMPOSITION.  Docs with <2 words carry no bigram score and drop at
+    the binning stage, same as select_curriculum."""
+    from kstream_spark.operators import selection as SEL
+    from kstream_spark.operators.corpus import bigram_logprob
+    from kstream_spark.operators.ranking import with_ntile_percent_rank
+    docs = _docs(spark, sf)
+    kept = docs.join(
+        F.broadcast(SEL.select_dsir(docs, "doc_id", "text",
+                                    F.col("source") == "src18",
+                                    n_select=_MIX_SELECT, n_buckets=256)
+                    .select("doc_id", "dsir_micro")),
+        "doc_id")
+    lm = bigram_logprob(kept, "doc_id", "text")
+    scored = lm.withColumn(
+        "_lpb", F.col("sum_logp_micro").cast("double") / F.col("n_bigrams"))
+    binned = with_ntile_percent_rank(
+        scored, [F.asc("_lpb"), F.asc("doc_id")], n_buckets=_MIX_BINS,
+        ntile_col="difficulty", pct_col="_pct")
+    sliced = kept.join(binned.select("doc_id", "difficulty"), "doc_id")
+    packed = C.pack_chunks(sliced, "doc_id", "text", capacity=256,
+                           shard_col="difficulty")
+    return (packed.join(sliced.select("doc_id", "dsir_micro"), "doc_id")
+            .groupBy(F.col("shard").alias("difficulty"))
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("tokens").cast("long").alias("total_tokens"),
+                 (F.max("chunk_last") + 1).cast("long").alias("n_chunks"),
+                 F.sum("dsir_micro").cast("long").alias("sum_dsir_micro"))
+            .withColumn("fill_ratio",
+                        F.round(F.col("total_tokens")
+                                / (F.col("n_chunks") * 256.0), 6))
+            .orderBy("difficulty"))
+
+
+SQL_PIPELINE_SELECTION_MIX = f"""
+WITH dtok AS (SELECT doc_id, (source = 'src18') AS t,
+               CAST(CAST(('0x' || substr(md5('dsir:' || u), 1, 8)) AS UBIGINT)
+                    % 256 AS BIGINT) AS b
+        FROM (SELECT doc_id, source,
+                     unnest(list_filter(string_split_regex(lower(text),
+                                                           '\\s+'),
+                                        x -> x <> '')) AS u
+              FROM documents)),
+dcounts AS (SELECT b, count(*) AS cs, count(*) FILTER (t) AS ct
+            FROM dtok GROUP BY b),
+dtot AS (SELECT sum(cs) AS ns, sum(ct) AS nt FROM dcounts),
+dwt AS (SELECT b, CAST(round((ln((ct + 1) / (nt + 256))
+                              - ln((cs + 1) / (ns + 256))) * 1e6, 0)
+                       AS BIGINT) AS wgt
+        FROM dcounts, dtot),
+ddoc AS (SELECT doc_id, CAST(sum(wgt) AS BIGINT) AS dsir_micro
+         FROM dtok JOIN dwt USING (b) GROUP BY doc_id),
+sel AS (SELECT doc_id, dsir_micro FROM ddoc
+        QUALIFY row_number() OVER (ORDER BY dsir_micro DESC, doc_id)
+                <= {_MIX_SELECT}),
+w AS (SELECT d.doc_id,
+             list_filter(string_split_regex(lower(d.text), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents d JOIN sel USING (doc_id)),
+big AS (SELECT doc_id,
+               unnest(list_transform(range(2, len(ws) + 1),
+                                     i -> ws[i-1] || ' ' || ws[i])) AS bg
+        FROM w WHERE len(ws) >= 2),
+cb AS (SELECT bg, count(*) AS cab FROM big GROUP BY bg),
+ca AS (SELECT split_part(bg, ' ', 1) AS a, sum(cab) AS ca
+       FROM cb GROUP BY 1),
+lp AS (SELECT bg, CAST(round(ln(cab / ca) * 1e6, 0) AS BIGINT) AS lpi
+       FROM cb JOIN ca ON split_part(cb.bg, ' ', 1) = ca.a),
+lm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+              CAST(sum(lpi) AS BIGINT) AS sum_logp_micro
+       FROM big JOIN lp USING (bg) GROUP BY doc_id),
+b AS (SELECT doc_id, CAST(ntile({_MIX_BINS}) OVER (
+        ORDER BY CAST(sum_logp_micro AS DOUBLE) / n_bigrams ASC,
+                 doc_id ASC) AS BIGINT) AS difficulty
+      FROM lm),
+tok AS (SELECT b.doc_id, b.difficulty, CAST(len(w.ws) AS BIGINT) AS tokens,
+               s.dsir_micro
+        FROM b JOIN w USING (doc_id) JOIN sel s USING (doc_id)),
+c AS (SELECT doc_id, difficulty, tokens, dsir_micro,
+        CAST(sum(tokens) OVER (PARTITION BY difficulty ORDER BY doc_id)
+             AS BIGINT) AS cum
+      FROM tok),
+p AS (SELECT difficulty, tokens, dsir_micro,
+        CAST(floor(CASE WHEN tokens = 0 THEN greatest(cum - 1, 0)
+                        ELSE cum - 1 END / 256.0) AS BIGINT) AS chunk_last
+      FROM c)
+SELECT difficulty, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(tokens) AS BIGINT) AS total_tokens,
+       CAST(max(chunk_last) + 1 AS BIGINT) AS n_chunks,
+       CAST(sum(dsir_micro) AS BIGINT) AS sum_dsir_micro,
+       round(sum(tokens) / ((max(chunk_last) + 1) * 256.0), 6) AS fill_ratio
+FROM p GROUP BY difficulty ORDER BY difficulty
+"""
+
+CORPUS_INVENTORY["pipeline_selection_mix"] = (q_pipeline_selection_mix,
+                                              SQL_PIPELINE_SELECTION_MIX)
 
 
 def q_text_lexical_diversity(spark: SparkSession, sf: str) -> DataFrame:

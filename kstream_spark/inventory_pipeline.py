@@ -1775,6 +1775,85 @@ GROUP BY b.query_id
 PIPELINE_INVENTORY["sim_ann_drift"] = (q_sim_ann_drift, _ann_drift_sql())
 
 
+_RETRAIN_BOOT = 48        # bootstrap training slice (deliberately underfit)
+_RETRAIN_THRESHOLD = 12   # retrain when recall@10 hits < 12/50 (24%)
+
+
+def q_sim_ann_retrain(spark: SparkSession, sf: str) -> DataFrame:
+    """The drift -> RETRAIN decision, closed end-to-end (sim_ann_drift
+    measures staleness; this row acts on it): codebooks trained at
+    bootstrap time on the first {boot} arrivals (a deliberately underfit
+    index — the day-one state of a streaming deployment) are recall-
+    audited against brute-force cosine; when total recall@10 over the 5
+    query vectors falls below {thr}/50, the index RETRAINS on the full
+    corpus and the audit re-runs — 'before' rows always, 'after' rows
+    exactly when the trigger fired, so the row proves BOTH the decision
+    and the recovery (before 10/50 -> after 15/50 at sf0.01).  The
+    decision threshold is replayed by the oracle (a scalar-subquery
+    WHERE on the union's after-arm), so the conditional is itself
+    hash-proven.  The streaming wiring (measure -> decide -> rebuild ->
+    compact_code_store) is streaming/ann.retrain_if_drifted, unit-tested
+    for arm-equality with this query.  Returns (phase, query_id,
+    n_hits)."""
+    emb = _embs(StreamBuilder(spark), sf)
+    qids = [0, 1, 2, 3, 4]
+    exact = S.cosine_topk(emb, "vec_id", "embedding", query_ids=qids,
+                          k=10).select("query_id", "neighbor_id")
+
+    def recall(books):
+        approx = S.pq_adc_topk(emb, "vec_id", "embedding", qids, books,
+                               k=10).select("query_id", "neighbor_id")
+        ind = F.broadcast(approx.withColumn("_hit", F.lit(1)))
+        return (exact.join(ind, ["query_id", "neighbor_id"], "left")
+                .groupBy("query_id")
+                .agg(F.count("_hit").cast("long").alias("n_hits")))
+
+    boot_books = S.pq_codebooks(emb.filter(F.col("vec_id") < _RETRAIN_BOOT),
+                                "embedding", m=4, k=16, iters=2,
+                                id_col="vec_id")
+    before = recall(boot_books)
+    # the decision: one bounded (|Q|-row) driver action — the same
+    # 1-action-per-round contract as the training loops
+    total = before.agg(F.sum("n_hits")).collect()[0][0] or 0
+    out = before.select(F.lit("before").alias("phase"), "query_id",
+                        "n_hits")
+    if total < _RETRAIN_THRESHOLD:
+        fresh = S.pq_codebooks(emb, "embedding", m=4, k=16, iters=2,
+                               id_col="vec_id")
+        out = out.unionByName(
+            recall(fresh).select(F.lit("after").alias("phase"),
+                                 "query_id", "n_hits"))
+    return out
+
+
+def _ann_retrain_sql() -> str:
+    boot = f"WHERE vec_id < {_RETRAIN_BOOT}"
+    return f"""
+WITH boot AS (SELECT query_id, neighbor_id
+              FROM ({_pq_adc_sql(train_where=boot)}) t),
+fresh AS (SELECT query_id, neighbor_id FROM ({_pq_adc_sql()}) t),
+brute AS (SELECT query_id, neighbor_id FROM ({SQL_SIM_COSINE_TOPK}) t),
+before AS (SELECT b.query_id,
+                  CAST(count(s.neighbor_id) AS BIGINT) AS n_hits
+           FROM brute b LEFT JOIN boot s
+             ON s.query_id = b.query_id AND s.neighbor_id = b.neighbor_id
+           GROUP BY b.query_id),
+after AS (SELECT b.query_id,
+                 CAST(count(f.neighbor_id) AS BIGINT) AS n_hits
+          FROM brute b LEFT JOIN fresh f
+            ON f.query_id = b.query_id AND f.neighbor_id = b.neighbor_id
+          GROUP BY b.query_id)
+SELECT 'before' AS phase, query_id, n_hits FROM before
+UNION ALL
+SELECT 'after' AS phase, query_id, n_hits FROM after
+WHERE (SELECT sum(n_hits) FROM before) < {_RETRAIN_THRESHOLD}
+"""
+
+
+PIPELINE_INVENTORY["sim_ann_retrain"] = (q_sim_ann_retrain,
+                                         _ann_retrain_sql())
+
+
 # -- data-selection family (operators/selection.py) -------------------------
 def q_select_dsir(spark: SparkSession, sf: str) -> DataFrame:
     """DSIR-style hashed importance resampling toward a target source."""

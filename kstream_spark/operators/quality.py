@@ -147,7 +147,10 @@ def drift_psi_from_counts(cr: DataFrame, cc: DataFrame, gcols: list[str],
                 .join(F.broadcast(tc), gcols, "left")
                 .fillna(0, subset=["_n_count_ref", "_n_count_cur"]))
     else:
-        both = both.join(F.broadcast(tr)).join(F.broadcast(tc))
+        # the ungrouped agg emits one row with a NULL sum over an empty
+        # side — fillna keeps parity with the grouped branch's smoothing
+        both = (both.join(F.broadcast(tr)).join(F.broadcast(tc))
+                .fillna(0, subset=["_n_count_ref", "_n_count_cur"]))
     pr = (F.col("count_ref") + 1) / (F.col("_n_count_ref") + n_buckets)
     pc = (F.col("count_cur") + 1) / (F.col("_n_count_cur") + n_buckets)
     psi = F.round((pc - pr) * F.log(pc / pr) * 1e6, 0).cast("long")

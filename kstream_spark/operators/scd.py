@@ -86,10 +86,13 @@ def scd2_apply(history: DataFrame, changes: DataFrame, key_col: str,
     closed = history.filter(~cur).select(
         key_col, *attr_cols, "valid_from", "valid_to", "is_current")
     open_rows = history.filter(cur)
+    # sentinel typed off the CHANGE batch's id column — a string/decimal
+    # id would otherwise fail (or silently coerce) in the unionByName
+    id_type = dict(changes.dtypes).get(id_col, "long") if id_col else None
     pseudo = open_rows.select(
         F.col(key_col), *[F.col(a) for a in attr_cols],
         F.col("valid_from").alias(ts_col),
-        *([F.lit(-1).cast("long").alias(id_col)] if id_col else []))
+        *([F.lit(-1).cast(id_type).alias(id_col)] if id_col else []))
     wm = open_rows.select(F.col(key_col),
                           F.col("valid_from").alias("_wm"))
     ch = (changes.join(wm, key_col, "left")

@@ -161,13 +161,14 @@ def kcenter_select(emb: DataFrame, id_col: str, vec_col: str,
     production k-center at that scale samples per-partition candidates
     first — composing this with deterministic_sample gives exactly that.
     """
+    id_type = dict(emb.dtypes)[id_col]  # id-type-agnostic (string ids OK)
     base = (emb.select(F.col(id_col).alias("vec_id"),
                        as_double(F.col(vec_col)).alias("v"))
             .persist())
     try:
         seed = (base.orderBy("vec_id").limit(1)
                 .select("vec_id", "v").collect()[0])
-        centers = [(int(seed.vec_id), [float(x) for x in seed.v], 0.0)]
+        centers = [(seed.vec_id, [float(x) for x in seed.v], 0.0)]
         for _ in range(k - 1):
             cmat = F.lit([c[1] for c in centers])
             dists = F.transform(
@@ -176,21 +177,21 @@ def kcenter_select(emb: DataFrame, id_col: str, vec_col: str,
                     F.aggregate(F.zip_with(F.col("v"), cv,
                                            lambda x, y: (x - y) * (x - y)),
                                 F.lit(0.0), lambda a, x: a + x), 6))
+            # orderBy+limit(1) compiles to TakeOrderedAndProject —
+            # per-partition top-1 then a 1-row driver merge, and unlike
+            # the max-struct-with-negated-id trick it needs no numeric id
             nxt = (base.select("vec_id", "v",
                                F.array_min(dists).alias("d"))
-                   .agg(F.max(F.struct(F.col("d"), (-F.col("vec_id"))
-                                       .alias("_negid"),
-                                       F.col("vec_id"), F.col("v")))
-                        .alias("m"))
-                   .select("m.vec_id", "m.v", "m.d").collect()[0])
-            if any(c[0] == int(nxt.vec_id) for c in centers):
+                   .orderBy(F.desc("d"), F.asc("vec_id"))
+                   .limit(1).collect()[0])
+            if any(c[0] == nxt.vec_id for c in centers):
                 break  # k > n: every point is already a center
-            centers.append((int(nxt.vec_id), [float(x) for x in nxt.v],
+            centers.append((nxt.vec_id, [float(x) for x in nxt.v],
                             float(nxt.d)))
         spark = emb.sparkSession
         return spark.createDataFrame(
             [(i + 1, c[0], c[2]) for i, c in enumerate(centers)],
-            "rank bigint, vec_id bigint, dist double")
+            f"rank bigint, vec_id {id_type}, dist double")
     finally:
         base.unpersist()
 

@@ -774,3 +774,142 @@ def unigram_tokenize(df: DataFrame, text_col: str, pieces: list,
 
     return (word_freq.mapInPandas(run, "token string, c long")
             .groupBy("token").agg(F.sum("c").cast("long").alias("cnt")))
+
+
+def wordpiece_train(df: DataFrame, text_col: str,
+                    n_merges: int = 6) -> DataFrame:
+    """ITERATIVE WordPiece training (Schuster & Nakajima 2012, the BERT
+    tokenizer's training rule): structurally bpe_train's loop — merge one
+    adjacent symbol pair everywhere per round, recount — but the winner
+    maximizes the LIKELIHOOD GAIN ``ln(c_ab) - ln(c_a) - ln(c_b)`` over
+    the CURRENT symbol statistics (``wordpiece_pair_scores`` is round 1's
+    statistic) instead of BPE's raw pair frequency: a rare pairing of two
+    common symbols loses to a faithful pairing of rare symbols.
+
+    Scoring is the exact integer ``round((ln c_ab - ln c_a - ln c_b)*1e6)``
+    (micro-log units, ties toward the lexicographically lowest pair) so
+    the winner sequence is engine-exact and an oracle can unroll the
+    count -> score -> pick -> merge chain as CTEs.  Symbol statistics
+    cover the pair-bearing words (length >= 2, same corpus compression
+    as bpe_train); the merge itself is the delimiter-doubling
+    triple-replace (greedy leftmost non-overlapping — see bpe_train).
+
+    Scale shape: identical to bpe_train plus ONE extra vocab-sized
+    map-side-combinable aggregation per round (the symbol counts, which
+    are alphabet-plus-merges-sized and broadcast onto the pair relation);
+    one 1-row driver action per round — the irreducible sequential
+    dependency of agglomerative tokenizer training.
+
+    Returns one row per merge:
+    (merge_rank, pair, merged, cnt, score_micro)."""
+    spark = df.sparkSession
+    w = words(F.col(text_col))
+    word_freq = (df.select(F.explode(w).alias("w"))
+                 .filter(F.length("w") >= 2)
+                 .groupBy("w").agg(F.count("*").cast("long").alias("wf"))
+                 .persist())
+    cur = word_freq.select(
+        F.concat(F.lit(" "),
+                 F.expr(r"regexp_replace(w, '(.)', '$1 ')")).alias("seq"),
+        "wf")
+    merges: list[tuple] = []
+    for r in range(1, n_merges + 1):
+        pairs = (cur.filter(F.size(F.split(F.trim("seq"), " ")) > 1)
+                 .select("wf", F.explode(F.expr(_BPE_PAIRS_EXPR))
+                         .alias("pair"))
+                 .groupBy("pair")
+                 .agg(F.sum("wf").cast("long").alias("cnt")))
+        syms = (cur.select(
+            "wf",
+            F.explode(F.split(F.trim("seq"), " ")).alias("sym"))
+            .groupBy("sym").agg(F.sum("wf").cast("long").alias("sc")))
+        sa = syms.select(F.col("sym").alias("_a"), F.col("sc").alias("_ca"))
+        sb = syms.select(F.col("sym").alias("_b"), F.col("sc").alias("_cb"))
+        top = (pairs
+               .join(F.broadcast(sa),
+                     F.element_at(F.split("pair", " "), 1) == F.col("_a"))
+               .join(F.broadcast(sb),
+                     F.element_at(F.split("pair", " "), 2) == F.col("_b"))
+               .select("pair", "cnt",
+                       F.round((F.log("cnt") - F.log("_ca") - F.log("_cb"))
+                               * 1e6, 0).cast("long").alias("score_micro"))
+               .orderBy(F.desc("score_micro"), F.asc("pair"))
+               .limit(1).collect())
+        if not top:
+            break
+        pair, cnt, score = (top[0]["pair"], int(top[0]["cnt"]),
+                            int(top[0]["score_micro"]))
+        merged = pair.replace(" ", "")
+        merges.append((r, pair, merged, cnt, score))
+        cur = cur.select(
+            F.replace(
+                F.replace(
+                    F.replace(F.col("seq"), F.lit(" "), F.lit("  ")),
+                    F.lit(" " + pair.replace(" ", "  ") + " "),
+                    F.lit(f" {merged} ")),
+                F.lit("  "), F.lit(" ")).alias("seq"), "wf")
+    word_freq.unpersist()
+    return spark.createDataFrame(
+        merges, schema="merge_rank long, pair string, merged string, "
+                       "cnt long, score_micro long")
+
+
+def _maxmatch_pieces(word: str, vocab: set, max_len: int) -> list:
+    """Greedy longest-match-first (MaxMatch) segmentation: at each
+    position take the LONGEST vocab piece that prefixes the remainder;
+    single characters always segment (the OOV floor — same convention as
+    the unigram family, so every word tokenizes without an [UNK] path).
+
+    Equivalence the oracle exploits: among ALL full segmentations whose
+    pieces are (vocab | single chars), the MaxMatch path is exactly the
+    one with the lexicographically LARGEST piece-length sequence — at
+    every position greedy takes the longest available piece (the max
+    first element), single chars guarantee any prefix choice completes,
+    and the suffix decomposition is position-independent, so induction
+    carries it through — letting the proven path-enumeration recursive
+    CTE replay MaxMatch with just a different ORDER BY."""
+    out = []
+    i, n = 0, len(word)
+    while i < n:
+        l = min(max_len, n - i)
+        while l > 1 and word[i:i + l] not in vocab:
+            l -= 1
+        out.append(word[i:i + l])
+        i += l
+    return out
+
+
+def wordpiece_tokenize(df: DataFrame, text_col: str, vocab: list,
+                       max_word_len: int | None = None) -> DataFrame:
+    """Tokenizer INFERENCE with a trained WordPiece vocabulary: greedy
+    longest-match-first over ``vocab`` (the ``merged`` column of
+    wordpiece_train; single chars are implicit) for every distinct
+    corpus word, returning corpus token counts (token, cnt) weighted by
+    word frequency — bpe_tokenize / unigram_tokenize's analog for the
+    WordPiece family, completing its train -> tokenize cycle.
+
+    Scale shape: the per-word greedy scan is inherently sequential, so
+    it runs as ONE Arrow-batched mapInPandas over the DISTINCT-WORD
+    relation with the vocab a broadcast python set — vocab-sized work,
+    never a corpus re-scan — then one map-side-combinable count."""
+    import pandas as pd
+    vset = {p for p in vocab}
+    max_len = max((len(p) for p in vset), default=1)
+    w = words(F.col(text_col))
+    word_freq = (df.select(F.explode(w).alias("w"))
+                 .filter(F.col("w") != "")
+                 .groupBy("w").agg(F.count("*").cast("long").alias("wf")))
+    if max_word_len is not None:
+        word_freq = word_freq.filter(F.length("w") <= max_word_len)
+
+    def run(batches):
+        for pdf in batches:
+            out_p, out_c = [], []
+            for word, wf in zip(pdf["w"], pdf["wf"]):
+                for piece in _maxmatch_pieces(word, vset, max_len):
+                    out_p.append(piece)
+                    out_c.append(int(wf))
+            yield pd.DataFrame({"token": out_p, "c": out_c})
+
+    return (word_freq.mapInPandas(run, "token string, c long")
+            .groupBy("token").agg(F.sum("c").cast("long").alias("cnt")))

@@ -123,14 +123,18 @@ def read_table_with_dlq(spark: SparkSession, path: str, fmt: str,
         r = r.option("header", options.pop("header", "true"))
     for k, v in options.items():
         r = r.option(k, v)
-    df = r.load(path)
+    # input_file_name() only resolves while the scan is the file source —
+    # once the cache below interposes an InMemoryRelation it returns ''.
+    # Capture provenance in the initial projection, before caching.
+    from pyspark.sql import functions as F
+    df = r.load(path).withColumn("_source_file", F.input_file_name())
     # Spark refuses to filter on ONLY the corrupt column of a json scan
     # (SPARK-26108) unless the parsed columns are referenced too — cache
     # the split point so both relations come from one materialization
-    from pyspark.sql import functions as F
     df = df.cache()
-    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    good = (df.filter(F.col(corrupt_col).isNull())
+            .drop(corrupt_col, "_source_file"))
     dlq = (df.filter(F.col(corrupt_col).isNotNull())
            .select(F.col(corrupt_col).alias("raw"),
-                   F.input_file_name().alias("source_file")))
+                   F.col("_source_file").alias("source_file")))
     return good, dlq

@@ -50,8 +50,17 @@ class StoreHttpServer:
                 try:
                     if parts == ["stores"]:
                         return self._json(200, reg.stores())
+                    if parts == ["indexes"]:
+                        # ref http.go:138-147 GET /indexes — every store's
+                        # index-able columns (non-key schema columns)
+                        return self._json(200, reg.indexes())
                     if len(parts) >= 2 and parts[0] == "stores":
                         store = reg.store(parts[1])
+                        if len(parts) == 3 and parts[2] == "indexes":
+                            # ref http.go:194-250 GET /stores/{s}/indexes
+                            # (route shadows a literal point-lookup key
+                            # "indexes", same as the reference's mux)
+                            return self._json(200, store.indexes())
                         if len(parts) == 2:          # full scan (paged)
                             q = parse_qs(url.query)
                             raw = q.get("limit", [DEFAULT_SCAN_LIMIT])[0]

@@ -66,6 +66,12 @@ class Store:
     def get_indexed(self, index_col: str, value) -> DataFrame:
         return self._live().filter(F.col(index_col) == F.lit(value))
 
+    # ref: indexed_store.go Indexes() — in the Spark model every non-key
+    # column supports an index lookup (the filter IS the index, pushed to
+    # the scan), so the listing is the schema minus the key
+    def indexes(self) -> list[str]:
+        return sorted(c for c in self._df.columns if c not in self.key)
+
     def df(self) -> DataFrame:
         return self._live()
 
@@ -105,6 +111,12 @@ class StoreRegistry:
     def stores(self) -> list[str]:
         # ref: http.go GET /stores
         return sorted(self._stores)
+
+    def indexes(self) -> dict[str, list[str]]:
+        # ref: http.go GET /indexes (registry.Indexes(), http.go:138-147) —
+        # store name -> its index-able (non-key) columns
+        return {name: self._stores[name].indexes()
+                for name in sorted(self._stores)}
 
     def sql(self, query: str) -> DataFrame:
         """Interactive query surface (supersedes ref store/http.go REST API)."""

@@ -226,3 +226,47 @@ def compact_code_store(spark, store_dir: str, out_dir: str, id_col: str,
      .write.mode("overwrite").partitionBy("cell_id", epoch_col)
      .parquet(out_dir))
     return spark.read.parquet(out_dir)
+
+
+def recall_report(emb: DataFrame, id_col: str, vec_col: str,
+                  query_ids: list, codebooks: list, k: int = 10) -> DataFrame:
+    """Recall@k audit of a PQ index against brute-force cosine over the
+    same corpus: per query, how many of the true top-k the ADC ranking
+    recovers.  The measurement half of the drift->retrain loop (the
+    sim_ann_drift / sim_ann_retrain driver rows run exactly this shape).
+    Returns (query_id, n_hits)."""
+    from kstream_spark.operators.similarity import cosine_topk, pq_adc_topk
+    exact = cosine_topk(emb, id_col, vec_col, query_ids=query_ids,
+                        k=k).select("query_id", "neighbor_id")
+    approx = pq_adc_topk(emb, id_col, vec_col, query_ids, codebooks,
+                         k=k).select("query_id", "neighbor_id")
+    ind = F.broadcast(approx.withColumn("_hit", F.lit(1)))
+    return (exact.join(ind, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(F.count("_hit").cast("long").alias("n_hits")))
+
+
+def retrain_if_drifted(emb: DataFrame, id_col: str, vec_col: str,
+                       query_ids: list, codebooks: list,
+                       threshold_hits: int, k: int = 10,
+                       m: int = 4, pq_k: int = 16, pq_iters: int = 2):
+    """The drift DECISION wired end-to-end: audit the current codebooks'
+    recall@k (``recall_report``); when total hits across the probe
+    queries fall below ``threshold_hits``, retrain codebooks on the full
+    corpus and return them (the caller then re-encodes via
+    ``encode_against_index`` and swaps stores with the
+    stop-compact-swap-resume discipline — see examples/ingest_pipeline).
+
+    Driver traffic: the |Q|-row recall report — the same bounded
+    1-action contract as the training loops.  Returns
+    ``(books, report_df, retrained)``: ``books`` is the retrained set
+    when triggered, the incoming ``codebooks`` otherwise; ``report_df``
+    is the BEFORE audit either way."""
+    from kstream_spark.operators.similarity import pq_codebooks
+    report = recall_report(emb, id_col, vec_col, query_ids, codebooks, k=k)
+    total = report.agg(F.sum("n_hits")).collect()[0][0] or 0
+    if total >= threshold_hits:
+        return codebooks, report, False
+    fresh = pq_codebooks(emb, vec_col, m=m, k=pq_k, iters=pq_iters,
+                         id_col=id_col)
+    return fresh, report, True

@@ -356,9 +356,16 @@ def watermarked_stream_join(left: DataFrame, right: DataFrame, key: str,
     """
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
+    # Qualify the timestamp refs (left_ts == right_ts would otherwise be
+    # ambiguous) and coalesce the key so right-only rows of outer joins
+    # keep a non-NULL join key instead of the dropped side's NULL.
     cond = (
         (lw[key] == rw[key])
-        & (F.col(right_ts) >= F.col(left_ts) - F.expr(f"interval {within}"))
-        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"interval {within}"))
+        & (rw[right_ts] >= lw[left_ts] - F.expr(f"interval {within}"))
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"interval {within}"))
     )
-    return lw.join(rw, cond, how).drop(rw[key])
+    joined = lw.join(rw, cond, how)
+    return joined.select(
+        F.coalesce(lw[key], rw[key]).alias(key),
+        *[lw[c] for c in left.columns if c != key],
+        *[rw[c] for c in right.columns if c != key])

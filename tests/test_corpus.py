@@ -474,3 +474,56 @@ def test_unigram_tokenize_counts_match_manual_segmentation(spark):
                             max_piece_len=2).collect()}
     # 'abab' -> ab+ab (1 word), 'ab' x2 -> ab each: total ab count 4
     assert out == {"ab": 4}
+
+
+def test_wordpiece_train_likelihood_winner_and_recount(spark):
+    """The full WordPiece loop: round 1's winner is the LIKELIHOOD-GAIN
+    top pair (xq — rare chars always together — beats the more frequent
+    ab), and later rounds score pairs of MERGED symbols."""
+    from kstream_spark.operators.text import (wordpiece_pair_scores,
+                                              wordpiece_train)
+    rows = [(0, "abab abba baba xq"), (1, "aabb abab baab xq"),
+            (2, "abba baba abab xq")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = wordpiece_train(df, "text", n_merges=3).collect()
+    assert out[0].pair == "xq"[0] + " " + "xq"[1]
+    assert out[0].merged == "xq"
+    # round 1's (pair, cnt, score) equals the single-round statistic
+    # (pair_scores spells the pair as a 2-char substring, the train loop
+    # as space-separated symbols — same pair, different notation)
+    r1 = wordpiece_pair_scores(df, "text", top_k=1).collect()[0]
+    assert (out[0].merged, out[0].cnt, out[0].score_micro) == \
+        (r1["pair"], r1["cnt"], r1["score_micro"])
+    # every later winner is a space-separated pair of current symbols
+    for r in out:
+        assert r.merged == r.pair.replace(" ", "")
+        assert r.merge_rank >= 1 and r.cnt >= 1
+
+
+def test_wordpiece_tokenize_is_longest_match_first(spark):
+    from kstream_spark.operators.text import wordpiece_tokenize
+    df = spark.createDataFrame([(0, "abcd abd zz")],
+                               "doc_id long, text string")
+    out = {r["token"]: r["cnt"] for r in
+           wordpiece_tokenize(df, "text", ["ab", "abc"]).collect()}
+    # 'abcd' -> greedy takes 'abc' (longest prefix), then char 'd';
+    # 'abd' -> 'ab' + 'd'; 'zz' -> OOV chars
+    assert out == {"abc": 1, "ab": 1, "d": 2, "z": 2}
+
+
+def test_wordpiece_train_tokenize_roundtrip(spark):
+    """Tokenizing with the learned vocab reconstructs every word (the
+    single-char OOV floor guarantees segmentability) and the corpus
+    token total equals the corpus character total minus merged savings."""
+    from kstream_spark.operators.text import (wordpiece_tokenize,
+                                              wordpiece_train)
+    df = spark.createDataFrame(
+        [(0, "hello hello world"), (1, "hold the world")],
+        "doc_id long, text string")
+    vocab = [r.merged for r in wordpiece_train(df, "text", n_merges=4)
+             .orderBy("merge_rank").collect()]
+    toks = wordpiece_tokenize(df, "text", vocab).collect()
+    # token counts weighted by word frequency cover every character
+    n_chars = sum(len(w) for w in
+                  "hello hello world hold the world".split())
+    assert sum(len(r["token"]) * r["cnt"] for r in toks) == n_chars

@@ -141,3 +141,13 @@ def test_example_8_ingest_pipeline(capsys):
     assert admitted == [1, 2, 4]     # exact re-ingest (3) rejected
     assert n_tokens > 0
     assert "per-batch drift PSI" in out
+
+
+def test_example_9_ann_retrain(capsys):
+    import examples.ann_retrain as ex9
+    before, after = ex9.main()
+    out = capsys.readouterr().out
+    assert "retrain=" in out
+    if after is not None:            # trigger fired: recovery is printed
+        assert "recall@5 after retrain" in out
+        assert after >= before       # full-corpus books never score worse

@@ -82,6 +82,9 @@ def test_read_json_with_dlq_routes_corrupt_records(spark, tmp_path):
     assert len(d) == 2
     assert set(d.columns) == {"raw", "source_file"}
     assert any("not json" in r for r in d["raw"])
+    # provenance survives the cache: input_file_name() is captured BEFORE
+    # the InMemoryRelation interposes (it returns '' on a cached scan)
+    assert all(r.endswith("in.jsonl") for r in d["source_file"])
 
 
 def test_read_csv_with_dlq_routes_bad_rows(spark, tmp_path):

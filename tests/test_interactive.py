@@ -86,6 +86,23 @@ def test_index_lookup(server):
     assert code == 200 and [r["key"] for r in rows] == [2]
 
 
+def test_global_index_listing(server):
+    """GET /indexes (ref http.go:138-147): every store's index-able
+    columns — in the Spark model, the non-key schema columns."""
+    code, idx = _get(server, "/indexes")
+    assert code == 200
+    assert idx == {"accounts": ["payload", "tag", "version"]}
+
+
+def test_store_index_listing(server):
+    """GET /stores/{s}/indexes (ref http.go:194-250) lists the store's
+    index-able columns; the route shadows a literal key 'indexes' the
+    same way the reference's mux does."""
+    code, idx = _get(server, "/stores/accounts/indexes")
+    assert code == 200
+    assert idx == ["payload", "tag", "version"]
+
+
 def test_unknown_store_404(server):
     import urllib.error
     try:

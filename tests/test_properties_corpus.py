@@ -288,3 +288,30 @@ def test_random_projection_is_linear_in_known_basis(vecs):
     for i, v in enumerate(vecs):
         want = (S @ np.array(v, dtype=np.float64)) * 0.5
         assert np.allclose(got[i], want, atol=1e-6)
+
+
+@given(st.text(alphabet="ab", min_size=1, max_size=8),
+       st.sets(st.text(alphabet="ab", min_size=2, max_size=4), max_size=6))
+@settings(max_examples=200, deadline=None)
+def test_maxmatch_is_lexicographically_largest_length_path(word, vocab):
+    """The equivalence the text_wordpiece_tokenize oracle relies on:
+    greedy longest-match-first == the full segmentation with the
+    lexicographically LARGEST piece-length sequence, over pieces drawn
+    from (vocab | single chars)."""
+    from kstream_spark.operators.text import _maxmatch_pieces
+    maxlen = max([len(p) for p in vocab], default=1)
+    got = _maxmatch_pieces(word, vocab, maxlen)
+    assert "".join(got) == word
+
+    def paths(pos):
+        if pos == len(word):
+            yield []
+            return
+        for l in range(1, min(maxlen, len(word) - pos) + 1):
+            p = word[pos:pos + l]
+            if l == 1 or p in vocab:
+                for rest in paths(pos + l):
+                    yield [p] + rest
+
+    best = max(paths(0), key=lambda ps: [len(p) for p in ps])
+    assert got == best

@@ -132,3 +132,45 @@ def test_scd2_apply_edge_cases(spark):
     # key 3: derived from scratch
     assert rows[(3, "z")][1]
     assert len(out) == 4
+
+
+def test_drift_psi_empty_side_ungrouped_matches_grouped_smoothing(spark):
+    """An EMPTY reference (or current) relation must yield the finite
+    Laplace-smoothed PSI in the ungrouped branch too — the ungrouped agg
+    emits one NULL-sum row over an empty side, which used to propagate
+    NULL psi_micro while the grouped branch smoothed it (advisor r7)."""
+    from pyspark.sql import functions as F
+    from kstream_spark.operators.quality import drift_psi
+    cur = spark.createDataFrame([(i, float(i % 3)) for i in range(30)],
+                                "id long, v double")
+    empty = cur.filter(F.lit(False))
+    bucket = F.floor("v").cast("long")
+    out = drift_psi(empty, cur, bucket, n_buckets=3).toPandas()
+    assert len(out) == 3
+    assert out["psi_micro"].notna().all()
+    # grouped branch on the same data (one constant group) agrees
+    g = drift_psi(empty.withColumn("g", F.lit("a")),
+                  cur.withColumn("g", F.lit("a")),
+                  bucket, group_cols=["g"], n_buckets=3).toPandas()
+    assert sorted(out["psi_micro"]) == sorted(g["psi_micro"])
+
+
+def test_scd2_apply_string_ids(spark):
+    """Non-long id columns: the open-row pseudo-change sentinel is typed
+    off the change batch's id column (advisor r7 — a string event id
+    used to fail/coerce in the unionByName)."""
+    import datetime as dt
+    from kstream_spark.operators.scd import scd2_apply, scd2_history
+    t = lambda d: dt.datetime(2024, 1, d)  # noqa: E731
+    log1 = spark.createDataFrame(
+        [(1, "a", t(1), "ev-10"), (1, "b", t(3), "ev-11")],
+        "k long, attr string, ts timestamp, eid string")
+    snap = scd2_history(log1, "k", ["attr"], "ts", id_col="eid")
+    changes = spark.createDataFrame(
+        [(1, "c", t(5), "ev-20")],
+        "k long, attr string, ts timestamp, eid string")
+    out = scd2_apply(snap, changes, "k", ["attr"], "ts",
+                     id_col="eid").toPandas()
+    open_rows = out[out["is_current"]]
+    assert open_rows["attr"].tolist() == ["c"]
+    assert len(out) == 3  # a closed, b closed, c open

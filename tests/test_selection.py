@@ -229,3 +229,42 @@ def test_curriculum_bins_equal_depth_and_ordered(spark):
     # whose per-bigram logprob is far more negative
     assert (out.loc[1, "sum_logp_micro"] / out.loc[1, "n_bigrams"]
             < out.loc[2, "sum_logp_micro"] / out.loc[2, "n_bigrams"])
+
+
+def test_kcenter_string_ids(spark):
+    """kcenter_select is id-type-agnostic (advisor r7): the argmax rides
+    TakeOrderedAndProject instead of a negated-id max-struct, and the
+    result schema derives the id type from the input."""
+    from kstream_spark.operators.selection import kcenter_select
+    rows = [("a", [0.0, 0.0]), ("b", [10.0, 0.0]), ("c", [0.0, 10.0]),
+            ("d", [0.1, 0.1])]
+    emb = spark.createDataFrame(rows, "vid string, vec array<double>")
+    out = kcenter_select(emb, "vid", "vec", k=3).toPandas()
+    assert out["vec_id"].tolist()[0] == "a"          # seed: smallest id
+    assert set(out["vec_id"]) == {"a", "b", "c"}     # far points win
+    assert out["dist"].iloc[1] >= out["dist"].iloc[2]  # radius monotone
+
+
+def test_kcenter_matches_numeric_reference(spark):
+    """The TakeOrdered argmax picks the same centers as the r7 max-struct
+    form did on numeric ids (same (dist desc, id asc) total order)."""
+    from kstream_spark.operators.selection import kcenter_select
+    rows = [(i, [float(i % 7), float((i * 3) % 5)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+    out = kcenter_select(emb, "vec_id", "vec", k=5).toPandas()
+    # sequential reference
+    pts = {r[0]: r[1] for r in rows}
+    centers = [min(pts)]
+    dists = []
+    for _ in range(4):
+        best = None
+        for vid, v in pts.items():
+            d = min(round(sum((x - y) ** 2 for x, y in zip(v, pts[c])), 6)
+                    for c in centers)
+            key = (-d, vid)
+            if best is None or key < best[0]:
+                best = (key, vid, d)
+        centers.append(best[1])
+        dists.append(best[2])
+    assert out["vec_id"].tolist() == centers
+    assert out["dist"].tolist()[1:] == dists

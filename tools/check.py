@@ -16,8 +16,19 @@ bound is DuckDB's brute-force pair space, not the Spark queries
 (COVERAGE.md).  The slice is still a real hash compare on sf1-derived
 data — just on a bounded id range.
 
---json PATH: also write {name: {pass, rows, seconds, sampled}} for a
-committable sweep artifact.
+--json PATH: also write {name: {pass, rows, spark_seconds, oracle_seconds,
+sampled}} for a committable sweep artifact.
+
+Load-honesty (the r7 sweep recorded 4.5x phantom regressions taken on a
+busy machine, and its single `seconds` conflated Spark and DuckDB time):
+  * spark_seconds and oracle_seconds are timed SEPARATELY — an expensive
+    oracle CTE no longer pollutes the engine signal;
+  * --minof N re-runs the SPARK side N times and records the min — the
+    standard quiet-measurement control for a shared machine;
+  * the flat CONTROL_QUERY re-runs every CONTROL_EVERY queries and its
+    spark_seconds series lands in the artifact as `control_runs` — a
+    drifting control means the machine was loaded and the sweep's
+    deltas are not regression evidence.
 """
 
 from __future__ import annotations
@@ -36,6 +47,11 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 # oracle cost is O(|embeddings|^2) — all-pairs / within-cell-pairs replays
 SAMPLED_QUERIES = {"sim_cosine_pairs", "dedup_embedding", "dedup_semantic"}
 SAMPLE_VEC_CAP = 2000  # sf0.1 cardinality — the largest swept-green size
+
+# flat load-sentinel: cheap, code rarely touched, no oracle cost to speak
+# of — its spark_seconds series across the sweep is the drift control
+CONTROL_QUERY = "dedup_exact"
+CONTROL_EVERY = 25
 
 
 def canonical(df: pd.DataFrame) -> str:
@@ -95,6 +111,12 @@ def main():
         json_out = sys.argv[sys.argv.index("--json") + 1]
         if json_out in args:
             args.remove(json_out)
+    minof = 1
+    if "--minof" in sys.argv:
+        raw = sys.argv[sys.argv.index("--minof") + 1]
+        minof = max(1, int(raw))
+        if raw in args:
+            args.remove(raw)
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
@@ -119,28 +141,50 @@ def main():
     oracles = entry.oracle_sql()
     failures = []
     results = {}
-    for name, fn in queries.items():
-        if only and name not in only:
-            continue
+    control_runs = []
+
+    def run_spark(fn, q_dir):
+        """(pandas df, min-of-``minof`` spark seconds)."""
+        best, sdf = None, None
+        for _ in range(minof):
+            t0 = time.time()
+            out = fn(spark, q_dir).toPandas()
+            dt = time.time() - t0
+            if best is None or dt < best:
+                best, sdf = dt, out
+        return sdf, best
+
+    def run_control(at: int) -> None:
+        if CONTROL_QUERY not in queries:
+            return
+        _df, dt = run_spark(queries[CONTROL_QUERY], sf_dir)
+        control_runs.append({"after_n_queries": at,
+                             "spark_seconds": round(dt, 2)})
+        print(f"ctrl {CONTROL_QUERY}: {dt:.2f}s (after {at} queries)",
+              flush=True)
+
+    todo = [(n, f) for n, f in queries.items() if not only or n in only]
+    if json_out:          # sweeps carry the drift sentinel; ad-hoc runs skip
+        run_control(0)
+    for qi, (name, fn) in enumerate(todo, start=1):
         sampled = sample and name in SAMPLED_QUERIES
         q_dir = slice_dir if sampled else sf_dir
         con = con_slice if sampled else con_full
-        t0 = time.time()
         try:
-            sdf = fn(spark, q_dir).toPandas()
+            sdf, spark_s = run_spark(fn, q_dir)
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: spark error: {e}")
             results[name] = {"pass": False, "err": f"spark: {e}"}
             continue
-        dt = time.time() - t0
         tag = " [sampled]" if sampled else ""
         if name not in oracles:
-            print(f"ok?  {name}: rows={len(sdf)} ({dt:.1f}s) [no oracle — rows-only]{tag}")
+            print(f"ok?  {name}: rows={len(sdf)} ({spark_s:.1f}s) [no oracle — rows-only]{tag}")
             results[name] = {"pass": True, "rows": len(sdf),
-                             "seconds": round(dt, 1), "rows_only": True,
-                             "sampled": sampled}
+                             "spark_seconds": round(spark_s, 2),
+                             "rows_only": True, "sampled": sampled}
             continue
+        t1 = time.time()
         try:
             odf = con.execute(oracles[name]).fetchdf()
         except Exception as e:
@@ -148,6 +192,7 @@ def main():
             print(f"FAIL {name}: oracle error: {e}")
             results[name] = {"pass": False, "err": f"oracle: {e}"}
             continue
+        oracle_s = time.time() - t1
         problems = []
         if len(sdf) != len(odf):
             problems.append(f"rows {len(sdf)} != {len(odf)}")
@@ -158,19 +203,28 @@ def main():
             merged = sdf[sorted(sdf.columns)].round(6) if len(sdf) else sdf
             print(merged.head(3))
             print(odf[sorted(odf.columns)].head(3))
-        dt = time.time() - t0
         if problems:
             failures.append(name)
             print(f"FAIL {name}: {'; '.join(problems)}")
             results[name] = {"pass": False, "err": "; ".join(problems),
                              "sampled": sampled}
         else:
-            print(f"PASS {name}: rows={len(sdf)} ({dt:.1f}s){tag}", flush=True)
+            print(f"PASS {name}: rows={len(sdf)} "
+                  f"(spark {spark_s:.1f}s, oracle {oracle_s:.1f}s){tag}",
+                  flush=True)
             results[name] = {"pass": True, "rows": len(sdf),
-                             "seconds": round(dt, 1), "sampled": sampled}
+                             "spark_seconds": round(spark_s, 2),
+                             "oracle_seconds": round(oracle_s, 2),
+                             "sampled": sampled}
+        if json_out and qi % CONTROL_EVERY == 0:
+            run_control(qi)
     if json_out:
+        run_control(len(todo))
         with open(json_out, "w") as fh:
             json.dump({"sf_dir": sf_dir, "sample_mode": sample,
+                       "minof": minof,
+                       "control_query": CONTROL_QUERY,
+                       "control_runs": control_runs,
                        "sampled_queries": sorted(SAMPLED_QUERIES & set(results)),
                        "vec_cap": SAMPLE_VEC_CAP if sample else None,
                        "passed": sum(1 for r in results.values() if r["pass"]),
