@@ -118,6 +118,7 @@ HEADLINE = [
     "text_wordpiece_tokenize",
     "sim_ann_retrain",
     "pipeline_selection_mix",
+    "select_cluster_balanced",
 ]
 
 

@@ -1854,6 +1854,41 @@ PIPELINE_INVENTORY["sim_ann_retrain"] = (q_sim_ann_retrain,
                                          _ann_retrain_sql())
 
 
+def q_select_cluster_balanced(spark: SparkSession, sf: str) -> DataFrame:
+    """Cluster-balanced diversity selection: equal-depth deterministic
+    per-k-means-cell sample (operators/selection.cluster_balanced_select)
+    — the topic-balanced pick a training mix uses so the head cluster
+    doesn't swamp rare regions of embedding space.  Same kmeans params as
+    sim_ivf_kmeans_topk (the oracle reuses the shared Lloyd's chain)."""
+    from kstream_spark.operators import selection as SEL
+    emb = _embs(StreamBuilder(spark), sf)
+    cents = S.kmeans_centroids(emb, "embedding", k=8, iters=3,
+                               id_col="vec_id")
+    return SEL.cluster_balanced_select(emb, "vec_id", "embedding",
+                                       centroids=cents, per_cell=12)
+
+
+def _cluster_balanced_sql() -> str:
+    return f"""
+WITH {_lloyd_cells_cte(8, 3, 64)},
+keyed AS (SELECT vec_id, cell_id,
+            CAST(CAST(('0x' || substr(md5('cbal:' ||
+                 CAST(vec_id AS VARCHAR)), 1, 12)) AS UBIGINT) AS BIGINT)
+            AS sk
+          FROM assigned)
+SELECT vec_id, cell_id, rk FROM (
+  SELECT vec_id, cell_id,
+         CAST(row_number() OVER (PARTITION BY cell_id
+                                 ORDER BY sk, vec_id) AS BIGINT) AS rk
+  FROM keyed)
+WHERE rk <= 12
+"""
+
+
+PIPELINE_INVENTORY["select_cluster_balanced"] = (q_select_cluster_balanced,
+                                                 _cluster_balanced_sql())
+
+
 # -- data-selection family (operators/selection.py) -------------------------
 def q_select_dsir(spark: SparkSession, sf: str) -> DataFrame:
     """DSIR-style hashed importance resampling toward a target source."""

@@ -317,3 +317,48 @@ def curriculum_bins(df: DataFrame, id_col: str, text_col: str,
                  F.sum("n_bigrams").cast("long").alias("n_bigrams"),
                  F.sum("sum_logp_micro").cast("long")
                  .alias("sum_logp_micro")))
+
+
+# -- cluster-balanced selection ----------------------------------------------
+def cluster_balanced_select(emb: DataFrame, id_col: str, vec_col: str,
+                            centroids: list, per_cell: int = 10) -> DataFrame:
+    """Cluster-balanced diversity selection: assign every vector to its
+    nearest k-means cell and keep an EQUAL-DEPTH deterministic sample per
+    cell — the topic-balanced alternative to uniform subsampling (a
+    uniform sample mirrors the corpus's cluster skew, so the head topic
+    swamps the mix; sampling per cell keeps every region of embedding
+    space represented — the blocking idea SemDeDup uses for dedup,
+    applied to selection).
+
+    Determinism/oracle parity: the per-cell pick orders by the portable
+    md5 key (first 12 hex chars of md5('cbal:' || id) as an integer —
+    exact in a double, exact in any engine) with an id tie-break, so the
+    kept set is a pure function of (ids, centroids).
+
+    Scale shape: assignment is the literal-projection argmax
+    (functions/vectors.cell_cosine_scores — zero corpus shuffle, the
+    ivf_topk discipline); the per-cell pick routes through
+    _per_query_topk's NARROW per-partition top-k, so no reducer ever
+    sorts a cell-sized slice even though there are only k cells — the
+    naive row_number-over-cell window would funnel the whole corpus
+    through k tasks.  Returns (vec_id, cell_id, rk).
+    """
+    from kstream_spark.functions.text import hash_str
+    from kstream_spark.functions.vectors import cell_cosine_scores, norm
+    from kstream_spark.operators.similarity import _per_query_topk
+    src = (emb.select(F.col(id_col).alias("vec_id"),
+                      as_double(F.col(vec_col)).alias("v"))
+           .withColumn("_n", norm(F.col("v"))))
+    scores = cell_cosine_scores(F.col("v"), F.col("_n"), centroids)
+    key = (F.conv(F.substring(
+        hash_str(F.col("vec_id").cast("string"), "cbal"), 1, 12), 16, 10)
+        .cast("double"))
+    assigned = src.select(
+        "vec_id",
+        (F.array_position(scores, F.array_max(scores)) - 1)
+        .cast("long").alias("cell_id"),
+        key.alias("_sk")).withColumn("query_id", F.col("cell_id"))
+    kept = _per_query_topk(assigned, per_cell, score_col="_sk",
+                           id_col="vec_id", asc=True, rank_col="rk")
+    return kept.select("vec_id", "cell_id",
+                       F.col("rk").cast("long").alias("rk"))

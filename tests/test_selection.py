@@ -268,3 +268,43 @@ def test_kcenter_matches_numeric_reference(spark):
         dists.append(best[2])
     assert out["vec_id"].tolist() == centers
     assert out["dist"].tolist()[1:] == dists
+
+
+def test_cluster_balanced_select_equal_depth_and_window_parity(spark):
+    """Per-cell depth is capped, every non-empty cell is represented, and
+    the narrow top-k path equals the naive row_number-over-cell window."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+    from kstream_spark.functions.text import hash_str
+    from kstream_spark.operators.selection import cluster_balanced_select
+    from kstream_spark.operators.similarity import kmeans_centroids
+    emb = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+           .limit(150).cache())
+    cents = kmeans_centroids(emb, "embedding", k=4, iters=2,
+                             id_col="vec_id")
+    out = cluster_balanced_select(emb, "vec_id", "embedding", cents,
+                                  per_cell=7).toPandas()
+    depth = out.groupby("cell_id").size()
+    assert (depth <= 7).all() and len(out) >= 7  # capped, non-trivial
+    assert set(out["rk"]) <= set(range(1, 8))
+    # parity with the naive window form on the same assignment + key
+    from kstream_spark.functions.vectors import (as_double,
+                                                 cell_cosine_scores, norm)
+    src = (emb.select(F.col("vec_id"),
+                      as_double(F.col("embedding")).alias("v"))
+           .withColumn("_n", norm(F.col("v"))))
+    sc = cell_cosine_scores(F.col("v"), F.col("_n"), cents)
+    key = (F.conv(F.substring(
+        hash_str(F.col("vec_id").cast("string"), "cbal"), 1, 12), 16, 10)
+        .cast("double"))
+    naive = (src.select(
+        "vec_id",
+        (F.array_position(sc, F.array_max(sc)) - 1).cast("long")
+        .alias("cell_id"), key.alias("sk"))
+        .withColumn("rk", F.row_number().over(
+            W.partitionBy("cell_id").orderBy("sk", "vec_id")).cast("long"))
+        .filter(F.col("rk") <= 7).toPandas())
+    got = set(map(tuple, out[["vec_id", "cell_id", "rk"]].values))
+    want = set(map(tuple, naive[["vec_id", "cell_id", "rk"]].values))
+    assert got == want
+    emb.unpersist()
