@@ -662,32 +662,32 @@ def _wordpiece_train_ctes(n: int) -> str:
     triple-replace as the BPE oracle."""
     parts = [r"""t AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
            FROM documents),
-wf AS (SELECT w, CAST(count(*) AS BIGINT) AS wf
+wf AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS wf
        FROM t WHERE length(w) >= 2 GROUP BY w),
-s0 AS (SELECT ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS seq, wf
+s0 AS MATERIALIZED (SELECT ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS seq, wf
        FROM wf)"""]
     for r in range(1, n + 1):
         prev = f"s{r - 1}"
         parts.append(f""",
-p{r} AS (SELECT pair, CAST(sum(wf) AS BIGINT) AS cnt
+p{r} AS MATERIALIZED (SELECT pair, CAST(sum(wf) AS BIGINT) AS cnt
   FROM (SELECT wf, unnest(list_transform(
             range(1, len(string_split(trim(seq), ' '))),
             i -> string_split(trim(seq), ' ')[i] || ' '
                  || string_split(trim(seq), ' ')[i + 1])) AS pair
         FROM {prev} WHERE len(string_split(trim(seq), ' ')) > 1)
   GROUP BY pair),
-y{r} AS (SELECT sym, CAST(sum(wf) AS BIGINT) AS sc
+y{r} AS MATERIALIZED (SELECT sym, CAST(sum(wf) AS BIGINT) AS sc
   FROM (SELECT wf, unnest(string_split(trim(seq), ' ')) AS sym
         FROM {prev})
   GROUP BY sym),
-b{r} AS (SELECT pair, replace(pair, ' ', '') AS merged, cnt, score_micro
+b{r} AS MATERIALIZED (SELECT pair, replace(pair, ' ', '') AS merged, cnt, score_micro
   FROM (SELECT pair, cnt,
                CAST(round((ln(cnt) - ln(ya.sc) - ln(yb.sc)) * 1e6, 0)
                     AS BIGINT) AS score_micro
         FROM p{r} JOIN y{r} ya ON string_split(pair, ' ')[1] = ya.sym
                   JOIN y{r} yb ON string_split(pair, ' ')[2] = yb.sym)
   ORDER BY score_micro DESC, pair ASC LIMIT 1),
-s{r} AS (SELECT replace(replace(replace(seq, ' ', '  '),
+s{r} AS MATERIALIZED (SELECT replace(replace(replace(seq, ' ', '  '),
                         ' ' || replace(bb.pair, ' ', '  ') || ' ',
                         ' ' || bb.merged || ' '),
                         '  ', ' ') AS seq, wf

@@ -1262,3 +1262,50 @@ def test_retrain_if_drifted_decision_and_recovery(spark):
                                  k=5).agg(F.sum("n_hits")).collect()[0][0])
     assert after_total >= 0  # recovery magnitude is fixture-dependent
     emb.unpersist()
+
+
+def test_admit_cluster_balanced_stream_quota_and_dedup(spark, tmp_path):
+    """Cluster-balanced streaming admission: per-cell totals never exceed
+    the quota across micro-batches, re-arriving ids are not re-admitted,
+    and batch-1 admissions equal the batch operator run on the same
+    slice (same key, same centroids, empty store)."""
+    from pyspark.sql import functions as F
+    from kstream_spark.operators.selection import cluster_balanced_select
+    from kstream_spark.operators.similarity import (kmeans_centroids,
+                                                    save_centroids)
+    from kstream_spark.streaming import core as SC
+    from kstream_spark.streaming.selection import \
+        admit_cluster_balanced_stream
+
+    emb = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+           .select("vec_id", "embedding").limit(200).cache())
+    cents = kmeans_centroids(emb, "embedding", k=4, iters=2,
+                             id_col="vec_id")
+    save_centroids(spark, cents, str(tmp_path / "cents"))
+
+    src = tmp_path / "in"
+    first = emb.filter(F.col("vec_id") < 100)
+    first.coalesce(1).write.mode("append").parquet(str(src))
+    q = admit_cluster_balanced_stream(
+        SC.read_stream_parquet(spark, str(src)), str(tmp_path / "cents"),
+        str(tmp_path / "adm"), str(tmp_path / "ck"),
+        "vec_id", "embedding", per_cell_quota=10)
+    q.processAllAvailable()
+    got1 = spark.read.parquet(str(tmp_path / "adm"))
+    want1 = cluster_balanced_select(first, "vec_id", "embedding", cents,
+                                    per_cell=10)
+    assert ({(r.vec_id, r.cell_id) for r in got1.collect()}
+            == {(r.vec_id, r.cell_id) for r in want1.collect()})
+
+    # batch 2: re-send half of batch 1 (must not re-admit) + new arrivals
+    second = emb.filter((F.col("vec_id") >= 50))
+    second.coalesce(1).write.mode("append").parquet(str(src))
+    q.processAllAvailable()
+    q.stop(); q.awaitTermination(10)  # noqa: E702
+    adm = spark.read.parquet(str(tmp_path / "adm"))
+    per_cell = adm.groupBy("cell_id").count().collect()
+    assert all(r["count"] <= 10 for r in per_cell)   # quota holds globally
+    ids = [r.vec_id for r in adm.select("vec_id").collect()]
+    assert len(ids) == len(set(ids))                 # no double admission
+    assert adm.count() >= got1.count()               # monotone growth
+    emb.unpersist()
