@@ -119,6 +119,7 @@ HEADLINE = [
     "sim_ann_retrain",
     "pipeline_selection_mix",
     "select_cluster_balanced",
+    "dq_key_skew",
 ]
 
 

@@ -201,3 +201,28 @@ QUALITY_INVENTORY: dict[str, tuple] = {
     "scd2_incremental": (q_scd2_incremental, SQL_SCD2_HISTORY),
     "scd2_asof": (q_scd2_asof, SQL_SCD2_ASOF),
 }
+
+
+def q_dq_key_skew(spark: SparkSession, sf: str) -> DataFrame:
+    """Join-key skew profile of events.user_id (quality.key_skew): the
+    top-10 heaviest keys with exact-integer ppm shares next to the
+    table totals — the operational pre-check that feeds
+    util.skew_join's hot_keys argument."""
+    return Q.key_skew(_t(spark, sf, "events"), "user_id", top_n=10)
+
+
+SQL_DQ_KEY_SKEW = """
+WITH c AS (SELECT user_id AS key, CAST(count(*) AS BIGINT) AS cnt
+           FROM events GROUP BY user_id),
+t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_keys FROM c),
+top AS (SELECT key, cnt,
+               CAST(row_number() OVER (ORDER BY cnt DESC, key) AS BIGINT)
+               AS rank
+        FROM c ORDER BY cnt DESC, key LIMIT 10)
+SELECT key, cnt, (2000000 * cnt + n_rows) // (2 * n_rows) AS share_ppm,
+       rank, n_rows, n_keys
+FROM top, t
+"""
+
+QUALITY_INVENTORY["dq_key_skew"] = (q_dq_key_skew, SQL_DQ_KEY_SKEW)

@@ -156,3 +156,37 @@ def drift_psi_from_counts(cr: DataFrame, cc: DataFrame, gcols: list[str],
     psi = F.round((pc - pr) * F.log(pc / pr) * 1e6, 0).cast("long")
     return both.select(*gcols, "bucket", "count_ref", "count_cur",
                        psi.alias("psi_micro"))
+
+
+def key_skew(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
+    """Join-key skew profile — the operational pre-check before a large
+    join: the ``top_n`` heaviest keys with their corpus share, next to
+    the table's total/distinct counts, so a pipeline can decide between
+    the plain join, AQE skew handling, and ``util.skew_join`` (whose
+    ``hot_keys`` argument this output feeds directly).
+
+    Returns (key, cnt, share_ppm, rank, n_rows, n_keys): share_ppm is
+    the round-half-up integer parts-per-million via pure BIGINT
+    arithmetic ((2e6*cnt + n) div (2n) — no float division, identical
+    in any engine).
+
+    Scale shape: ONE map-side-combinable count keyed on the join key
+    (the wire carries distinct keys per task, not rows), a TakeOrdered
+    top-n (no full sort of the key space), and a 1-row broadcast of the
+    totals.  Cost is the same partial-aggregate scan the join's shuffle
+    would do anyway — run it on a sample for a cheaper estimate
+    (``df.sample(...)`` composes, exactly how skew_join's estimator
+    samples)."""
+    from pyspark.sql import Window as W
+    counts = (df.groupBy(F.col(key_col).alias("key"))
+              .agg(F.count("*").cast("long").alias("cnt")))
+    tot = counts.agg(F.sum("cnt").cast("long").alias("n_rows"),
+                     F.count("*").cast("long").alias("n_keys"))
+    top = (counts.orderBy(F.desc("cnt"), F.asc("key")).limit(top_n)
+           .withColumn("rank", F.row_number().over(
+               W.orderBy(F.desc("cnt"), F.asc("key"))).cast("long")))
+    return (top.join(F.broadcast(tot))
+            .select("key", "cnt",
+                    F.expr("(2000000 * cnt + n_rows) div (2 * n_rows)")
+                    .alias("share_ppm"),
+                    "rank", "n_rows", "n_keys"))

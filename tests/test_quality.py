@@ -174,3 +174,28 @@ def test_scd2_apply_string_ids(spark):
     open_rows = out[out["is_current"]]
     assert open_rows["attr"].tolist() == ["c"]
     assert len(out) == 3  # a closed, b closed, c open
+
+
+def test_key_skew_profile_and_feeds_skew_join(spark):
+    from pyspark.sql import functions as F
+    from kstream_spark.operators.quality import key_skew
+    from kstream_spark.util import skew_join
+    # key 0 carries half the table; a long tail carries the rest
+    left = spark.range(0, 400).select(
+        F.when(F.col("id") < 200, 0).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"))
+    prof = key_skew(left, "k", top_n=3).toPandas()
+    assert prof["rank"].tolist() == [1, 2, 3]
+    top = prof.iloc[0]
+    assert top["key"] == 0 and top["cnt"] == 200
+    assert top["share_ppm"] == 500_000          # exactly half, exact ppm
+    assert (prof["n_rows"] == 400).all() and (prof["n_keys"] == 201).all()
+    # the profile's heavy keys drive the relation split directly
+    hot = prof[prof["share_ppm"] > 100_000]["key"].tolist()
+    right = spark.range(0, 300).withColumnRenamed("id", "k") \
+        .withColumn("p", F.col("k") * 2)
+    out = skew_join(left, right, "k", hot_keys=hot)
+    want = left.join(right, "k")
+    assert out.count() == want.count()
+    assert ({(r.k, r.v, r.p) for r in out.collect()}
+            == {(r.k, r.v, r.p) for r in want.collect()})
