@@ -61,6 +61,37 @@ class StoreHttpServer:
                             # (route shadows a literal point-lookup key
                             # "indexes", same as the reference's mux)
                             return self._json(200, store.indexes())
+                        if len(parts) == 4 and parts[2] == "indexes":
+                            # ref http.go:251-331 GET /stores/{s}/indexes/
+                            # {index}: dump the index as a map of
+                            # json-encoded index value -> record keys.
+                            # The reference materializes idx.Values()
+                            # wholesale; a collect() needs a cap, so the
+                            # dump is ordered (index value, key) and
+                            # bounded by ?limit= rows (default scan cap).
+                            col = parts[3]
+                            if col not in store.indexes():
+                                return self._json(
+                                    404, {"error": f"index dose not "
+                                          f"exist: {col}"})
+                            q = parse_qs(url.query)
+                            raw = q.get("limit", [DEFAULT_SCAN_LIMIT])[0]
+                            try:
+                                limit = int(raw)
+                            except (TypeError, ValueError):
+                                return self._json(
+                                    400, {"error": f"bad limit: {raw!r}"})
+                            rows = (store.get_all()
+                                    .select(col, *store.key)
+                                    .orderBy(col, *store.key)
+                                    .limit(limit).collect())
+                            idx: dict = {}
+                            for r in rows:
+                                k = json.dumps(r[col], default=str)
+                                keys = [r[c] for c in store.key]
+                                idx.setdefault(k, []).append(
+                                    keys[0] if len(keys) == 1 else keys)
+                            return self._json(200, idx)
                         if len(parts) == 2:          # full scan (paged)
                             q = parse_qs(url.query)
                             raw = q.get("limit", [DEFAULT_SCAN_LIMIT])[0]

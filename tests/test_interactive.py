@@ -165,3 +165,19 @@ def test_full_scan_offset_paging_walks_complete_store(spark):
             assert r.headers["X-Truncated"] == "false"
     finally:
         srv.stop()
+
+
+def test_index_dump(server):
+    """GET /stores/{s}/indexes/{index} (ref http.go:251-331): the whole
+    index as a map of json-encoded index value -> record keys."""
+    code, idx = _get(server, "/stores/accounts/indexes/tag")
+    assert code == 200
+    assert idx == {'"x"': [1], '"y"': [2]}
+    code, idx = _get(server, "/stores/accounts/indexes/version")
+    assert code == 200
+    assert idx == {"1": [2], "2": [1]}
+    try:
+        code, _ = _get(server, "/stores/accounts/indexes/nope")
+    except urllib.error.HTTPError as e:
+        code = e.code
+    assert code == 404
