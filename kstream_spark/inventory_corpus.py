@@ -869,12 +869,15 @@ def q_pipeline_selection_mix(spark: SparkSession, sf: str) -> DataFrame:
     from kstream_spark.operators.corpus import bigram_logprob
     from kstream_spark.operators.ranking import with_ntile_percent_rank
     docs = _docs(spark, sf)
+    # the kept slice feeds THREE consumers (bigram LM, the binned join,
+    # the packed join-back) — persist the 200-row relation so the DSIR
+    # corpus scans run once, not once per consumer
     kept = docs.join(
         F.broadcast(SEL.select_dsir(docs, "doc_id", "text",
                                     F.col("source") == "src18",
                                     n_select=_MIX_SELECT, n_buckets=256)
                     .select("doc_id", "dsir_micro")),
-        "doc_id")
+        "doc_id").persist()
     lm = bigram_logprob(kept, "doc_id", "text")
     scored = lm.withColumn(
         "_lpb", F.col("sum_logp_micro").cast("double") / F.col("n_bigrams"))

@@ -1797,8 +1797,11 @@ def q_sim_ann_retrain(spark: SparkSession, sf: str) -> DataFrame:
     n_hits)."""
     emb = _embs(StreamBuilder(spark), sf)
     qids = [0, 1, 2, 3, 4]
+    # the brute-force ground truth feeds both recall audits (and the
+    # decision action) — persist the 50-row relation so the exact scorer
+    # scans the corpus once
     exact = S.cosine_topk(emb, "vec_id", "embedding", query_ids=qids,
-                          k=10).select("query_id", "neighbor_id")
+                          k=10).select("query_id", "neighbor_id").persist()
 
     def recall(books):
         approx = S.pq_adc_topk(emb, "vec_id", "embedding", qids, books,
@@ -1811,7 +1814,9 @@ def q_sim_ann_retrain(spark: SparkSession, sf: str) -> DataFrame:
     boot_books = S.pq_codebooks(emb.filter(F.col("vec_id") < _RETRAIN_BOOT),
                                 "embedding", m=4, k=16, iters=2,
                                 id_col="vec_id")
-    before = recall(boot_books)
+    # consumed by the decision action AND the output union — persist the
+    # |Q|-row audit so the boot-index ADC pass runs once
+    before = recall(boot_books).persist()
     # the decision: one bounded (|Q|-row) driver action — the same
     # 1-action-per-round contract as the training loops
     total = before.agg(F.sum("n_hits")).collect()[0][0] or 0
