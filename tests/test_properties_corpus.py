@@ -315,3 +315,23 @@ def test_maxmatch_is_lexicographically_largest_length_path(word, vocab):
 
     best = max(paths(0), key=lambda ps: [len(p) for p in ps])
     assert got == best
+
+
+@given(st.lists(st.text(alphabet="ab ", min_size=6, max_size=40),
+                min_size=2, max_size=8, unique=True))
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_prefix_filter_is_lossless(spark, docs):
+    """prefix_jaccard_pairs == ngram_jaccard_pairs on arbitrary corpora:
+    the prefix filter may only shrink CANDIDATES, never results."""
+    from kstream_spark.operators.dedup import (ngram_jaccard_pairs,
+                                               prefix_jaccard_pairs)
+    rows = [(i, d) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = {(r.doc_a, r.doc_b, r.jaccard) for r in
+            ngram_jaccard_pairs(df, "doc_id", "text", n=2,
+                                threshold=0.6).collect()}
+    pref = {(r.doc_a, r.doc_b, r.jaccard) for r in
+            prefix_jaccard_pairs(df, "doc_id", "text", n=2,
+                                 threshold=0.6).collect()}
+    assert pref == full
