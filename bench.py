@@ -121,6 +121,7 @@ HEADLINE = [
     "select_cluster_balanced",
     "dq_key_skew",
     "dedup_prefix_jaccard",
+    "behavior_top_paths",
 ]
 
 

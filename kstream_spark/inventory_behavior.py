@@ -209,3 +209,41 @@ WHERE iv.s_start <= ow.w_end AND ow.w_start <= iv.s_end
 
 BEHAVIOR_INVENTORY["j_interval_overlap"] = (q_interval_overlap,
                                             SQL_INTERVAL_OVERLAP)
+
+
+def q_behavior_top_paths(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 three-step session-opening paths over the events stream
+    (operators/behavior.top_paths) — the Sankey/user-flow query."""
+    return B.top_paths(_events(spark, sf), "user_id", "ts",
+                       "event_type", "event_id",
+                       gap="30 minutes", steps=3, top_n=20)
+
+
+SQL_BEHAVIOR_TOP_PATHS = """
+WITH p AS (SELECT event_id, user_id, event_type, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+f AS (SELECT event_id, user_id, event_type, ts,
+        CASE WHEN prev IS NULL OR ts > prev + INTERVAL 30 MINUTE
+             THEN 1 ELSE 0 END AS st
+      FROM p),
+s AS (SELECT event_id, user_id, event_type, ts,
+        sum(st) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS session_n
+      FROM f),
+stp AS (SELECT *, row_number() OVER (PARTITION BY user_id, session_n
+                                     ORDER BY ts, event_id) AS step
+        FROM s),
+pa AS (SELECT user_id, session_n,
+         string_agg(event_type, ' > ' ORDER BY step) AS path
+       FROM stp WHERE step <= 3 GROUP BY user_id, session_n),
+cnt AS (SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        FROM pa GROUP BY path)
+SELECT path, n_sessions,
+       CAST(row_number() OVER (ORDER BY n_sessions DESC, path) AS BIGINT)
+       AS rank
+FROM cnt ORDER BY n_sessions DESC, path LIMIT 20
+"""
+
+BEHAVIOR_INVENTORY["behavior_top_paths"] = (q_behavior_top_paths,
+                                            SQL_BEHAVIOR_TOP_PATHS)

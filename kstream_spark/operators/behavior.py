@@ -114,3 +114,44 @@ def cohort_retention(events: DataFrame, user_col: str, ts_col: str
                       / 7).cast("long").alias("week_n")))
     return (df.groupBy("cohort_week", "week_n")
             .agg(F.count_distinct(user_col).cast("long").alias("n_active")))
+
+
+def top_paths(events: DataFrame, user_col: str, ts_col: str,
+              type_col: str, id_col: str, gap: str = "30 minutes",
+              steps: int = 3, top_n: int = 20) -> DataFrame:
+    """Top-N session-opening PATHS — the Sankey / user-flow query of
+    product analytics: sessionize the event stream, take each session's
+    first ``steps`` event types in time order, and rank the resulting
+    path strings by session count (ties toward the lexicographically
+    lowest path).  Returns (path, n_sessions, rank).
+
+    Determinism: event order inside a session is (ts, id); the ordered
+    path string is built by sorting collected (step, type) structs —
+    ``collect_list`` alone has no order guarantee after a shuffle, the
+    sort_array-of-structs trick restores one deterministically.
+
+    Scale shape: sessionize's one hash exchange per user (shared
+    ordering with the step window — same sort), a map-side-combinable
+    per-session aggregation (sessions ~ users, never event-sized
+    groups beyond the step cap), a path count over the tiny distinct-
+    path space, and a TakeOrdered top-N.
+    """
+    sess = sessionize(events, user_col, ts_col, gap=gap, id_col=id_col)
+    order = [F.col(ts_col).asc(), F.col(id_col).asc()]
+    w = W.partitionBy(user_col, "session_n").orderBy(*order)
+    stepped = (sess.withColumn("_step", F.row_number().over(w))
+               .filter(F.col("_step") <= steps))
+    paths = stepped.groupBy(user_col, "session_n").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct(F.col("_step"), F.col(type_col).alias("t")))),
+                lambda x: x["t"]),
+            " > ").alias("path"))
+    ranked = (paths.groupBy("path")
+              .agg(F.count("*").cast("long").alias("n_sessions"))
+              .orderBy(F.desc("n_sessions"), F.asc("path")).limit(top_n))
+    from pyspark.sql import Window as W2
+    return ranked.withColumn(
+        "rank", F.row_number().over(
+            W2.orderBy(F.desc("n_sessions"), F.asc("path"))).cast("long"))

@@ -72,3 +72,29 @@ def test_cohort_retention_week_grid(spark):
            B.cohort_retention(df, "user_id", "ts").collect()}
     w1, w2 = datetime(2024, 1, 1), datetime(2024, 1, 8)
     assert out == {(w1, 0): 2, (w1, 2): 1, (w2, 0): 1, (w2, 1): 1}
+
+
+def test_top_paths_known_sequences(spark):
+    import datetime as dt
+    from kstream_spark.operators.behavior import top_paths
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+    m = dt.timedelta(minutes=1)
+    h = dt.timedelta(hours=2)
+    rows = [
+        # user 1, session 1: view > cart > buy (+ a 4th step ignored)
+        (1, 1, "view", t0), (2, 1, "cart", t0 + m), (3, 1, "buy", t0 + 2*m),
+        (4, 1, "view", t0 + 3*m),
+        # user 1, session 2 (after the gap): view > cart > buy again
+        (5, 1, "view", t0 + h), (6, 1, "cart", t0 + h + m),
+        (7, 1, "buy", t0 + h + 2*m),
+        # user 2: a 2-step session
+        (8, 2, "view", t0), (9, 2, "exit", t0 + m),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp")
+    out = top_paths(df, "user_id", "ts", "event_type", "event_id",
+                    steps=3, top_n=10).toPandas()
+    assert out.iloc[0]["path"] == "view > cart > buy"
+    assert out.iloc[0]["n_sessions"] == 2 and out.iloc[0]["rank"] == 1
+    assert out.iloc[1]["path"] == "view > exit"
+    assert out["rank"].tolist() == [1, 2]
