@@ -151,3 +151,13 @@ def test_example_9_ann_retrain(capsys):
     if after is not None:            # trigger fired: recovery is printed
         assert "recall@5 after retrain" in out
         assert after >= before       # full-corpus books never score worse
+
+
+def test_example_10_dedup_strategies(capsys):
+    import examples.dedup_strategies as ex10
+    results = ex10.main()
+    out = capsys.readouterr().out
+    assert "duplicate pairs found per strategy" in out
+    assert results["jaccard"] == results["prefix_jaccard"]
+    # winnowing sees verbatim runs Jaccard's whole-set view misses
+    assert results["winnowing"] >= results["jaccard"]

@@ -59,3 +59,80 @@ def test_cluster_by_zorder_tightens_bounding_boxes(spark):
     # random assignment would give ~64*64 per partition; z-order keeps
     # boxes near 64*64/16 = 256
     assert avg_area < 64 * 64 / 2
+
+
+def _xy2d(n, x, y):
+    """Sequential public-domain Hilbert xy2d reference."""
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_key_matches_reference_walk(spark):
+    from pyspark.sql import functions as F
+    from kstream_spark.operators.layout import hilbert_key
+    bits = 4
+    rows = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {(r.x, r.y): r.h for r in
+           df.withColumn("h", hilbert_key(F.col("x"), F.col("y"),
+                                          bits=bits)).collect()}
+    for (x, y), h in got.items():
+        assert h == _xy2d(1 << bits, x, y), (x, y)
+    # a space-filling curve visits every cell exactly once
+    assert sorted(got.values()) == list(range(256))
+
+
+def test_hilbert_is_continuous_morton_is_not(spark):
+    """Consecutive Hilbert keys are always 4-neighbors (curve continuity
+    — the locality property Morton lacks at power-of-two boundaries)."""
+    from pyspark.sql import functions as F
+    from kstream_spark.operators.layout import hilbert_key, zorder_key
+    rows = [(x, y) for x in range(8) for y in range(8)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    out = df.select("x", "y",
+                    hilbert_key(F.col("x"), F.col("y"), 3).alias("h"),
+                    zorder_key(F.col("x"), F.col("y"), 3).alias("z")) \
+        .collect()
+    by_h = {r.h: (r.x, r.y) for r in out}
+    for d in range(63):
+        (x1, y1), (x2, y2) = by_h[d], by_h[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
+    by_z = {r.z: (r.x, r.y) for r in out}
+    jumps = sum(1 for d in range(63)
+                if abs(by_z[d][0] - by_z[d + 1][0])
+                + abs(by_z[d][1] - by_z[d + 1][1]) > 1)
+    assert jumps > 0   # Morton jumps; Hilbert never does
+
+
+def test_hilbert_layout_tightens_bounding_boxes(spark):
+    """The write-side claim: range-partitioning by the Hilbert key gives
+    per-file (x, y) bounding boxes whose total area is <= the Morton
+    layout's on the same data — tighter boxes = more files pruned by a
+    min/max-stats scan."""
+    from pyspark.sql import functions as F
+    from kstream_spark.operators.layout import (cluster_by_hilbert,
+                                                cluster_by_zorder)
+
+    def total_box_area(df, key):
+        parts = (df.withColumn("_p", F.spark_partition_id())
+                 .groupBy("_p")
+                 .agg((F.max("x") - F.min("x") + 1).alias("dx"),
+                      (F.max("y") - F.min("y") + 1).alias("dy")))
+        return sum(r.dx * r.dy for r in parts.collect())
+
+    rows = [(x, y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    hil = cluster_by_hilbert(df, "x", "y", num_files=16, bits=6)
+    mor = cluster_by_zorder(df, "x", "y", num_files=16, bits=6)
+    assert total_box_area(hil, "_hkey") <= total_box_area(mor, "_zkey")
