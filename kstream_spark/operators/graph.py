@@ -1,0 +1,66 @@
+"""Graph operators: integer-exact PageRank power iteration.
+
+The iterative-algorithm showcase of the bounded-driver-loop discipline
+(bpe_train / kmeans_centroids / unigram_train): each round is ONE
+map-side-combinable aggregation over the edge relation; the driver sees
+nothing per round (the rank relation stays distributed), and every
+quantity is integer micro-units so the result is bit-identical in any
+engine and any aggregation order — a DuckDB oracle replays the rounds as
+unrolled CTEs.
+
+No reference analog (tryfix/kstream routes records; it has no graph
+surface); part of the analytics capability superset.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(edges: DataFrame, src_col: str, dst_col: str,
+             iters: int = 3, damping_pct: int = 85) -> DataFrame:
+    """PageRank by power iteration over a directed edge list, in EXACT
+    integer micro-units:
+
+      rank0        = 1_000_000 per node
+      contribution = rank div out_degree        (integer division)
+      rank'        = (100 - d)% * 1e6 / 100
+                     + (d * sum(contributions)) div 100
+
+    Integer division loses a bounded sub-micro remainder per edge —
+    deterministically, identically in every engine — which is the point:
+    float contributions would make the per-node sum depend on shuffle
+    order.  Dangling nodes (no out-edges) appear as rank receivers only;
+    their mass share simply stops circulating (the standard simplified
+    treatment; add explicit teleport edges for the full formulation).
+
+    Scale shape: the node and degree relations derive once; each round
+    is one join of the rank relation onto the edge list (AQE broadcasts
+    ranks when small, shuffles on the node key otherwise) + one
+    map-side-combinable sum keyed on the destination — the classic BSP
+    round as two bounded exchanges, no driver traffic at all.  Returns
+    (node, rank_micro) after ``iters`` rounds.
+    """
+    e = edges.select(F.col(src_col).alias("src"),
+                     F.col(dst_col).alias("dst"))
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node")))
+             .distinct())
+    deg = e.groupBy("src").agg(F.count("*").cast("long").alias("outd"))
+    base = F.lit((100 - damping_pct) * 10_000).cast("long")
+    rank = nodes.withColumn("rank_micro",
+                            F.lit(1_000_000).cast("long"))
+    for _ in range(iters):
+        contrib = (e.join(rank.withColumnRenamed("node", "src"), "src")
+                   .join(deg, "src")
+                   .select("dst",
+                           F.expr("rank_micro div outd").alias("c")))
+        recv = contrib.groupBy(F.col("dst").alias("node")) \
+            .agg(F.sum("c").cast("long").alias("_in"))
+        rank = (nodes.join(recv, "node", "left")
+                .select("node",
+                        (base + F.expr(
+                            f"({damping_pct}L * coalesce(_in, 0L)) div 100"))
+                        .cast("long").alias("rank_micro")))
+    return rank
