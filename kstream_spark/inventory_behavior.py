@@ -247,3 +247,65 @@ FROM cnt ORDER BY n_sessions DESC, path LIMIT 20
 
 BEHAVIOR_INVENTORY["behavior_top_paths"] = (q_behavior_top_paths,
                                             SQL_BEHAVIOR_TOP_PATHS)
+
+
+def _hilbert_sql(bits: int, src: str = "pts") -> str:
+    """DuckDB replay of operators/layout.hilbert_key as an UNROLLED
+    per-bit CTE chain (``src`` must expose integer columns x, y; the
+    chain carries the originals as ox/oy and ends in CTE ``h0``).
+
+    Deliberately NOT a ``list_reduce`` fold: DuckDB 1.0 mis-executes
+    correlated per-row folds — the row-dependent accumulator init
+    sometimes reads zeros depending on the physical row layout (verified
+    on a 16x16 grid: identical lambda, correct via UNION ALL literals,
+    wrong via an unnest cross join) — so the oracle uses one plain
+    projection per bit level instead.  Registration of the
+    hilbert-key driver query is queued for r9 (the r8 window is full);
+    tests/test_layout.py::test_hilbert_oracle_parity already proves
+    Spark == this SQL on a full grid.
+    """
+    parts = [f"h{bits} AS (SELECT x::BIGINT AS ox, y::BIGINT AS oy, "
+             f"x::BIGINT AS x, y::BIGINT AS y, 0::BIGINT AS d FROM {src})"]
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        parts.append(f""",
+h{i} AS (SELECT ox, oy,
+  CASE WHEN (y & {s}) = 0
+       THEN CASE WHEN (x & {s}) > 0 THEN {s} - 1 - y ELSE y END
+       ELSE x END AS x,
+  CASE WHEN (y & {s}) = 0
+       THEN CASE WHEN (x & {s}) > 0 THEN {s} - 1 - x ELSE x END
+       ELSE y END AS y,
+  d + {s}::BIGINT * {s}
+    * xor(3 * (CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END)::BIGINT,
+          (CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END)::BIGINT) AS d
+  FROM h{i + 1})""")
+    return "".join(parts)
+
+
+def _pagerank_sql(iters: int = 3, damping_pct: int = 85,
+                  edges_cte: str = "e") -> str:
+    """DuckDB replay of operators/graph.pagerank as unrolled power-
+    iteration CTE rounds (``edges_cte`` must expose src, dst).  Ends in
+    CTE r{iters} (node, rank_micro).  Integer micro-units throughout —
+    bit-identical to the Spark loop in any order.  Driver registration
+    queued for r9; tests/test_graph.py::test_pagerank_oracle_parity is
+    the local parity proof."""
+    base = (100 - damping_pct) * 10_000
+    parts = [f"""nodes AS (SELECT src AS node FROM {edges_cte}
+          UNION SELECT dst FROM {edges_cte}),
+deg AS (SELECT src, count(*)::BIGINT AS outd FROM {edges_cte} GROUP BY src),
+r0 AS (SELECT node, 1000000::BIGINT AS rank_micro FROM nodes)"""]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+c{k} AS (SELECT {edges_cte}.dst, r.rank_micro // d.outd AS c
+        FROM {edges_cte}
+        JOIN r{k - 1} r ON r.node = {edges_cte}.src
+        JOIN deg d ON d.src = {edges_cte}.src),
+r{k} AS (SELECT n.node,
+          ({base} + ({damping_pct} * coalesce(s.i, 0)) // 100)::BIGINT
+            AS rank_micro
+        FROM nodes n
+        LEFT JOIN (SELECT dst, sum(c)::BIGINT AS i
+                   FROM c{k} GROUP BY dst) s ON s.dst = n.node)""")
+    return "".join(parts)

@@ -49,3 +49,31 @@ def test_pagerank_dangling_receiver(spark):
            pagerank(df, "s", "d", iters=2).collect()}
     assert set(got) == {1, 2, 9}
     assert got[9] > got[1] == got[2]
+
+
+def test_pagerank_oracle_parity(spark):
+    """Spark pagerank == the unrolled DuckDB power-iteration oracle on a
+    customer->supplier purchase graph from the fixture — the r9
+    registration's parity proof, run locally now (r8 window is full)."""
+    import duckdb
+    from kstream_spark.inventory_behavior import _pagerank_sql
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'/root/testdata/sf0.001/{t}.parquet'")
+    oracle = con.execute(f"""
+WITH e AS (SELECT DISTINCT o.o_custkey AS src, l.l_suppkey AS dst
+           FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+{_pagerank_sql(3)}
+SELECT node, rank_micro FROM r3
+""").fetchdf().set_index("node")["rank_micro"].to_dict()
+    from kstream_spark import StreamBuilder
+    b = StreamBuilder(spark)
+    orders = b.table("/root/testdata/sf0.001/orders.parquet").to_df()
+    li = b.table("/root/testdata/sf0.001/lineitem.parquet").to_df()
+    edges = (orders.join(li, orders.o_orderkey == li.l_orderkey)
+             .select(F.col("o_custkey").alias("src"),
+                     F.col("l_suppkey").alias("dst")).distinct())
+    got = {r.node: r.rank_micro for r in
+           pagerank(edges, "src", "dst", iters=3).collect()}
+    assert got == oracle

@@ -136,3 +136,36 @@ def test_hilbert_layout_tightens_bounding_boxes(spark):
     hil = cluster_by_hilbert(df, "x", "y", num_files=16, bits=6)
     mor = cluster_by_zorder(df, "x", "y", num_files=16, bits=6)
     assert total_box_area(hil, "_hkey") <= total_box_area(mor, "_zkey")
+
+
+def test_hilbert_oracle_parity(spark):
+    """Spark hilbert_key == the unrolled DuckDB CTE oracle on the events
+    fixture's (user_id mod, day) grid — the r9 registration's parity
+    proof, run locally now (the r8 driver window is full)."""
+    import duckdb
+    from pyspark.sql import functions as F
+    from kstream_spark.inventory_behavior import _hilbert_sql
+    from kstream_spark.operators.layout import hilbert_key
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                "'/root/testdata/sf0.001/events.parquet'")
+    oracle = con.execute(f"""
+WITH pts AS (SELECT event_id,
+                    user_id % 256 AS x,
+                    date_diff('day', DATE '2024-01-01',
+                              CAST(ts AS DATE)) % 256 AS y
+             FROM events),
+{_hilbert_sql(8, "pts")},
+ids AS (SELECT event_id, x, y FROM pts)
+SELECT i.event_id, h.d
+FROM ids i JOIN h0 h ON h.ox = i.x AND h.oy = i.y
+""").fetchdf().set_index("event_id")["d"].to_dict()
+    from kstream_spark import StreamBuilder
+    ev = StreamBuilder(spark).table(
+        "/root/testdata/sf0.001/events.parquet").to_df()
+    day = F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01"))
+    got = {r.event_id: r.h for r in
+           ev.select("event_id",
+                     hilbert_key(F.col("user_id") % 256, day % 256,
+                                 bits=8).alias("h")).collect()}
+    assert got == oracle
