@@ -309,3 +309,35 @@ r{k} AS (SELECT n.node,
         LEFT JOIN (SELECT dst, sum(c)::BIGINT AS i
                    FROM c{k} GROUP BY dst) s ON s.dst = n.node)""")
     return "".join(parts)
+
+
+def _triangle_sql(edges_cte: str = "raw") -> str:
+    """DuckDB replay of operators/graph.triangle_count (degree
+    orientation; ``edges_cte`` must expose s, d).  Ends in CTE ``tri``
+    (node, n_triangles).  Driver registration queued for r9;
+    tests/test_graph.py::test_triangle_oracle_parity is the local
+    parity proof."""
+    return f"""und AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+        FROM {edges_cte} WHERE s <> d),
+deg AS (SELECT node, count(*)::BIGINT AS deg FROM (
+          SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+        GROUP BY node),
+orient AS (SELECT
+    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+         THEN a ELSE b END AS u,
+    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+         THEN b ELSE a END AS v
+  FROM und JOIN deg da ON da.node = a JOIN deg db ON db.node = b),
+wedges AS (SELECT e1.u, e1.v, e2.v AS w
+           FROM orient e1 JOIN orient e2 ON e1.u = e2.u
+           WHERE e1.v < e2.v),
+closing AS (SELECT least(u, v) AS v, greatest(u, v) AS w FROM orient),
+tris0 AS (SELECT wedges.u, wedges.v, wedges.w
+          FROM wedges JOIN closing ON wedges.v = closing.v
+                                  AND wedges.w = closing.w),
+corners AS (SELECT unnest([u, v, w]) AS node FROM tris0),
+tri AS (SELECT dg.node,
+               coalesce(c.n, 0)::BIGINT AS n_triangles
+        FROM deg dg LEFT JOIN (SELECT node, count(*)::BIGINT AS n
+                               FROM corners GROUP BY node) c
+          ON c.node = dg.node)"""
