@@ -542,14 +542,12 @@ INVENTORY.update(QUALITY_INVENTORY)
 # Ties keep registration order, so the ordering is stable run-to-run.  New
 # queries appear in no CORRECTNESS file and land in group 2 automatically.
 
-# r9 NOTE: three operators landed in r8 with LOCALLY-PROVEN oracles but
-# deferred registration (the r8 window was exactly full with the
-# r4-stale refresh): operators/layout.hilbert_key (oracle builder
-# inventory_behavior._hilbert_sql, parity test test_layout.py),
-# operators/graph.pagerank (_pagerank_sql, test_graph.py) and
-# graph.triangle_count (_triangle_sql, test_graph.py).  Register them
-# early in r9 — each is a 10-line query + the existing SQL builder —
-# and budget the rest of the window for the r5-stale band (46 queries).
+# r9: the three r8-landed operators (layout.hilbert_key, graph.pagerank,
+# graph.triangle_count) are now REGISTERED (inventory_behavior.py
+# layout_hilbert / graph_pagerank / graph_triangles) — they carry no
+# CORRECTNESS row yet so the rotation puts them in group 2
+# (never-checked) automatically; the rest of the r9 window refreshes the
+# r5-stale band.
 
 _TOUCHED_THIS_ROUND = [
     # r8: kcenter_select's per-round argmax moved from the max-struct-

@@ -249,6 +249,60 @@ BEHAVIOR_INVENTORY["behavior_top_paths"] = (q_behavior_top_paths,
                                             SQL_BEHAVIOR_TOP_PATHS)
 
 
+# ---------------------------------------------------------------------------
+# r9 registrations: the three r8-landed operators (hilbert_key, pagerank,
+# triangle_count) whose oracles were pre-proven locally in r8
+# (tests/test_layout.py::test_hilbert_oracle_parity,
+#  tests/test_graph.py::test_{pagerank,triangle}_oracle_parity).
+# ---------------------------------------------------------------------------
+
+
+def q_layout_hilbert(spark: SparkSession, sf: str) -> DataFrame:
+    """Hilbert-curve clustering key over the events table's
+    (user_id mod 256, day-number mod 256) grid — the write-side layout
+    key whose per-file bounding boxes beat Morton's
+    (operators/layout.hilbert_key; one fold expression, whole-stage
+    codegen, no UDF)."""
+    from pyspark.sql import functions as SF
+    from kstream_spark.operators.layout import hilbert_key
+    ev = _events(spark, sf)
+    day = SF.datediff(SF.col("ts").cast("date"), SF.lit("2024-01-01"))
+    return ev.select("event_id",
+                     hilbert_key(SF.col("user_id") % 256, day % 256,
+                                 bits=8).alias("hkey"))
+
+
+def q_graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Integer-exact PageRank (3 rounds) over the customer->supplier
+    purchase graph (operators/graph.pagerank)."""
+    from pyspark.sql import functions as SF
+    from kstream_spark.operators.graph import pagerank
+    b = StreamBuilder(spark)
+    orders = b.table(f"{sf}/orders.parquet", name="orders").to_df()
+    li = b.table(f"{sf}/lineitem.parquet", name="lineitem").to_df()
+    edges = (orders.join(li, orders.o_orderkey == li.l_orderkey)
+             .select(SF.col("o_custkey").alias("src"),
+                     SF.col("l_suppkey").alias("dst")).distinct())
+    return pagerank(edges, "src", "dst", iters=3)
+
+
+def q_graph_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    """Degree-oriented exact triangle counts over the supplier
+    co-purchase graph — suppliers linked when they share an order
+    (operators/graph.triangle_count)."""
+    from pyspark.sql import functions as SF
+    from kstream_spark.operators.graph import triangle_count
+    li = StreamBuilder(spark).table(f"{sf}/lineitem.parquet",
+                                    name="lineitem").to_df()
+    a = li.select(SF.col("l_orderkey").alias("o"),
+                  SF.col("l_suppkey").alias("s"))
+    b = li.select(SF.col("l_orderkey").alias("o"),
+                  SF.col("l_suppkey").alias("d"))
+    edges = (a.join(b, "o").filter(SF.col("s") < SF.col("d"))
+             .select("s", "d").distinct())
+    return triangle_count(edges, "s", "d")
+
+
 def _hilbert_sql(bits: int, src: str = "pts") -> str:
     """DuckDB replay of operators/layout.hilbert_key as an UNROLLED
     per-bit CTE chain (``src`` must expose integer columns x, y; the
@@ -341,3 +395,41 @@ tri AS (SELECT dg.node,
         FROM deg dg LEFT JOIN (SELECT node, count(*)::BIGINT AS n
                                FROM corners GROUP BY node) c
           ON c.node = dg.node)"""
+
+
+# The hilbert oracle folds over the DISTINCT (x, y) grid, then joins the
+# keys back to the per-event rows — folding per event would be N copies of
+# the same 256x256 walk, and joining pts x pts-fold on (ox, oy) would
+# multiply rows k^2 per shared cell.
+SQL_LAYOUT_HILBERT = f"""
+WITH pts AS (SELECT event_id,
+                    user_id % 256 AS x,
+                    date_diff('day', DATE '2024-01-01',
+                              CAST(ts AS DATE)) % 256 AS y
+             FROM events),
+grid AS (SELECT DISTINCT x, y FROM pts),
+{_hilbert_sql(8, "grid")}
+SELECT p.event_id, h.d AS hkey
+FROM pts p JOIN h0 h ON h.ox = p.x AND h.oy = p.y
+"""
+
+SQL_GRAPH_PAGERANK = f"""
+WITH e AS (SELECT DISTINCT o.o_custkey AS src, l.l_suppkey AS dst
+           FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+{_pagerank_sql(3)}
+SELECT node, rank_micro FROM r3
+"""
+
+SQL_GRAPH_TRIANGLES = f"""
+WITH raw AS (SELECT DISTINCT a.l_suppkey AS s, b.l_suppkey AS d
+             FROM lineitem a JOIN lineitem b
+               ON a.l_orderkey = b.l_orderkey
+              AND a.l_suppkey < b.l_suppkey),
+{_triangle_sql("raw")}
+SELECT node, n_triangles FROM tri
+"""
+
+BEHAVIOR_INVENTORY["layout_hilbert"] = (q_layout_hilbert, SQL_LAYOUT_HILBERT)
+BEHAVIOR_INVENTORY["graph_pagerank"] = (q_graph_pagerank, SQL_GRAPH_PAGERANK)
+BEHAVIOR_INVENTORY["graph_triangles"] = (q_graph_triangles,
+                                         SQL_GRAPH_TRIANGLES)
