@@ -303,6 +303,47 @@ def q_graph_triangles(spark: SparkSession, sf: str) -> DataFrame:
     return triangle_count(edges, "s", "d")
 
 
+def q_graph_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Connected components of the frequently-bought-together graph:
+    parts linked when they co-occur in >= 2 distinct orders
+    (operators/graph.connected_components).  collect_threshold=0 forces
+    the DISTRIBUTED BSP min-label arm — the 100 TB path — so the driver
+    oracle proves the arm the union-find shortcut would otherwise hide."""
+    from pyspark.sql import functions as SF
+    from kstream_spark.operators.graph import connected_components
+    li = StreamBuilder(spark).table(f"{sf}/lineitem.parquet",
+                                    name="lineitem").to_df()
+    pp = li.select("l_orderkey", "l_partkey").distinct()
+    a = pp.select(SF.col("l_orderkey").alias("o"),
+                  SF.col("l_partkey").alias("s"))
+    b = pp.select(SF.col("l_orderkey").alias("o"),
+                  SF.col("l_partkey").alias("d"))
+    edges = (a.join(b, "o").filter(SF.col("s") < SF.col("d"))
+             .groupBy("s", "d").agg(SF.count("*").alias("n"))
+             .filter(SF.col("n") >= 2).select("s", "d"))
+    return connected_components(edges, "s", "d", collect_threshold=0)
+
+
+# DuckDB replays the fixpoint exactly with a recursive CTE: walk =
+# transitive closure of (node, reachable-label) pairs over the
+# symmetrized edges, then min(label) per node == min id of the component
+# (the same fixpoint the BSP min-label rounds converge to).
+SQL_GRAPH_COMPONENTS = """
+WITH RECURSIVE
+pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (SELECT a.l_partkey AS s, b.l_partkey AS d
+      FROM pp a JOIN pp b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+sym AS (SELECT s, d FROM e UNION ALL SELECT d, s FROM e),
+walk(node, label) AS (
+  SELECT DISTINCT s, s FROM sym
+  UNION
+  SELECT sym.s, walk.label FROM sym JOIN walk ON walk.node = sym.d)
+SELECT node, min(label) AS component FROM walk GROUP BY node
+"""
+
+
 def _hilbert_sql(bits: int, src: str = "pts") -> str:
     """DuckDB replay of operators/layout.hilbert_key as an UNROLLED
     per-bit CTE chain (``src`` must expose integer columns x, y; the
@@ -433,3 +474,5 @@ BEHAVIOR_INVENTORY["layout_hilbert"] = (q_layout_hilbert, SQL_LAYOUT_HILBERT)
 BEHAVIOR_INVENTORY["graph_pagerank"] = (q_graph_pagerank, SQL_GRAPH_PAGERANK)
 BEHAVIOR_INVENTORY["graph_triangles"] = (q_graph_triangles,
                                          SQL_GRAPH_TRIANGLES)
+BEHAVIOR_INVENTORY["graph_components"] = (q_graph_components,
+                                          SQL_GRAPH_COMPONENTS)

@@ -466,67 +466,16 @@ def connected_components(pairs: DataFrame, max_iter: int = 20,
     (A~B, B~C keeps C if only (A,B),(B,C) paired); clustering to fixpoint is
     the correct semantics.
 
-    Hybrid execution: the near-dup EDGE list is tiny relative to the corpus
-    (it is the output of a similarity threshold, not the corpus itself), so
-    when it fits comfortably on the driver (< ``collect_threshold`` edges)
-    an exact union-find finishes in milliseconds instead of a BSP round-trip
-    per diameter step.  Above the threshold, iterative min-label
-    propagation: each round every node takes the min label among itself and
-    its neighbors — a driver-side loop of distributed joins (the standard
-    BSP-on-DataFrames formulation; rounds needed = graph diameter, checked
-    via a convergence count so typical corpora stop after a handful).
+    Execution (union-find below ``collect_threshold`` edges, BSP
+    min-label propagation above) lives in the generic
+    operators/graph.connected_components — this is the dedup-schema
+    facade over it.
     """
-    # one action: pulls at most threshold+1 edges; spilling past the limit
-    # routes to the distributed path without ever materializing the full set
-    rows = pairs.select("doc_a", "doc_b").take(collect_threshold + 1)
-    if len(rows) <= collect_threshold:
-        parent: dict = {}
-
-        def find(x):
-            r = x
-            while parent.get(r, r) != r:
-                r = parent[r]
-            while parent.get(x, x) != x:  # path compression
-                parent[x], x = r, parent[x]
-            return r
-
-        for r in rows:
-            ra, rb = find(r["doc_a"]), find(r["doc_b"])
-            if ra != rb:
-                # union by min so the root IS the min id of the component
-                lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                parent[hi] = lo
-        nodes = {x for r in rows for x in (r["doc_a"], r["doc_b"])}
-        out = [(n, find(n)) for n in sorted(nodes)]
-        return pairs.sparkSession.createDataFrame(
-            out, "doc_id long, cluster_id long")
-    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    # sym is re-joined every BSP round — persist it once instead of
-    # recomputing the edge union per iteration
-    sym = edges.union(edges.select(F.col("dst").alias("src"),
-                                   F.col("src").alias("dst"))).persist()
-    nodes = sym.select(F.col("src").alias("node")).distinct()
-    labels = nodes.withColumn("label", F.col("node"))
-    for it in range(max_iter):
-        neighbor_min = (sym.join(labels, sym.dst == labels.node)
-                        .groupBy("src").agg(F.min("label").alias("nlabel"))
-                        .withColumnRenamed("src", "node"))
-        new_labels = (labels.join(neighbor_min, "node", "left")
-                      .select("node", F.least(F.col("label"),
-                                              F.coalesce("nlabel", "label"))
-                              .alias("label")))
-        new_labels = new_labels.persist()
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .filter(F.col("n.label") != F.col("o.label")).count())
-        if it > 0:  # round-0 labels was never persisted
-            labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
-    sym.unpersist()  # final labels is materialized (the changed-count action)
-    return labels.select(F.col("node").alias("doc_id"),
-                         F.col("label").alias("cluster_id"))
+    from kstream_spark.operators.graph import connected_components as cc
+    return cc(pairs, "doc_a", "doc_b", max_iter=max_iter,
+              collect_threshold=collect_threshold) \
+        .select(F.col("node").alias("doc_id"),
+                F.col("component").alias("cluster_id"))
 
 
 def dedup_survivors_cc(pairs: DataFrame, df: DataFrame, id_col: str,

@@ -66,6 +66,99 @@ def pagerank(edges: DataFrame, src_col: str, dst_col: str,
     return rank
 
 
+def connected_components(edges: DataFrame, src_col: str, dst_col: str,
+                         max_iter: int = 20,
+                         collect_threshold: int = 1_000_000) -> DataFrame:
+    """Connected components over an undirected edge list ->
+    (node, component), component = min node id in the component.  Nodes
+    are the edge endpoints (supply isolated nodes by left-joining the
+    result back onto the full node relation).
+
+    Hybrid execution, sized by the EDGE list (which in the dedup/ANN
+    pipelines is a thresholded similarity output, tiny relative to the
+    corpus): below ``collect_threshold`` edges, one bounded ``take``
+    feeds an exact driver-side union-find (milliseconds, no BSP
+    round-trips); above it, iterative min-label propagation — each
+    round every node takes the min label among itself and its
+    neighbors, a driver-side loop of distributed joins (the standard
+    BSP-on-DataFrames formulation: rounds needed = graph diameter, a
+    convergence count stops early).  Per round the traffic is two
+    exchanges keyed on node ids; the label relation never visits the
+    driver.
+
+    Generalized out of the dedup module's cluster step
+    (dedup.connected_components now delegates here) so the graph family
+    shares one implementation with the near-dup clustering pipeline.
+    """
+    pairs = edges.select(F.col(src_col).alias("s"),
+                         F.col(dst_col).alias("d"))
+    # one action: pulls at most threshold+1 edges; spilling past the
+    # limit routes to the distributed path without materializing the set
+    rows = pairs.take(collect_threshold + 1)
+    if len(rows) <= collect_threshold:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for r in rows:
+            ra, rb = find(r["s"]), find(r["d"])
+            if ra != rb:
+                # union by min so the root IS the min id of the component
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        nodes = {x for r in rows for x in (r["s"], r["d"])}
+        out = [(n, find(n)) for n in sorted(nodes)]
+        return edges.sparkSession.createDataFrame(
+            out, "node long, component long")
+    # sym is re-joined every BSP round — persist it once instead of
+    # recomputing the edge union per iteration
+    sym = pairs.union(pairs.select(F.col("d").alias("s"),
+                                   F.col("s").alias("d"))).persist()
+    nodes = sym.select(F.col("s").alias("node")).distinct()
+    # localCheckpoint (eager) per round is load-bearing, not a tuning
+    # knob: persist() caches DATA but the logical plan still nests — each
+    # round references the previous frame three times (neighbor join,
+    # left join, changed-count), so the plan tree doubles per round and
+    # ~20 rounds OOM the driver JVM during analysis alone.  Checkpoint
+    # truncates the lineage so every round plans against a leaf.
+    labels = nodes.withColumn("label", F.col("node")) \
+        .localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neighbor_min = (sym.join(labels, sym.d == labels.node)
+                        .groupBy("s").agg(F.min("label").alias("nlabel"))
+                        .withColumnRenamed("s", "node"))
+        lab1 = (labels.join(neighbor_min, "node", "left")
+                .select("node", F.least(F.col("label"),
+                                        F.coalesce("nlabel", "label"))
+                        .alias("label")))
+        # pointer jumping (Shiloach-Vishkin shortcut): label <- the
+        # label OF the label.  Labels only ever hold node ids from the
+        # same component, so the jump target always exists (inner join)
+        # and stays in-component; halving the pointer chains each round
+        # turns O(diameter) rounds into O(log diameter) — the difference
+        # between 6 and 60 shuffles on a path-shaped 100 TB graph.
+        jump = lab1.select(F.col("node").alias("label"),
+                           F.col("label").alias("jlabel"))
+        new_labels = (lab1.join(jump, "label")
+                      .select("node", F.least("label", "jlabel")
+                              .alias("label"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.label") != F.col("o.label")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select("node", F.col("label").alias("component"))
+
+
 def triangle_count(edges: DataFrame, src_col: str, dst_col: str
                    ) -> DataFrame:
     """Exact per-node triangle counts over an UNDIRECTED graph (the

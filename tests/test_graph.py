@@ -152,3 +152,40 @@ SELECT node, n_triangles FROM tri
     got = {r.node: r.n_triangles for r in
            triangle_count(edges, "s", "d").collect()}
     assert got == oracle and sum(got.values()) > 0
+
+
+def test_connected_components_bsp_matches_union_find(spark):
+    """The distributed min-label arm (collect_threshold=0) and the
+    driver-side union-find arm agree on a multi-component graph with a
+    transitive chain and duplicate edges."""
+    from kstream_spark.operators.graph import connected_components
+    edges = [(1, 2), (2, 3), (3, 4), (2, 1),       # chain -> comp 1
+             (10, 11), (11, 12),                   # chain -> comp 10
+             (20, 21), (21, 20),                   # pair  -> comp 20
+             (30, 30)]                             # self-loop only
+    df = spark.createDataFrame(edges, "s long, d long")
+    uf = {r.node: r.component for r in
+          connected_components(df, "s", "d").collect()}
+    bsp = {r.node: r.component for r in
+           connected_components(df, "s", "d",
+                                collect_threshold=0).collect()}
+    assert uf == bsp
+    assert bsp[4] == 1 and bsp[12] == 10 and bsp[21] == 20
+    assert bsp[30] == 30
+
+
+def test_connected_components_oracle_parity(spark):
+    """Spark BSP components == the DuckDB recursive-CTE fixpoint on the
+    frequently-bought-together parts graph — the graph_components
+    registration's parity proof."""
+    import duckdb
+    from kstream_spark.inventory_behavior import (SQL_GRAPH_COMPONENTS,
+                                                  q_graph_components)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW lineitem AS SELECT * FROM "
+                "'/root/testdata/sf0.001/lineitem.parquet'")
+    oracle = con.execute(SQL_GRAPH_COMPONENTS).fetchdf() \
+        .set_index("node")["component"].to_dict()
+    got = {r.node: r.component for r in
+           q_graph_components(spark, "/root/testdata/sf0.001").collect()}
+    assert got == oracle
