@@ -887,16 +887,20 @@ def q_pipeline_selection_mix(spark: SparkSession, sf: str) -> DataFrame:
     sliced = kept.join(binned.select("doc_id", "difficulty"), "doc_id")
     packed = C.pack_chunks(sliced, "doc_id", "text", capacity=256,
                            shard_col="difficulty")
-    return (packed.join(sliced.select("doc_id", "dsir_micro"), "doc_id")
-            .groupBy(F.col("shard").alias("difficulty"))
-            .agg(F.count("*").cast("long").alias("n_docs"),
-                 F.sum("tokens").cast("long").alias("total_tokens"),
-                 (F.max("chunk_last") + 1).cast("long").alias("n_chunks"),
-                 F.sum("dsir_micro").cast("long").alias("sum_dsir_micro"))
-            .withColumn("fill_ratio",
-                        F.round(F.col("total_tokens")
-                                / (F.col("n_chunks") * 256.0), 6))
-            .orderBy("difficulty"))
+    out = (packed.join(sliced.select("doc_id", "dsir_micro"), "doc_id")
+           .groupBy(F.col("shard").alias("difficulty"))
+           .agg(F.count("*").cast("long").alias("n_docs"),
+                F.sum("tokens").cast("long").alias("total_tokens"),
+                (F.max("chunk_last") + 1).cast("long").alias("n_chunks"),
+                F.sum("dsir_micro").cast("long").alias("sum_dsir_micro"))
+           .withColumn("fill_ratio",
+                       F.round(F.col("total_tokens")
+                               / (F.col("n_chunks") * 256.0), 6))
+           .orderBy("difficulty"))
+    # one audit row per bin — materialize so the kept-slice cache frees
+    # with the query instead of living for the sweep session (ADVICE r8)
+    from kstream_spark.util import collect_freeing
+    return collect_freeing(out, kept)
 
 
 SQL_PIPELINE_SELECTION_MIX = f"""

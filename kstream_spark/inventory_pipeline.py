@@ -21,6 +21,7 @@ from kstream_spark.operators import dedup as D
 from kstream_spark.operators import multimodal as M
 from kstream_spark.operators import similarity as S
 from kstream_spark.operators import text as TX
+from kstream_spark.util import collect_freeing
 
 # shared DuckDB CTE fragments: words + distinct 3-word shingles
 _W = ("w AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS words "
@@ -668,7 +669,10 @@ def q_mm_phash_dedup(spark: SparkSession, sf: str) -> DataFrame:
     # reads sends the optimizer into expression-tree blowup (measured
     # minutes); the barrier makes the whole query seconds
     imgs = orig.unionByName(copy).persist()
-    return M.phash_pairs(imgs, "img_id", "pixels", max_hamming=3)
+    # near-dup pair list is bounded (verified pairs, not the corpus) —
+    # materialize it so the decoded-thumbnail cache frees with the query
+    return collect_freeing(
+        M.phash_pairs(imgs, "img_id", "pixels", max_hamming=3), imgs)
 
 
 def _mm_phash_sql(n_px: int = 72, w: int = 8, h: int = 8,
@@ -1844,7 +1848,10 @@ def q_sim_ann_retrain(spark: SparkSession, sf: str) -> DataFrame:
         out = out.unionByName(
             recall(fresh).select(F.lit("after").alias("phase"),
                                  "query_id", "n_hits"))
-    return out
+    # 2|Q| audit rows — materialize them and drop the session-lifetime
+    # caches (exact ground truth + boot audit) the sweep would otherwise
+    # carry across all remaining queries
+    return collect_freeing(out, exact, before)
 
 
 def _ann_retrain_sql() -> str:
@@ -2363,8 +2370,9 @@ def q_mm_afp_dedup(spark: SparkSession, sf: str) -> DataFrame:
     # hash whole cohorts into one band value — 322-occupancy buckets
     # measured at sf0.1, a superlinear pair space; the cap is REPLAYED
     # by the oracle's HAVING, so the query stays hash-exact
-    return M.afp_pairs(clips, "clip_id", "energies", max_hamming=3,
-                       max_band_df=_AFP_BAND_DF)
+    return collect_freeing(
+        M.afp_pairs(clips, "clip_id", "energies", max_hamming=3,
+                    max_band_df=_AFP_BAND_DF), clips)
 
 
 _AFP_BAND_DF = 50  # hot-bucket cap — ONE knob for driver call and oracle

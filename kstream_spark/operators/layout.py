@@ -88,8 +88,10 @@ def hilbert_key(col_a: Column, col_b: Column, bits: int = 16) -> Column:
     ``sequence(bits-1 .. 0)`` — evaluated iteratively at runtime, so the
     plan stays constant-size at any ``bits`` (an unrolled when-chain
     would grow exponentially: each level references x and y twice).
-    Engine-portable (DuckDB replays the same fold with ``list_reduce``),
-    no UDF, whole-stage codegen.
+    Engine-portable — the DuckDB oracle replays the same walk with
+    per-bit unrolled CTEs (inventory_behavior._hilbert_sql; DuckDB 1.0's
+    ``list_reduce`` mis-executes correlated per-row folds, so the oracle
+    deliberately avoids it) — no UDF, whole-stage codegen.
     """
     mask = F.lit((1 << bits) - 1)
     x0 = col_a.cast("long").bitwiseAND(mask)

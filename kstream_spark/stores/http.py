@@ -81,17 +81,31 @@ class StoreHttpServer:
                             except (TypeError, ValueError):
                                 return self._json(
                                     400, {"error": f"bad limit: {raw!r}"})
+                            # limit+1 rows so a capped dump is
+                            # distinguishable from a complete index —
+                            # same X-Truncated contract as the paged
+                            # full-scan route below.
                             rows = (store.get_all()
                                     .select(col, *store.key)
                                     .orderBy(col, *store.key)
-                                    .limit(limit).collect())
+                                    .limit(limit + 1).collect())
+                            truncated = len(rows) > limit
                             idx: dict = {}
-                            for r in rows:
+                            for r in rows[:limit]:
                                 k = json.dumps(r[col], default=str)
                                 keys = [r[c] for c in store.key]
                                 idx.setdefault(k, []).append(
                                     keys[0] if len(keys) == 1 else keys)
-                            return self._json(200, idx)
+                            body = json.dumps(idx, default=str).encode()
+                            self.send_response(200)
+                            self.send_header("Content-Type",
+                                             "application/json")
+                            self.send_header("X-Truncated",
+                                             "true" if truncated else "false")
+                            self.send_header("Content-Length", str(len(body)))
+                            self.end_headers()
+                            self.wfile.write(body)
+                            return None
                         if len(parts) == 2:          # full scan (paged)
                             q = parse_qs(url.query)
                             raw = q.get("limit", [DEFAULT_SCAN_LIMIT])[0]

@@ -365,7 +365,12 @@ def watermarked_stream_join(left: DataFrame, right: DataFrame, key: str,
         & (rw[right_ts] <= lw[left_ts] + F.expr(f"interval {within}"))
     )
     joined = lw.join(rw, cond, how)
+    # Non-key name collisions (left_ts == right_ts being the common one)
+    # would otherwise emit two output columns under the same name, making
+    # downstream by-name selection ambiguous — suffix the right side's.
+    left_names = {c for c in left.columns if c != key}
     return joined.select(
         F.coalesce(lw[key], rw[key]).alias(key),
         *[lw[c] for c in left.columns if c != key],
-        *[rw[c] for c in right.columns if c != key])
+        *[rw[c].alias(f"{c}_right") if c in left_names else rw[c]
+          for c in right.columns if c != key])

@@ -90,10 +90,18 @@ def admit_cluster_balanced_stream(df: DataFrame, centroids_path: str,
             return
         spark = batch.sparkSession
         cents = load_centroids(spark, centroids_path)
+        # Only a genuinely missing store means "first batch, empty quota".
+        # Any OTHER read failure (transient FS error, corrupt footer) must
+        # fail the batch so the streaming query retries — swallowing it
+        # would silently reset quota/dedup accounting and over-admit.
+        from py4j.protocol import Py4JJavaError
+        from pyspark.errors import AnalysisException
         try:
             store = (spark.read.parquet(out_path)
                      .filter(F.col(epoch_col) != int(epoch_id)))
-        except Exception:
+        except (AnalysisException, Py4JJavaError) as e:
+            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                raise
             store = None
         src = (batch.select(F.col(id_col).alias("vec_id"),
                             as_double(F.col(vec_col)).alias("v"))

@@ -144,6 +144,27 @@ def skew_join(left: DataFrame, right: DataFrame, key: str,
     return hot.unionByName(cold)
 
 
+def collect_freeing(out: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Materialize a BOUNDED final relation, unpersist the cached inputs
+    it consumed, and return the result as a local relation with the same
+    schema.
+
+    Multi-consumer query bodies persist shared subtrees (scan once, feed
+    N consumers) — but a query function that returns lazily can't
+    unpersist them itself, and a long-lived session running the full
+    inventory sweep would accumulate every such cache for its lifetime
+    (ADVICE r8: inventory_corpus/inventory_pipeline leaks).  This helper
+    is the contract: the caller asserts `out` is final-result-sized
+    (audit rows, top-k, pair lists — never a corpus), so one bounded
+    collect lets the caches be dropped deterministically the moment the
+    result exists."""
+    rows = out.collect()
+    schema = out.schema
+    for df in cached:
+        df.unpersist()
+    return out.sparkSession.createDataFrame(rows, schema)
+
+
 def input_size_bytes(df: DataFrame) -> int | None:
     """Catalyst's estimate of the plan's input volume (file sizes for
     scans).  None when stats are unavailable — see ``_plan_size_bytes``

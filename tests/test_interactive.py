@@ -181,3 +181,21 @@ def test_index_dump(server):
     except urllib.error.HTTPError as e:
         code = e.code
     assert code == 404
+
+
+def test_index_dump_truncation_signal(server):
+    """A ?limit=-capped index dump is distinguishable from a complete
+    one: X-Truncated flips exactly like the paged-scan route (the ref
+    dumps idx.Values() wholesale, so a silent cap would be a parity
+    lie)."""
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}"
+            f"/stores/accounts/indexes/tag?limit=1") as r:
+        assert r.status == 200
+        assert r.headers["X-Truncated"] == "true"
+        assert len(json.loads(r.read())) == 1
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}"
+            f"/stores/accounts/indexes/tag?limit=50") as r:
+        assert r.headers["X-Truncated"] == "false"
+        assert json.loads(r.read()) == {'"x"': [1], '"y"': [2]}

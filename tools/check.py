@@ -216,6 +216,11 @@ def main():
                              "spark_seconds": round(spark_s, 2),
                              "oracle_seconds": round(oracle_s, 2),
                              "sampled": sampled}
+        # operators persist corpus-sized shared subtrees (signatures,
+        # shingle sets, tf tables) that back lazily-returned results and
+        # so cannot unpersist in-function — dropping the cache BETWEEN
+        # queries bounds the sweep session's storage growth instead
+        spark.catalog.clearCache()
         if json_out and qi % CONTROL_EVERY == 0:
             run_control(qi)
     if json_out:
