@@ -794,10 +794,10 @@ def prefix_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     WHEN TO USE WHICH (A/B-measured, min-of-3, quiet machine): on the
     driver fixture — whose per-shingle document frequency tops out in
     the single digits — the plain full-index path is FASTER (1.6s vs
-    2.9s at sf0.1, 6.5s vs 13.4s at sf1): with no hot shingles the
+    2.9s at sf0.1; at sf1 the r9 single-aggregation shape closed the
+    gap to ~1.4x of the brute DuckDB replay): with no hot shingles the
     self-join never explodes, and the prefix path pays its extra
-    stages (df join, per-doc window, candidate distinct, array verify)
-    for nothing.  Prefix filtering is the tool for BOILERPLATE-SKEWED
+    stages (df join, candidate distinct, array verify) for nothing.  Prefix filtering is the tool for BOILERPLATE-SKEWED
     corpora, where shared headers/licenses give shingles df in the
     thousands and the full self-join goes quadratic in the hot df:
     there the rare-first prefix skips the boilerplate entirely without
@@ -806,20 +806,45 @@ def prefix_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     universe (tests/test_corpus.test_prefix_filter_skips_boilerplate
     demonstrates the candidate-space gap).
     """
-    from pyspark.sql import Window as W
     sh = shingle_sets(df, id_col, text_col, n)
     t_micro = int(round(threshold * 1e6))
     dfreq = sh.groupBy("s").agg(F.count("*").alias("_df"))
-    sized = (sh.join(dfreq, "s")
-             .withColumn("_n", F.count("*").over(W.partitionBy(id_col))))
-    plen = (F.col("_n")
-            - F.expr(f"({t_micro}L * _n + 999999) div 1000000") + 1)
-    rn = F.row_number().over(
-        W.partitionBy(id_col).orderBy(F.asc("_df"), F.asc("s")))
-    prefix = (sized.withColumn("_rn", rn)
-              .filter(F.col("_rn") <= plen).select(F.col(id_col), "s"))
+    # ONE id-keyed aggregation yields BOTH the rare-first prefix (the
+    # sorted (df, s) struct array's first plen elements) and the verify
+    # arrays — the r8 shape spent a per-doc window pass on the prefix
+    # and then re-shuffled the full index a second time inside
+    # _jaccard_on_pairs for the arrays (sf1 A/B: 11.8s -> this shape's
+    # single groupBy).  sort_array on the struct array orders by
+    # (_df asc, s asc), exactly the prefix order the window used.
+    sets = (sh.join(dfreq, "s")
+            .groupBy(F.col(id_col))
+            .agg(F.sort_array(F.collect_list(F.struct("_df", "s")))
+                 .alias("_ds"),
+                 F.count("*").alias("n"))
+            .withColumn("_plen",
+                        (F.col("n")
+                         - F.expr(f"({t_micro}L * n + 999999) div 1000000")
+                         + 1).cast("int"))
+            .select(F.col(id_col),
+                    F.sort_array(F.expr("transform(_ds, x -> x.s)"))
+                    .alias("ss"),
+                    F.col("n"),
+                    F.expr("transform(slice(_ds, 1, _plen), x -> x.s)")
+                    .alias("prefix"))
+            # three consumers (prefix index + both verify sides): cache
+            # the per-doc relation so the df-join aggregation runs once
+            .persist())
+    prefix = sets.select(F.col(id_col), F.explode("prefix").alias("s"))
     cand = (prefix.select(F.col(id_col).alias("doc_a"), "s")
             .join(prefix.select(F.col(id_col).alias("doc_b"), "s"), "s")
             .filter(F.col("doc_a") < F.col("doc_b"))
             .select("doc_a", "doc_b").distinct())
-    return _jaccard_on_pairs(cand, sh, id_col, threshold)
+    a = sets.select(F.col(id_col).alias("doc_a"),
+                    F.col("ss").alias("ssa"), F.col("n").alias("na"))
+    b = sets.select(F.col(id_col).alias("doc_b"),
+                    F.col("ss").alias("ssb"), F.col("n").alias("nb"))
+    i = F.size(F.array_intersect("ssa", "ssb")).cast("long")
+    j = i / (F.col("na") + F.col("nb") - i)
+    return (cand.join(a, "doc_a").join(b, "doc_b")
+            .filter(j >= threshold)
+            .select("doc_a", "doc_b", F.round(j, 6).alias("jaccard")))

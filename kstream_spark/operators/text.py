@@ -80,7 +80,14 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def fingerprint(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Document fingerprints: exact content hash + min-shingle-hash (the
-    1-hash minhash — a cheap similarity-preserving sketch)."""
+    1-hash minhash — a cheap similarity-preserving sketch).
+
+    Zero shuffles, but md5-per-shingle is CPU-heavy per row — spread a
+    few-split scan across cores first (the shingle_sets precedent; a
+    single parquet file otherwise serializes the whole hash grind onto
+    one task)."""
+    from kstream_spark.util import ensure_parallelism
+    df = ensure_parallelism(df, min_bytes=256 << 10)
     sh = F.array_distinct(word_shingles(F.col(text_col), n))
     return df.select(
         F.col(id_col),
@@ -396,33 +403,50 @@ def lang_id_ngram(df: DataFrame, id_col: str, text_col: str,
     most hits wins (ties toward the lexicographically lowest language;
     no hits, or text shorter than n chars -> 'und').
 
-    Scale shape: one explode + distinct per document, one broadcast join
-    against the tiny profile relation, one (doc, lang) count, and a
-    per-document argmax window (groups = documents — fully distributed).
+    Scale shape: ZERO shuffles.  The trained profile relation is tiny
+    (|langs| x top_m rows — a train-once artifact), so it collects to
+    the driver (bounded, same contract as the broadcast weight tables)
+    and inlines as per-language gram LITERALS; each document then scores
+    in one whole-stage-codegen projection — ``array_distinct`` of its
+    grams, ``size(array_intersect(...))`` per language, and a when-chain
+    argmax.  No join, no aggregation, no window: a pure narrow map that
+    scales embarrassingly to any corpus size (the r8 shape — explode +
+    distinct + broadcast join + (doc,lang) count + per-doc window —
+    carried three shuffles whose only payoff was avoiding a per-row
+    intersect; at sf1 it ran 6.6s vs this shape's single scan).
     Returns (id, pred_lang, n_hits)."""
-    from pyspark.sql import Window as W
+    prof: dict[str, list[str]] = {}
+    for r in profiles.select("lang", "g").collect():   # |langs| x top_m
+        prof.setdefault(r["lang"], []).append(r["g"])
+    langs = sorted(prof)     # ascending = the tie-break order
+    if not langs:
+        return df.select(F.col(id_col), F.lit("und").alias("pred_lang"),
+                         F.lit(0).cast("long").alias("n_hits"))
     t = F.lower(F.col(text_col))
-    src = df.filter(F.length(t) >= n).select(
-        F.col(id_col).alias("_id"), t.alias("t"))
-    # explode + distinct beats a per-row array_distinct (A/B at sf0.1:
-    # 2.9s vs 4.0s): distinct's map-side partial aggregation dedups
-    # locally BEFORE the exchange, so the wire carries ~the per-doc
-    # distinct set either way and the codegen row-hash-set cost is saved
-    dg = src.select("_id", F.explode(F.expr(
-        f"transform(sequence(1, length(t) - {n - 1}), "
-        f"i -> substr(t, i, {n}))")).alias("g")).distinct()
-    hits = (dg.join(F.broadcast(profiles.select("lang", "g")), "g")
-            .groupBy("_id", "lang").agg(F.count("*").alias("h")))
-    w = W.partitionBy("_id").orderBy(F.desc("h"), F.asc("lang"))
-    best = (hits.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1).select("_id", "lang", "h"))
-    return (df.select(F.col(id_col))
-            .join(best.withColumnRenamed("_id", id_col), id_col, "left")
-            .select(id_col,
-                    F.coalesce(F.col("lang"), F.lit("und"))
-                    .alias("pred_lang"),
-                    F.coalesce(F.col("h"), F.lit(0)).cast("long")
-                    .alias("n_hits")))
+    src = df.select(F.col(id_col), t.alias("_t"))
+    grams = F.when(
+        F.length("_t") >= n,
+        F.array_distinct(F.expr(
+            f"transform(sequence(1, length(_t) - {n - 1}), "
+            f"i -> substr(_t, i, {n}))"))
+    ).otherwise(F.array().cast("array<string>"))
+    scored = src.select(
+        F.col(id_col), *[
+            F.size(F.array_intersect(
+                grams, F.array(*[F.lit(g) for g in prof[lang]])))
+            .alias(f"_h_{i}") for i, lang in enumerate(langs)])
+    # argmax with ties to the lexicographically lowest language: walk in
+    # ascending lang order and replace only on a STRICT improvement
+    best_l, best_h = F.lit(langs[0]), F.col("_h_0")
+    for i, lang in enumerate(langs[1:], start=1):
+        gt = F.col(f"_h_{i}") > best_h
+        best_l = F.when(gt, F.lit(lang)).otherwise(best_l)
+        best_h = F.when(gt, F.col(f"_h_{i}")).otherwise(best_h)
+    return scored.select(
+        F.col(id_col),
+        F.when(best_h > 0, best_l).otherwise(F.lit("und"))
+        .alias("pred_lang"),
+        F.greatest(best_h, F.lit(0)).cast("long").alias("n_hits"))
 
 
 def wordpiece_pair_scores(df: DataFrame, text_col: str,
