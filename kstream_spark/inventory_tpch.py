@@ -14,13 +14,21 @@ from kstream_spark.builder import StreamBuilder
 
 # Q4-shaped: priority counts for orders having a "late" lineitem (EXISTS)
 def q_order_priority_exists(spark: SparkSession, sf: str) -> DataFrame:
+    """One orders pass: carry o_orderpriority THROUGH the late-detection
+    join and dedup on (orderkey, priority) — the r8 shape scanned and
+    shuffled orders twice (join for the date compare, then a semi-join
+    back just to recover the priority).  At 100 TB that is one full
+    orders scan + exchange saved for identical semantics (priority is
+    functionally dependent on orderkey, so the distinct is the EXISTS)."""
     b = StreamBuilder(spark)
-    orders = b.stream(f"{sf}/orders.parquet").to_df()
-    li = b.stream(f"{sf}/lineitem.parquet").to_df()
-    late = li.join(orders, li.l_orderkey == orders.o_orderkey) \
-        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")) \
-        .select("l_orderkey").distinct()
-    return (orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+    orders = b.stream(f"{sf}/orders.parquet").to_df() \
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = b.stream(f"{sf}/lineitem.parquet").to_df() \
+        .select("l_orderkey", "l_shipdate")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .filter(F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+            .select("o_orderkey", "o_orderpriority").distinct()
             .groupBy("o_orderpriority")
             .agg(F.count("*").alias("order_count")))
 

@@ -499,13 +499,17 @@ def q21_waiting_supplier(spark: SparkSession, sf: str) -> DataFrame:
                        & (F.col("_max_ship")
                           > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
                        1).otherwise(0).alias("is_late")))
-    per_order = pair_late.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"),
-        F.sum("is_late").alias("n_late"))
+    # per-order supplier/late counts as a WINDOW over the pair relation —
+    # the r8 shape aggregated to per_order and JOINED BACK, which costs an
+    # extra exchange + join over the same key the window sorts on anyway
+    from pyspark.sql import Window as W
+    w = W.partitionBy("l_orderkey")
     supp = _t(spark, sf, "supplier")
-    return (pair_late.filter(F.col("is_late") == 1)
-            .join(per_order.filter((F.col("n_supp") > 1)
-                                   & (F.col("n_late") == 1)), "l_orderkey")
+    return (pair_late
+            .withColumn("n_supp", F.count(F.lit(1)).over(w))
+            .withColumn("n_late", F.sum("is_late").over(w))
+            .filter((F.col("is_late") == 1) & (F.col("n_supp") > 1)
+                    & (F.col("n_late") == 1))
             .join(F.broadcast(supp),
                   pair_late.l_suppkey == supp.s_suppkey)
             .groupBy("s_name").agg(F.count("*").alias("numwait"))

@@ -415,8 +415,12 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     broadcast.  Two aggregations + one bounded equi-join; the raw token
     stream itself is never shuffled wider than its distinct bigrams.
     """
+    from kstream_spark.util import ensure_parallelism
     w = _clean_words(F.lower(F.col(text_col)))
-    big = (df.withColumn("_w", w).filter(F.size("_w") >= 2)
+    # bigram explode fans ~word-count× per row: spread a few-split scan
+    # across cores before the fan-out (shingle_sets floor)
+    big = (ensure_parallelism(df, min_bytes=256 << 10)
+           .withColumn("_w", w).filter(F.size("_w") >= 2)
            .select(F.col(id_col),
                    F.explode(F.expr(
                        "transform(sequence(2, size(_w)), "

@@ -32,8 +32,14 @@ from kstream_spark.functions.vectors import as_double, dot, norm
 def _dsir_tokens(df: DataFrame, id_col: str, text_col: str,
                  n_buckets: int, extra=None) -> DataFrame:
     """(id, bucket) token stream: whitespace tokens hashed into
-    ``n_buckets`` portable md5 feature buckets (seed 'dsir')."""
+    ``n_buckets`` portable md5 feature buckets (seed 'dsir').
+
+    md5-per-token is CPU-heavy per input byte — spread a few-split scan
+    across cores first (the shingle_sets floor; without it a small-file
+    corpus serializes the whole hash fan-out onto one or two tasks)."""
     from kstream_spark.operators.corpus import _clean_words, _hash_mod
+    from kstream_spark.util import ensure_parallelism
+    df = ensure_parallelism(df, min_bytes=256 << 10)
     cols = [F.col(id_col)] + ([] if extra is None else [extra])
     tok = df.select(
         *cols,
