@@ -22,15 +22,43 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+def tws_available(spark) -> bool:
+    """True when Spark 4's ``transformWithStateInPandas`` can actually
+    run here: the API exists AND its Python worker's hard dependency
+    (google.protobuf — the state-server wire protocol) is importable.
+    COMPAT.md: the build sandbox lacks protobuf, so this gates the
+    modern arm and the operators fall back to applyInPandasWithState."""
+    try:
+        import google.protobuf  # noqa: F401
+        from pyspark.sql.streaming.stateful_processor import (  # noqa: F401
+            StatefulProcessor)
+    except ImportError:
+        return False
+    try:
+        return int(spark.version.split(".")[0]) >= 4
+    except Exception:  # noqa: BLE001
+        return False
+
+
 def latest_with_ttl(df: DataFrame, key_col: str, version_col: str,
-                    payload_cols: list[str], ttl_ms: int | None = None) -> DataFrame:
+                    payload_cols: list[str], ttl_ms: int | None = None,
+                    impl: str = "auto") -> DataFrame:
     """Streaming latest-by-key with optional per-key TTL.
 
     Emits (key, version, payload_json, expired) rows on every update; when a
     key's TTL elapses with no updates, a tombstone row (expired=true) is
     emitted and state is dropped — the streaming analog of the reference's
     background cleaner deleting expired entries.
-    """
+
+    ``impl``: 'auto' uses Spark 4's ``transformWithStateInPandas`` (typed
+    state vars + timers, RocksDB-backed) when the runtime supports it
+    (``tws_available``) and falls back to ``applyInPandasWithState``
+    otherwise; 'tws' / 'legacy' force an arm (parity tests use both)."""
+    if impl not in ("auto", "tws", "legacy"):
+        raise ValueError(f"impl must be auto|tws|legacy, got {impl!r}")
+    if impl == "tws" or (impl == "auto" and tws_available(df.sparkSession)):
+        return _latest_with_ttl_tws(df, key_col, version_col,
+                                    payload_cols, ttl_ms)
     out_schema = T.StructType([
         T.StructField(key_col, T.LongType()),
         T.StructField("version", T.LongType()),
@@ -71,6 +99,83 @@ def latest_with_ttl(df: DataFrame, key_col: str, version_col: str,
         else GroupStateTimeout.NoTimeout
     return df.groupBy(key_col).applyInPandasWithState(
         update, out_schema, state_schema, "append", timeout)
+
+
+def _latest_with_ttl_tws(df: DataFrame, key_col: str, version_col: str,
+                         payload_cols: list[str],
+                         ttl_ms: int | None) -> DataFrame:
+    """``latest_with_ttl`` on the Spark 4 ``transformWithStateInPandas``
+    API: one ValueState var holds (version, payload-json); a per-key
+    processing-time TIMER (registered on every update, re-armed by
+    cancelling the old one) implements the TTL tombstone.  Same output
+    contract as the legacy arm — the parity test drives both.
+
+    Requires the RocksDB state-store provider (Spark enforces this for
+    transformWithState); callers get a clear error from Spark itself if
+    the session is configured with the HDFS-backed provider."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+
+    out_schema = T.StructType([
+        T.StructField(key_col, T.LongType()),
+        T.StructField("version", T.LongType()),
+        T.StructField("payload", T.StringType()),
+        T.StructField("expired", T.BooleanType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("version", T.LongType()),
+        T.StructField("payload", T.StringType()),
+    ])
+
+    class LatestWithTTL(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._latest = handle.getValueState("latest", state_schema)
+
+        def handleInputRows(self, key, rows, timer_values):
+            (k,) = key
+            cur = self._latest.get()
+            best_ver, best_payload = cur if cur is not None else (None, None)
+            for pdf in rows:
+                for _, row in pdf.iterrows():
+                    v = int(row[version_col])
+                    if best_ver is None or v > best_ver:
+                        best_ver = v
+                        best_payload = json.dumps(
+                            {c: (None if pd.isna(row[c]) else
+                                 (row[c].item() if hasattr(row[c], "item")
+                                  else row[c]))
+                             for c in payload_cols},
+                            sort_keys=True, default=str)
+            self._latest.update((best_ver, best_payload))
+            if ttl_ms is not None:
+                # re-arm: drop any previously registered timer, then set
+                # the new deadline relative to the batch's proc time
+                for t in self._handle.listTimers():
+                    self._handle.deleteTimer(t)
+                self._handle.registerTimer(
+                    timer_values.getCurrentProcessingTimeInMs() + ttl_ms)
+            yield pd.DataFrame([{key_col: k, "version": best_ver,
+                                 "payload": best_payload, "expired": False}])
+
+        def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+            (k,) = key
+            cur = self._latest.get()
+            if cur is None:
+                return
+            ver, payload = cur
+            self._latest.clear()
+            yield pd.DataFrame([{key_col: k, "version": ver,
+                                 "payload": payload, "expired": True}])
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=LatestWithTTL(),
+        outputStructType=out_schema,
+        outputMode="append",
+        timeMode="processingTime" if ttl_ms is not None else "none")
 
 
 def session_stream(df: DataFrame, user_col: str, ts_col: str,
