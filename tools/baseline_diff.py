@@ -1,0 +1,82 @@
+"""Per-query batch-performance gate: is every Spark query within ~2x of
+its DuckDB oracle, and how does the round compare to the committed
+baseline sweep?
+
+The reference publishes NO batch numbers (BASELINE.md), so the standing
+batch comparison point is the DuckDB oracle itself: both engines run
+the same query on the same parquet, so oracle_seconds is a legitimate
+single-node "reference engine" time.  Two comparisons, in order of
+evidential strength:
+
+1. SAME-SWEEP ratio (load-honest): spark_seconds / oracle_seconds from
+   ONE artifact — both sides saw identical machine conditions.  This is
+   the "within 2x" check that is actually meaningful on a shared box.
+2. CROSS-ROUND ratio: this sweep's spark_seconds vs the committed
+   BASELINE_BATCH.json numbers — historical context only; wall-clock
+   drifts with load (the sweep's control_runs series is the drift
+   sentinel), so regressions here are leads, not verdicts.
+
+Usage: python tools/baseline_diff.py [sweep.json] [--threshold 2.0]
+       default sweep: the newest SWEEP_sf1_r*.json in the repo root.
+
+Exit code 0 always (it's a report, not a gate — queries whose oracle is
+deliberately brute-force, e.g. the losslessness proofs, legitimately
+run faster in Spark and the sub-second floor makes tiny ratios noisy).
+Queries with oracle_seconds < FLOOR_S are skipped from flagging: at
+sub-second scale, JVM/session constants dominate and ratios are noise.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+FLOOR_S = 1.0
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    thr = 2.0
+    if "--threshold" in sys.argv:
+        thr = float(sys.argv[sys.argv.index("--threshold") + 1])
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if args:
+        sweep_path = args[0]
+    else:
+        sweeps = sorted(glob.glob(os.path.join(root, "SWEEP_sf1_r*.json")))
+        if not sweeps:
+            sys.exit("no SWEEP_sf1_r*.json artifacts found")
+        sweep_path = sweeps[-1]
+    sweep = json.load(open(sweep_path))
+    base = json.load(open(os.path.join(root, "BASELINE_BATCH.json")))
+
+    print(f"sweep: {os.path.basename(sweep_path)}  "
+          f"(control drift: {[c['spark_seconds'] for c in sweep.get('control_runs', [])]})")
+    flagged, compared = [], 0
+    for name, r in sorted(sweep["results"].items()):
+        if not r.get("pass") or "oracle_seconds" not in r:
+            continue
+        o, s = r["oracle_seconds"], r["spark_seconds"]
+        if o < FLOOR_S and s < FLOOR_S * thr:
+            continue  # sub-second floor: constants, not asymptotics
+        compared += 1
+        ratio = s / max(o, 0.01)
+        b = base["oracle_seconds"].get(name)
+        tag = ""
+        if ratio > thr:
+            flagged.append((ratio, name))
+            tag = "  <-- over threshold"
+        if ratio > thr or "-v" in sys.argv:
+            print(f"{name:40s} spark {s:7.2f}s  oracle {o:7.2f}s  "
+                  f"ratio {ratio:5.2f}x  (baseline oracle "
+                  f"{b if b is not None else '—'}s){tag}")
+    print(f"\n{compared} queries compared (oracle >= {FLOOR_S}s); "
+          f"{len(flagged)} over {thr}x same-sweep")
+    for ratio, name in sorted(flagged, reverse=True):
+        print(f"  {name}: {ratio:.2f}x")
+
+
+if __name__ == "__main__":
+    main()
