@@ -542,24 +542,31 @@ INVENTORY.update(QUALITY_INVENTORY)
 # Ties keep registration order, so the ordering is stable run-to-run.  New
 # queries appear in no CORRECTNESS file and land in group 2 automatically.
 
-# r9: the three r8-landed operators (layout.hilbert_key, graph.pagerank,
-# graph.triangle_count) are now REGISTERED (inventory_behavior.py
-# layout_hilbert / graph_pagerank / graph_triangles) — they carry no
-# CORRECTNESS row yet so the rotation puts them in group 2
-# (never-checked) automatically; the rest of the r9 window refreshes the
-# r5-stale band.
+# r9: the four never-checked queries (layout_hilbert, graph_pagerank,
+# graph_triangles, graph_components) land in group 2 automatically; the
+# r8-touched set earned green rows in CORRECTNESS_r08 so it rotates back
+# into group 3.  The rest of the r9 window refreshes the r5-stale band.
 
-_TOUCHED_THIS_ROUND = [
-    # r8: kcenter_select's per-round argmax moved from the max-struct-
-    # with-negated-id trick to TakeOrderedAndProject (id-type-agnostic,
-    # advisor ask) — same winner, new evaluation path, re-prove
-    "select_kcenter",
-    # r8: drift_psi_from_counts ungrouped branch gained the empty-side
-    # fillna (grouped-branch parity) — evaluation path changed
-    "dq_drift_psi",
-    # r8: scd2_apply's open-row pseudo-change sentinel is now typed off
-    # the change batch's id column — both registered consumers re-prove
-    "scd2_incremental", "scd2_asof",
+_TOUCHED_THIS_ROUND: list[str] = [
+    # r9: these four now materialize their bounded final relation via
+    # util.collect_freeing so their in-function persists free with the
+    # query (ADVICE r8 cache-leak finding) — new evaluation path, re-prove
+    "pipeline_selection_mix", "sim_ann_retrain",
+    "mm_phash_dedup", "mm_afp_dedup",
+    # r9: lang_id_ngram rewritten as a zero-shuffle codegen projection
+    # (literal profile arrays + when-chain argmax) and prefix_jaccard's
+    # prefix/verify relations folded into one id-keyed aggregation —
+    # both evaluation paths changed, re-prove
+    "text_lang_id_ngram", "dedup_prefix_jaccard",
+    # r9: q4 now carries o_orderpriority through the EXISTS join (one
+    # orders scan, was two); q21's per-order counts moved from
+    # agg+join-back to a window over the pair relation — re-prove
+    "tpch_q4_priority_exists", "tpch_q21_waiting_supplier",
+    # r9: ensure_parallelism (explode/md5-heavy 256KB floor) added to
+    # fingerprint, _dsir_tokens, kmv_source_overlap, bigram_logprob —
+    # evaluation paths changed for their registered consumers
+    "text_fingerprint", "select_dsir", "select_curriculum",
+    "sketch_kmv_overlap",
 ]
 
 
