@@ -567,6 +567,9 @@ _TOUCHED_THIS_ROUND: list[str] = [
     # evaluation paths changed for their registered consumers
     "text_fingerprint", "select_dsir", "select_curriculum",
     "sketch_kmv_overlap",
+    # r9: bigram_logprob now explodes the corpus once into a collapsed
+    # (doc, bigram, count) relation — its registered consumer re-proves
+    "text_bigram_lm",
 ]
 
 

@@ -410,23 +410,29 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     Scale shape: unlike the unigram's vocab-sized BROADCAST table, the
     bigram table grows with the corpus's distinct-bigram count — so it
-    joins back onto the bigram stream by a SHUFFLE keyed on the bigram
-    (count-bounded: both sides collapse map-side first), never a
-    broadcast.  Two aggregations + one bounded equi-join; the raw token
-    stream itself is never shuffled wider than its distinct bigrams.
+    joins by a SHUFFLE keyed on the bigram, never a broadcast.  The
+    corpus explodes ONCE, into the (doc, bigram, count) relation; the
+    global bigram counts derive from THAT (map-side combinable — the
+    per-doc partial already collapsed duplicate occurrences), the
+    predecessor counts from the bigram counts, and the log-prob table
+    joins back onto the (doc, bigram) relation, which is strictly
+    smaller than the raw occurrence stream.  Every shuffle is keyed on
+    collapsed, count-bounded relations; the token stream is never
+    shuffled at occurrence width.
     """
     from kstream_spark.util import ensure_parallelism
     w = _clean_words(F.lower(F.col(text_col)))
     # bigram explode fans ~word-count× per row: spread a few-split scan
     # across cores before the fan-out (shingle_sets floor)
-    big = (ensure_parallelism(df, min_bytes=256 << 10)
-           .withColumn("_w", w).filter(F.size("_w") >= 2)
-           .select(F.col(id_col),
-                   F.explode(F.expr(
-                       "transform(sequence(2, size(_w)), "
-                       "i -> concat(element_at(_w, i - 1), ' ', "
-                       "element_at(_w, i)))")).alias("bg")))
-    cb = big.groupBy("bg").agg(F.count("*").alias("_cab"))
+    db = (ensure_parallelism(df, min_bytes=256 << 10)
+          .withColumn("_w", w).filter(F.size("_w") >= 2)
+          .select(F.col(id_col),
+                  F.explode(F.expr(
+                      "transform(sequence(2, size(_w)), "
+                      "i -> concat(element_at(_w, i - 1), ' ', "
+                      "element_at(_w, i)))")).alias("bg"))
+          .groupBy(id_col, "bg").agg(F.count("*").alias("_n")))
+    cb = db.groupBy("bg").agg(F.sum("_n").alias("_cab"))
     ca = (cb.withColumn("_a", F.substring_index("bg", " ", 1))
           .groupBy("_a").agg(F.sum("_cab").alias("_ca")))
     lp = (cb.withColumn("_a", F.substring_index("bg", " ", 1))
@@ -434,7 +440,7 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
           .select("bg",
                   F.round(F.log(F.col("_cab") / F.col("_ca")) * 1e6, 0)
                   .cast("long").alias("_lpi")))
-    return (big.join(lp, "bg")
+    return (db.join(lp, "bg")
             .groupBy(id_col)
-            .agg(F.count("*").cast("long").alias("n_bigrams"),
-                 F.sum("_lpi").alias("sum_logp_micro")))
+            .agg(F.sum("_n").cast("long").alias("n_bigrams"),
+                 F.sum(F.col("_n") * F.col("_lpi")).alias("sum_logp_micro")))
