@@ -394,7 +394,8 @@ def corpus_stats(df: DataFrame, text_col: str, lang_col: str,
                  F.sum("_c").alias("total_chars")))
 
 
-def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def bigram_logprob(df: DataFrame, id_col: str, text_col: str,
+                   min_parallel_bytes: int = 8 << 20) -> DataFrame:
     """Corpus-self BIGRAM LM quality score — the conditional upgrade of
     ``unigram_logprob``: each document is scored by the total
     ``ln P(w_i | w_{i-1})`` under the corpus's own bigram statistics
@@ -410,29 +411,33 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     Scale shape: unlike the unigram's vocab-sized BROADCAST table, the
     bigram table grows with the corpus's distinct-bigram count — so it
-    joins by a SHUFFLE keyed on the bigram, never a broadcast.  The
-    corpus explodes ONCE, into the (doc, bigram, count) relation; the
-    global bigram counts derive from THAT (map-side combinable — the
-    per-doc partial already collapsed duplicate occurrences), the
-    predecessor counts from the bigram counts, and the log-prob table
-    joins back onto the (doc, bigram) relation, which is strictly
-    smaller than the raw occurrence stream.  Every shuffle is keyed on
-    collapsed, count-bounded relations; the token stream is never
-    shuffled at occurrence width.
+    joins back onto the bigram stream by a SHUFFLE keyed on the bigram
+    (count-bounded: both sides collapse map-side first), never a
+    broadcast.  The bigram stream feeds BOTH the count aggregation and
+    the log-prob join with the SAME bg-keyed partitioning, so Catalyst
+    reuses one exchange for the two consumers (ReusedExchange) — an r9
+    experiment that pre-collapsed to a (doc, bigram, count) relation
+    "to explode once" broke that reuse and benched 2.9x slower: it
+    traded a narrow re-explode for a third wide shuffle.  Two wide
+    shuffles total (bg-keyed, shared; then the per-doc sum).
     """
     from kstream_spark.util import ensure_parallelism
     w = _clean_words(F.lower(F.col(text_col)))
-    # bigram explode fans ~word-count× per row: spread a few-split scan
-    # across cores before the fan-out (shingle_sets floor)
-    db = (ensure_parallelism(df, min_bytes=256 << 10)
-          .withColumn("_w", w).filter(F.size("_w") >= 2)
-          .select(F.col(id_col),
-                  F.explode(F.expr(
-                      "transform(sequence(2, size(_w)), "
-                      "i -> concat(element_at(_w, i - 1), ' ', "
-                      "element_at(_w, i)))")).alias("bg"))
-          .groupBy(id_col, "bg").agg(F.count("*").alias("_n")))
-    cb = db.groupBy("bg").agg(F.sum("_n").alias("_cab"))
+    # ``min_parallel_bytes``: the repartition floor is a PER-CONSUMER
+    # call, A/B'd at sf1 — this operator alone runs FASTER without the
+    # extra exchange (2.8s -> 1.4s: two fat map tasks feeding the
+    # shared bg exchange beat 32 rescheduled ones), so the default
+    # keeps ensure_parallelism's conservative 8MB skip; downstream-heavy
+    # consumers (curriculum_bins: +ntile +per-doc scoring, 10.5s -> 6.2s
+    # WITH the spread) pass the explode-heavy 256KB floor instead.
+    big = (ensure_parallelism(df, min_bytes=min_parallel_bytes)
+           .withColumn("_w", w).filter(F.size("_w") >= 2)
+           .select(F.col(id_col),
+                   F.explode(F.expr(
+                       "transform(sequence(2, size(_w)), "
+                       "i -> concat(element_at(_w, i - 1), ' ', "
+                       "element_at(_w, i)))")).alias("bg")))
+    cb = big.groupBy("bg").agg(F.count("*").alias("_cab"))
     ca = (cb.withColumn("_a", F.substring_index("bg", " ", 1))
           .groupBy("_a").agg(F.sum("_cab").alias("_ca")))
     lp = (cb.withColumn("_a", F.substring_index("bg", " ", 1))
@@ -440,7 +445,7 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
           .select("bg",
                   F.round(F.log(F.col("_cab") / F.col("_ca")) * 1e6, 0)
                   .cast("long").alias("_lpi")))
-    return (db.join(lp, "bg")
+    return (big.join(lp, "bg")
             .groupBy(id_col)
-            .agg(F.sum("_n").cast("long").alias("n_bigrams"),
-                 F.sum(F.col("_n") * F.col("_lpi")).alias("sum_logp_micro")))
+            .agg(F.count("*").cast("long").alias("n_bigrams"),
+                 F.sum("_lpi").alias("sum_logp_micro")))

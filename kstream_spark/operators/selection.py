@@ -312,7 +312,10 @@ def curriculum_bins(df: DataFrame, id_col: str, text_col: str,
     """
     from kstream_spark.operators.corpus import bigram_logprob
     from kstream_spark.operators.ranking import with_ntile_percent_rank
-    lm = bigram_logprob(df, id_col, text_col)
+    # downstream-heavy consumer: the ntile + per-doc scoring stages win
+    # from the 256KB spread (sf1 A/B in bigram_logprob's docstring)
+    lm = bigram_logprob(df, id_col, text_col,
+                        min_parallel_bytes=256 << 10)
     scored = lm.withColumn(
         "_lpb", F.col("sum_logp_micro").cast("double") / F.col("n_bigrams"))
     binned = with_ntile_percent_rank(
