@@ -6,6 +6,16 @@ Prints ONE JSON line:
 
 Execution is measured with a noop-format write (full plan execution, no
 driver-side collect).
+
+Measurement note (r9): queries that materialize internally via
+util.collect_freeing (pipeline_selection_mix, sim_ann_retrain,
+mm_phash_dedup, mm_afp_dedup) unpersist their shared subtrees at the end
+of every call, so min-of-N here is a min over COLD runs — r8 and earlier
+numbers for those four were flattered by iters 2..N reusing the previous
+iteration's still-cached persists.  The apparent r8->r9 jump on exactly
+those queries is the measurement becoming honest, not the engine
+regressing (their oracle-checked plans are unchanged upstream of the
+final materialization).
 """
 
 from __future__ import annotations

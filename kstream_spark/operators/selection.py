@@ -312,10 +312,17 @@ def curriculum_bins(df: DataFrame, id_col: str, text_col: str,
     """
     from kstream_spark.operators.corpus import bigram_logprob
     from kstream_spark.operators.ranking import with_ntile_percent_rank
-    # downstream-heavy consumer: the ntile + per-doc scoring stages win
-    # from the 256KB spread (sf1 A/B in bigram_logprob's docstring)
-    lm = bigram_logprob(df, id_col, text_col,
-                        min_parallel_bytes=256 << 10)
+    from kstream_spark.util import ensure_parallelism
+    # downstream-heavy consumer: a MODERATE spread wins at both measured
+    # scales (sf0.1: 1.55s vs 2.1 unspread / 2.4 at full width; sf1:
+    # 5.0 vs 5.7 / 6.0 — min-of-3, quiet) — 8 tasks amortize per-task
+    # scheduling that a full-width repartition of a small corpus pays
+    # twice (both bigram consumers), while still unblocking the scan's
+    # 1-2 file splits.  At real scale the input arrives in many splits
+    # and this is a no-op.
+    lm = bigram_logprob(
+        ensure_parallelism(df, min_partitions=8, min_bytes=256 << 10),
+        id_col, text_col)
     scored = lm.withColumn(
         "_lpb", F.col("sum_logp_micro").cast("double") / F.col("n_bigrams"))
     binned = with_ntile_percent_rank(
