@@ -157,7 +157,15 @@ def collect_freeing(out: DataFrame, *cached: DataFrame) -> DataFrame:
     is the contract: the caller asserts `out` is final-result-sized
     (audit rows, top-k, pair lists — never a corpus), so one bounded
     collect lets the caches be dropped deterministically the moment the
-    result exists."""
+    result exists.
+
+    KSTREAM_SPARK_KEEP_LAZY=1 returns ``out`` unchanged (keeping the
+    caches alive) — plan-inspection tooling (tools/dump_plans.py) sets
+    it so the distributed shape stays visible instead of collapsing to
+    a LocalTableScan of the materialized rows."""
+    import os
+    if os.environ.get("KSTREAM_SPARK_KEEP_LAZY") == "1":
+        return out
     rows = out.collect()
     schema = out.schema
     for df in cached:
