@@ -567,9 +567,12 @@ _TOUCHED_THIS_ROUND: list[str] = [
     # evaluation paths changed for their registered consumers
     "text_fingerprint", "select_dsir", "select_curriculum",
     "sketch_kmv_overlap",
-    # r9: bigram_logprob now explodes the corpus once into a collapsed
-    # (doc, bigram, count) relation — its registered consumer re-proves
+    # r9: bigram_logprob's repartition floor became per-consumer (the
+    # pre-collapse experiment was reverted same-round) — re-prove
     "text_bigram_lm",
+    # r9: range_join gained the clamp that caps the catch-all band's
+    # bucket fan-out (200k dead rows -> 24) — re-prove
+    "j_range_join_bands",
 ]
 
 

@@ -222,8 +222,11 @@ def q_range_join_bands(spark: SparkSession, sf: str) -> DataFrame:
         [(0.0, 10000.0, "small"), (10000.0, 40000.0, "medium"),
          (40000.0, 1e9, "large")],
         "lo double, hi double, band string")
+    # clamp caps the catch-all band's bucket fan-out: [40000, 1e9) would
+    # otherwise explode 200k dead bucket rows; TPC-H extendedprice tops
+    # out near 105k, so [0, 120k) keeps exactness (see range_join)
     return (range_join(li, bands, "l_extendedprice", "lo", "hi",
-                       bucket_width=5000.0)
+                       bucket_width=5000.0, clamp=(0.0, 120000.0))
             .groupBy("band").agg(F.count("*").alias("n")))
 
 

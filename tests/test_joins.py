@@ -149,6 +149,32 @@ def test_range_join_bucketized_equals_plain(spark):
     assert [r.band for r in got] == ["mid"]
 
 
+def test_range_join_clamp_bounds_fanout_exactly(spark):
+    """The clamp caps the bucket domain for open-ended catch-all bands
+    WITHOUT changing the answer: points far past the clamp still match
+    via the shared boundary bucket, points before it via the floor, and
+    the half-open edges survive."""
+    from kstream_spark.operators.joins import range_join
+    points = spark.createDataFrame(
+        [(1, 5.0), (2, 30.0), (3, 75.0), (4, 99.0),     # inside clamp
+         (5, 5000.0), (6, 1e8),                         # far past clamp
+         (7, -3.0),                                     # before clamp
+         (8, 100.0)],                                   # == catch-all lo
+        "id long, v double")
+    bands = spark.createDataFrame(
+        [(-10.0, 25.0, "low"), (25.0, 100.0, "mid"),
+         (100.0, 1e9, "catch_all")],                    # open-ended top
+        "lo double, hi double, band string")
+    plain = {(r.id, r.band) for r in
+             range_join(points, bands, "v", "lo", "hi").collect()}
+    clamped = {(r.id, r.band) for r in
+               range_join(points, bands, "v", "lo", "hi",
+                          bucket_width=10.0, clamp=(0.0, 100.0)).collect()}
+    assert plain == clamped
+    assert (6, "catch_all") in clamped and (7, "low") in clamped
+    assert (8, "catch_all") in clamped
+
+
 def test_interval_overlap_join_equals_inequality_join(spark):
     """Bucket decomposition must produce EXACTLY the pairs of the plain
     inequality join, including intervals spanning many buckets and
