@@ -423,17 +423,30 @@ def lang_id_ngram(df: DataFrame, id_col: str, text_col: str,
         return df.select(F.col(id_col), F.lit("und").alias("pred_lang"),
                          F.lit(0).cast("long").alias("n_hits"))
     t = F.lower(F.col(text_col))
-    src = df.select(F.col(id_col), t.alias("_t"))
+    # per-row gram building is CPU-heavy (L substrs + array_distinct per
+    # doc): spread a few-split scan across cores — the zero-shuffle plan
+    # otherwise runs ENTIRELY on the scan's 1-2 file splits (the r8
+    # shape's early distinct-exchange parallelized downstream work by
+    # accident; this repartition does it on purpose)
+    from kstream_spark.util import ensure_parallelism
+    src = ensure_parallelism(df, min_bytes=256 << 10) \
+        .select(F.col(id_col), t.alias("_t"))
     grams = F.when(
         F.length("_t") >= n,
         F.array_distinct(F.expr(
             f"transform(sequence(1, length(_t) - {n - 1}), "
             f"i -> substr(_t, i, {n}))"))
     ).otherwise(F.array().cast("array<string>"))
-    scored = src.select(
+    # materialize the gram array in its OWN projection: inlined into the
+    # per-language intersects it would be re-evaluated |langs| times
+    # (CollapseProject keeps non-cheap multi-referenced projections
+    # separate, so this select is a real barrier — measured 4.4s -> 1.5s
+    # for the scoring pass at sf0.1)
+    with_grams = src.select(F.col(id_col), grams.alias("_gs"))
+    scored = with_grams.select(
         F.col(id_col), *[
             F.size(F.array_intersect(
-                grams, F.array(*[F.lit(g) for g in prof[lang]])))
+                F.col("_gs"), F.array(*[F.lit(g) for g in prof[lang]])))
             .alias(f"_h_{i}") for i, lang in enumerate(langs)])
     # argmax with ties to the lexicographically lowest language: walk in
     # ascending lang order and replace only on a STRICT improvement
