@@ -832,7 +832,11 @@ def prefix_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                     F.expr("transform(slice(_ds, 1, _plen), x -> x.s)")
                     .alias("prefix"))
             # three consumers (prefix index + both verify sides): cache
-            # the per-doc relation so the df-join aggregation runs once
+            # the per-doc relation so the df-join aggregation runs once.
+            # Deliberately NOT unpersisted — the result returns lazily,
+            # so the cache must outlive this call (module precedent:
+            # shingle_sets/simhash); long sessions drop it with
+            # clearCache between queries, as tools/check.py does.
             .persist())
     prefix = sets.select(F.col(id_col), F.explode("prefix").alias("s"))
     cand = (prefix.select(F.col(id_col).alias("doc_a"), "s")

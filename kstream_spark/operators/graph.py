@@ -152,6 +152,12 @@ def connected_components(edges: DataFrame, src_col: str, dst_col: str,
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "node")
                    .filter(F.col("n.label") != F.col("o.label")).count())
+        # free the PREVIOUS round's checkpoint blocks now that the
+        # changed-count (its last consumer) ran — localCheckpoint stores
+        # O(|nodes|) rows per round and GC-driven cleanup is
+        # nondeterministic, so without this up to max_iter label copies
+        # accumulate in executor storage on a high-diameter graph
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

@@ -81,6 +81,9 @@ class StoreHttpServer:
                             except (TypeError, ValueError):
                                 return self._json(
                                     400, {"error": f"bad limit: {raw!r}"})
+                            if limit < 0:   # parity with the paged scan
+                                return self._json(
+                                    400, {"error": f"bad limit: {limit}"})
                             # limit+1 rows so a capped dump is
                             # distinguishable from a complete index —
                             # same X-Truncated contract as the paged

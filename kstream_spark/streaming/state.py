@@ -25,9 +25,12 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 def tws_available(spark) -> bool:
     """True when Spark 4's ``transformWithStateInPandas`` can actually
     run here: the API exists AND its Python worker's hard dependency
-    (google.protobuf — the state-server wire protocol) is importable.
-    COMPAT.md: the build sandbox lacks protobuf, so this gates the
-    modern arm and the operators fall back to applyInPandasWithState."""
+    (google.protobuf — the state-server wire protocol) is importable IN
+    THE EXECUTOR PYTHON, not just on the driver (separately-built worker
+    images commonly diverge).  The executor probe is one 1-partition,
+    1-row job, cached per session.  COMPAT.md: the build sandbox lacks
+    protobuf, so this gates the modern arm and the operators fall back
+    to applyInPandasWithState."""
     try:
         import google.protobuf  # noqa: F401
         from pyspark.sql.streaming.stateful_processor import (  # noqa: F401
@@ -35,9 +38,28 @@ def tws_available(spark) -> bool:
     except ImportError:
         return False
     try:
-        return int(spark.version.split(".")[0]) >= 4
+        if int(spark.version.split(".")[0]) < 4:
+            return False
     except Exception:  # noqa: BLE001
         return False
+    cached = getattr(spark, "_kstream_tws_worker_probe", None)
+    if cached is not None:
+        return cached
+
+    def _worker_has_protobuf(_):
+        try:
+            import google.protobuf  # noqa: F401
+            return True
+        except ImportError:
+            return False
+
+    try:
+        ok = bool(spark.sparkContext.parallelize([0], 1)
+                  .map(_worker_has_protobuf).collect()[0])
+    except Exception:  # noqa: BLE001
+        ok = False
+    spark._kstream_tws_worker_probe = ok
+    return ok
 
 
 def latest_with_ttl(df: DataFrame, key_col: str, version_col: str,

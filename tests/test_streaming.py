@@ -157,19 +157,28 @@ def test_latest_with_ttl_tws_arm(spark, stream_dir, tmp_path):
     if not tws_available(spark):
         _pytest.skip("transformWithStateInPandas needs google.protobuf "
                      "in the Python worker (COMPAT.md)")
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
     spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
+        key,
         "org.apache.spark.sql.execution.streaming.state."
         "RocksDBStateStoreProvider")
-    src = SC.read_stream_parquet(spark, stream_dir)
-    tws = latest_with_ttl(src, "k", "uuid", ["t", "v"], impl="tws")
-    q = (tws.writeStream.format("memory").queryName("state_tws")
-         .outputMode("append")
-         .option("checkpointLocation", str(tmp_path / "ck_tws")).start())
-    _run(q)
-    out = {r.k: (r.version, r.expired) for r in
-           spark.sql("SELECT * FROM state_tws").collect()}
-    assert out[10] == (2, False) and out[20] == (3, False)
+    try:
+        src = SC.read_stream_parquet(spark, stream_dir)
+        tws = latest_with_ttl(src, "k", "uuid", ["t", "v"], impl="tws")
+        q = (tws.writeStream.format("memory").queryName("state_tws")
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ck_tws")).start())
+        _run(q)
+        out = {r.k: (r.version, r.expired) for r in
+               spark.sql("SELECT * FROM state_tws").collect()}
+        assert out[10] == (2, False) and out[20] == (3, False)
+    finally:
+        # the session fixture is shared — leave the provider as found
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 def test_kafka_wire_roundtrip_batch(spark):

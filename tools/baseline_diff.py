@@ -37,10 +37,20 @@ FLOOR_S = 1.0
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     thr = 2.0
-    if "--threshold" in sys.argv:
-        thr = float(sys.argv[sys.argv.index("--threshold") + 1])
+    argv = sys.argv[1:]
+    args = []
+    i = 0
+    while i < len(argv):       # --threshold consumes its VALUE too
+        a = argv[i]
+        if a == "--threshold":
+            thr = float(argv[i + 1])
+            i += 2
+        elif a.startswith("-"):
+            i += 1             # flags (-v) are not positionals
+        else:
+            args.append(a)
+            i += 1
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     if args:
         sweep_path = args[0]
@@ -55,10 +65,14 @@ def main() -> None:
     print(f"sweep: {os.path.basename(sweep_path)}  "
           f"(control drift: {[c['spark_seconds'] for c in sweep.get('control_runs', [])]})")
     flagged, compared = [], 0
+    drifted = []   # cross-round leads: this sweep's spark vs committed spark
     for name, r in sorted(sweep["results"].items()):
         if not r.get("pass") or "oracle_seconds" not in r:
             continue
         o, s = r["oracle_seconds"], r["spark_seconds"]
+        bs = base["spark_seconds"].get(name)
+        if bs is not None and s >= FLOOR_S and s / max(bs, 0.05) > thr:
+            drifted.append((s / max(bs, 0.05), name, bs, s))
         if o < FLOOR_S and s < FLOOR_S * thr:
             continue  # sub-second floor: constants, not asymptotics
         compared += 1
@@ -76,6 +90,12 @@ def main() -> None:
           f"{len(flagged)} over {thr}x same-sweep")
     for ratio, name in sorted(flagged, reverse=True):
         print(f"  {name}: {ratio:.2f}x")
+    if drifted:
+        print(f"\ncross-round leads ({len(drifted)} queries > {thr}x the "
+              f"committed baseline spark_seconds — wall-clock drifts with "
+              f"load, so these are leads, not verdicts):")
+        for ratio, name, bs, s in sorted(drifted, reverse=True):
+            print(f"  {name}: {bs:.2f}s -> {s:.2f}s ({ratio:.2f}x)")
 
 
 if __name__ == "__main__":

@@ -166,24 +166,21 @@ def main():
     todo = [(n, f) for n, f in queries.items() if not only or n in only]
     if json_out:          # sweeps carry the drift sentinel; ad-hoc runs skip
         run_control(0)
-    for qi, (name, fn) in enumerate(todo, start=1):
-        sampled = sample and name in SAMPLED_QUERIES
-        q_dir = slice_dir if sampled else sf_dir
-        con = con_slice if sampled else con_full
+    def check_one(name, fn, q_dir, con, sampled):
         try:
             sdf, spark_s = run_spark(fn, q_dir)
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: spark error: {e}")
             results[name] = {"pass": False, "err": f"spark: {e}"}
-            continue
+            return
         tag = " [sampled]" if sampled else ""
         if name not in oracles:
             print(f"ok?  {name}: rows={len(sdf)} ({spark_s:.1f}s) [no oracle — rows-only]{tag}")
             results[name] = {"pass": True, "rows": len(sdf),
                              "spark_seconds": round(spark_s, 2),
                              "rows_only": True, "sampled": sampled}
-            continue
+            return
         t1 = time.time()
         try:
             odf = con.execute(oracles[name]).fetchdf()
@@ -191,7 +188,7 @@ def main():
             failures.append(name)
             print(f"FAIL {name}: oracle error: {e}")
             results[name] = {"pass": False, "err": f"oracle: {e}"}
-            continue
+            return
         oracle_s = time.time() - t1
         problems = []
         if len(sdf) != len(odf):
@@ -216,11 +213,20 @@ def main():
                              "spark_seconds": round(spark_s, 2),
                              "oracle_seconds": round(oracle_s, 2),
                              "sampled": sampled}
-        # operators persist corpus-sized shared subtrees (signatures,
-        # shingle sets, tf tables) that back lazily-returned results and
-        # so cannot unpersist in-function — dropping the cache BETWEEN
-        # queries bounds the sweep session's storage growth instead
-        spark.catalog.clearCache()
+
+    for qi, (name, fn) in enumerate(todo, start=1):
+        sampled = sample and name in SAMPLED_QUERIES
+        try:
+            check_one(name, fn,
+                      slice_dir if sampled else sf_dir,
+                      con_slice if sampled else con_full, sampled)
+        finally:
+            # operators persist corpus-sized shared subtrees (signatures,
+            # shingle sets, tf tables) that back lazily-returned results
+            # and so cannot unpersist in-function — dropping the cache
+            # BETWEEN queries bounds the sweep session's storage growth.
+            # In a finally so error/rows-only exits can't skip it.
+            spark.catalog.clearCache()
         if json_out and qi % CONTROL_EVERY == 0:
             run_control(qi)
     if json_out:
