@@ -395,7 +395,7 @@ def corpus_stats(df: DataFrame, text_col: str, lang_col: str,
 
 
 def bigram_logprob(df: DataFrame, id_col: str, text_col: str,
-                   min_parallel_bytes: int = 8 << 20) -> DataFrame:
+                   min_parallel_bytes: int | None = 8 << 20) -> DataFrame:
     """Corpus-self BIGRAM LM quality score — the conditional upgrade of
     ``unigram_logprob``: each document is scored by the total
     ``ln P(w_i | w_{i-1})`` under the corpus's own bigram statistics

@@ -78,24 +78,53 @@ def connected_components(edges: DataFrame, src_col: str, dst_col: str,
     pipelines is a thresholded similarity output, tiny relative to the
     corpus): below ``collect_threshold`` edges, one bounded ``take``
     feeds an exact driver-side union-find (milliseconds, no BSP
-    round-trips); above it, iterative min-label propagation — each
-    round every node takes the min label among itself and its
-    neighbors, a driver-side loop of distributed joins (the standard
-    BSP-on-DataFrames formulation: rounds needed = graph diameter, a
-    convergence count stops early).  Per round the traffic is two
-    exchanges keyed on node ids; the label relation never visits the
-    driver.
+    round-trips); above it, ALTERNATING LARGE-STAR / SMALL-STAR
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14 — the GraphFrames production algorithm):
+
+      large-star(u): every neighbor BIGGER than u re-attaches to the
+        min of u's closed neighborhood;
+      small-star(u): every neighbor SMALLER than u (plus u itself)
+        re-attaches to the smallest of them.
+
+    Both operations preserve connectivity and monotonically flatten the
+    graph toward its fixed point — a star forest whose centers are the
+    component minima — in O(log n) rounds INDEPENDENT OF DIAMETER
+    (min-label propagation, the previous arm, needs diameter rounds and
+    pointer-jumping tricks to cut that to log(diameter); star
+    contraction gets the log bound structurally, and each round is two
+    window-min passes + a distinct instead of three joins).  A path
+    graph — the adversarial case for label propagation — collapses in a
+    handful of rounds.  Per round the edge relation only shrinks (one
+    out-edge per non-center node survives), so late rounds are cheap.
 
     Generalized out of the dedup module's cluster step
     (dedup.connected_components now delegates here) so the graph family
     shares one implementation with the near-dup clustering pipeline.
     """
-    pairs = edges.select(F.col(src_col).alias("s"),
-                         F.col(dst_col).alias("d"))
-    # one action: pulls at most threshold+1 edges; spilling past the
-    # limit routes to the distributed path without materializing the set
-    rows = pairs.take(collect_threshold + 1)
+    from pyspark.sql import Window as W
+
+    from kstream_spark.util import free_local_checkpoint
+
+    # canonical undirected relation (v >= m), persisted because EVERY
+    # consumer reads it — the arm-routing take, round 1 of the loop, and
+    # the node set.  Self-loop rows are KEPT here (a self-loop-only node
+    # is still a node) and filtered only inside the contraction loop.
+    # The routing take() runs ON canon, not on the raw input: the input
+    # edge relation is often an expensive subquery (a similarity join, a
+    # co-occurrence self-join), and probing it separately would evaluate
+    # that subquery twice — measured at sf1, the double evaluation was
+    # 2/3 of graph_components' wall-clock.
+    canon = (edges.select(F.greatest(src_col, dst_col).alias("v"),
+                          F.least(src_col, dst_col).alias("m"))
+             .distinct().persist())
+    # one action: pulls at most threshold+1 deduped edges; spilling past
+    # the limit routes to the distributed path.  take() fills the cache
+    # only for the partitions it scans — the rest materialize from the
+    # distinct's shuffle files on the next action, not from the source.
+    rows = canon.take(collect_threshold + 1)
     if len(rows) <= collect_threshold:
+        canon.unpersist()
         parent: dict = {}
 
         def find(x):
@@ -107,62 +136,80 @@ def connected_components(edges: DataFrame, src_col: str, dst_col: str,
             return r
 
         for r in rows:
-            ra, rb = find(r["s"]), find(r["d"])
+            ra, rb = find(r["v"]), find(r["m"])
             if ra != rb:
                 # union by min so the root IS the min id of the component
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
-        nodes = {x for r in rows for x in (r["s"], r["d"])}
+        nodes = {x for r in rows for x in (r["v"], r["m"])}
         out = [(n, find(n)) for n in sorted(nodes)]
         return edges.sparkSession.createDataFrame(
             out, "node long, component long")
-    # sym is re-joined every BSP round — persist it once instead of
-    # recomputing the edge union per iteration
-    sym = pairs.union(pairs.select(F.col("d").alias("s"),
-                                   F.col("s").alias("d"))).persist()
-    nodes = sym.select(F.col("s").alias("node")).distinct()
+    # node set is consumed once, at the very end — checkpoint it so the
+    # final join doesn't re-derive the input after canon is freed
+    nodes = (canon.select(F.col("v").alias("node"))
+             .unionByName(canon.select(F.col("m").alias("node")))
+             .distinct().localCheckpoint(eager=True))
     # localCheckpoint (eager) per round is load-bearing, not a tuning
-    # knob: persist() caches DATA but the logical plan still nests — each
-    # round references the previous frame three times (neighbor join,
-    # left join, changed-count), so the plan tree doubles per round and
-    # ~20 rounds OOM the driver JVM during analysis alone.  Checkpoint
-    # truncates the lineage so every round plans against a leaf.
-    labels = nodes.withColumn("label", F.col("node")) \
-        .localCheckpoint(eager=True)
+    # knob: persist() caches DATA but the logical plan still nests — the
+    # edge relation is referenced several times per round (two window
+    # passes + the star-forest check), so the plan tree compounds per
+    # round and ~20 rounds OOM the driver JVM during analysis alone.
+    # Checkpoint truncates the lineage so every round plans against a
+    # leaf; util.free_local_checkpoint releases the PREVIOUS round's
+    # blocks at the RDD level (Dataset.unpersist does not touch
+    # localCheckpoint storage — ADVICE r9, verified on PySpark 4.1.2).
+    edges = canon.filter(F.col("v") != F.col("m"))
+    prev = None
     for _ in range(max_iter):
-        neighbor_min = (sym.join(labels, sym.d == labels.node)
-                        .groupBy("s").agg(F.min("label").alias("nlabel"))
-                        .withColumnRenamed("s", "node"))
-        lab1 = (labels.join(neighbor_min, "node", "left")
-                .select("node", F.least(F.col("label"),
-                                        F.coalesce("nlabel", "label"))
-                        .alias("label")))
-        # pointer jumping (Shiloach-Vishkin shortcut): label <- the
-        # label OF the label.  Labels only ever hold node ids from the
-        # same component, so the jump target always exists (inner join)
-        # and stays in-component; halving the pointer chains each round
-        # turns O(diameter) rounds into O(log diameter) — the difference
-        # between 6 and 60 shuffles on a path-shaped 100 TB graph.
-        jump = lab1.select(F.col("node").alias("label"),
-                           F.col("label").alias("jlabel"))
-        new_labels = (lab1.join(jump, "label")
-                      .select("node", F.least("label", "jlabel")
-                              .alias("label"))
-                      .localCheckpoint(eager=True))
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .filter(F.col("n.label") != F.col("o.label")).count())
-        # free the PREVIOUS round's checkpoint blocks now that the
-        # changed-count (its last consumer) ran — localCheckpoint stores
-        # O(|nodes|) rows per round and GC-driven cleanup is
-        # nondeterministic, so without this up to max_iter label copies
-        # accumulate in executor storage on a high-diameter graph
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+        # large-star: symmetric view, each node u re-attaches its
+        # bigger neighbors to min(closed neighborhood of u).  Edges
+        # stay big->small: w > u >= mn, so no self-loops arise.
+        sym = edges.unionByName(edges.select(F.col("m").alias("v"),
+                                             F.col("v").alias("m")))
+        wu = W.partitionBy("v")
+        ls = (sym.withColumn("mn", F.least(F.min("m").over(wu), F.col("v")))
+              .filter(F.col("m") > F.col("v"))
+              .select(F.col("m").alias("v"), F.col("mn").alias("m"))
+              .distinct())
+        # small-star: each node v re-attaches its smaller neighbors
+        # (and itself) to the smallest of them
+        wv = W.partitionBy("v")
+        ss = ls.withColumn("mn", F.min("m").over(wv))
+        new_edges = (ss.filter(F.col("m") != F.col("mn"))
+                     .select(F.col("m").alias("v"), F.col("mn").alias("m"))
+                     .unionByName(ss.select("v", F.col("mn").alias("m")))
+                     .distinct()
+                     .localCheckpoint(eager=True))
+        if prev is None:
+            # round 1 materialized: canon has served both its consumers
+            # (seed edges + the node checkpoint above)
+            canon.unpersist()
+        else:
+            free_local_checkpoint(prev)
+        prev = edges = new_edges
+        # fixed point == star forest: every child appears exactly once
+        # and no center is itself a child (one action for both tests);
+        # a star forest's centers are the component minima because both
+        # star operations preserve connectivity, so each component
+        # collapses into ONE star rooted at its smallest node
+        violations = (
+            edges.groupBy("v").agg(F.count("*").alias("c"))
+            .filter(F.col("c") > 1).select(F.lit(1).alias("x"))
+            .unionByName(
+                edges.alias("a").join(edges.alias("b"),
+                                      F.col("a.m") == F.col("b.v"),
+                                      "left_semi")
+                .select(F.lit(1).alias("x")))
+            .limit(1).count())
+        if violations == 0:
             break
-    sym.unpersist()
-    return labels.select("node", F.col("label").alias("component"))
+    # the result is star-forest-sized (one row per node) but stays lazy
+    # so callers can compose; the blocks behind it (final round's edges +
+    # the node checkpoint) ARE the result relation — they free via
+    # ContextCleaner once the caller drops the frame
+    return (nodes.join(edges.withColumnRenamed("v", "node"), "node", "left")
+            .select("node", F.coalesce("m", "node").alias("component")))
 
 
 def triangle_count(edges: DataFrame, src_col: str, dst_col: str

@@ -73,6 +73,43 @@ def write_partitioned(df: DataFrame, path: str, partition_cols: list[str],
     w.partitionBy(*partition_cols).parquet(path)
 
 
+def _hilbert_nibble_table() -> list[int]:
+    """4-state x 256-input Hilbert state-transition table, built by
+    simulating the classic per-bit xy2d walk on one 4-bit chunk pair.
+
+    State t encodes the dihedral transform the consumed high bits impose
+    on all remaining low bits: bit0 = swap(x,y), bit1 = complement-both.
+    (Only these four compose: each walk level applies either nothing,
+    a swap, or complement-both-then-swap, and that set is closed — the
+    classic 4-state Hilbert LUT result.)  Entry value = next_state*256 +
+    the chunk's 8 output bits of d.  Equivalence with the per-bit fold
+    is verified exhaustively at bits=4/8/12 and randomized at bits=16
+    in tests/test_layout.py."""
+    tbl = [0] * (4 * 256)
+    for t in range(4):
+        for xn in range(16):
+            for yn in range(16):
+                x, y = (yn, xn) if t & 1 else (xn, yn)
+                if t & 2:
+                    x, y = 15 - x, 15 - y
+                d, sw, cp = 0, t & 1, (t >> 1) & 1
+                for s in (8, 4, 2, 1):
+                    rx = 1 if x & s else 0
+                    ry = 1 if y & s else 0
+                    d += s * s * ((3 * rx) ^ ry)
+                    if ry == 0:
+                        if rx == 1:
+                            x, y = s - 1 - x, s - 1 - y
+                            cp ^= 1
+                        x, y = y, x
+                        sw ^= 1
+                tbl[t * 256 + xn * 16 + yn] = (sw | cp << 1) * 256 + d
+    return tbl
+
+
+_HILBERT_TBL: list[int] | None = None
+
+
 def hilbert_key(col_a: Column, col_b: Column, bits: int = 16) -> Column:
     """Hilbert-curve index of two non-negative ints (the classic xy2d
     walk, e.g. Hamilton's TR or Wikipedia's public-domain form) — the
@@ -83,16 +120,52 @@ def hilbert_key(col_a: Column, col_b: Column, bits: int = 16) -> Column:
     (measured below in tests/test_layout.py: max per-file bounding-box
     area consistently <= the Morton layout's on the same data).
 
-    Implementation: the per-level rotate/reflect walk is a FOLD with a
-    (x, y, d) accumulator, expressed as ONE ``F.aggregate`` over
-    ``sequence(bits-1 .. 0)`` — evaluated iteratively at runtime, so the
-    plan stays constant-size at any ``bits`` (an unrolled when-chain
-    would grow exponentially: each level references x and y twice).
-    Engine-portable — the DuckDB oracle replays the same walk with
-    per-bit unrolled CTEs (inventory_behavior._hilbert_sql; DuckDB 1.0's
-    ``list_reduce`` mis-executes correlated per-row folds, so the oracle
-    deliberately avoids it) — no UDF, whole-stage codegen.
+    Implementation (bits divisible by 4 — every practical call): a
+    STATE-TABLE fold consuming one 4-bit chunk of each coordinate per
+    step — ``element_at`` into a constant-folded 1024-long literal array
+    (built once by ``_hilbert_nibble_table``), so bits=16 is 4 table
+    lookups per row instead of 16 rotate/reflect levels (the r9 verdict's
+    constant-factor item: the per-bit fold's expression work dominated
+    ``layout_hilbert`` wall-clock).  Other ``bits`` values fall back to
+    the per-bit fold below.  Both paths are ONE ``F.aggregate`` over a
+    constant sequence with a struct accumulator — evaluated iteratively
+    at runtime, so the plan stays constant-size at any ``bits`` (an
+    unrolled when-chain would grow exponentially: each level references
+    x and y twice).  Engine-portable — the DuckDB oracle replays the
+    per-bit walk with unrolled CTEs (inventory_behavior._hilbert_sql;
+    DuckDB 1.0's ``list_reduce`` mis-executes correlated per-row folds,
+    so the oracle deliberately avoids it); the table path is
+    bit-identical to it (exhaustive equivalence tests) — no UDF.
     """
+    if bits % 4 == 0 and bits > 0:
+        global _HILBERT_TBL
+        if _HILBERT_TBL is None:
+            _HILBERT_TBL = _hilbert_nibble_table()
+        mask = F.lit((1 << bits) - 1)
+        sh = F.lit(1 << (bits - 4)).cast("long")  # top-nibble divisor
+        tbl = F.array(*[F.lit(v).cast("long") for v in _HILBERT_TBL])
+        init = F.struct(
+            col_a.cast("long").bitwiseAND(mask).alias("x"),
+            col_b.cast("long").bitwiseAND(mask).alias("y"),
+            F.lit(0).cast("long").alias("st"),
+            F.lit(0).cast("long").alias("d"))
+
+        def step(acc, _i):
+            # all-integer: the shift amounts are Python literals, which
+            # is exactly what F.shiftright accepts
+            xn = F.shiftright(acc["x"], bits - 4)  # top nibble
+            yn = F.shiftright(acc["y"], bits - 4)
+            idx = acc["st"] * 256 + xn * 16 + yn + 1  # element_at is 1-based
+            val = F.element_at(tbl, idx.cast("int"))
+            return F.struct(
+                (acc["x"] % sh * 16).alias("x"),
+                (acc["y"] % sh * 16).alias("y"),
+                F.shiftright(val, 8).alias("st"),
+                (acc["d"] * 256 + val.bitwiseAND(F.lit(255))).alias("d"))
+
+        folded = F.aggregate(F.sequence(F.lit(1), F.lit(bits // 4)),
+                             init, step)
+        return folded.getField("d").cast("long")
     mask = F.lit((1 << bits) - 1)
     x0 = col_a.cast("long").bitwiseAND(mask)
     y0 = col_b.cast("long").bitwiseAND(mask)

@@ -320,13 +320,16 @@ def curriculum_bins(df: DataFrame, id_col: str, text_col: str,
     # twice (both bigram consumers), while still unblocking the scan's
     # 1-2 file splits.  At real scale the input arrives in many splits
     # and this is a no-op.
-    # min_parallel_bytes=1<<60 pins the inner floor OFF: the input is
-    # already spread, and bigram_logprob's own 8MB gate would otherwise
-    # re-widen an >=8MB corpus to full defaultParallelism — exactly the
-    # A/B-measured losing arm
+    # min_parallel_bytes=None pins the inner floor OFF explicitly: the
+    # input is already spread, and bigram_logprob's own 8MB gate would
+    # otherwise re-widen an >=8MB corpus to full defaultParallelism —
+    # exactly the A/B-measured losing arm.  (None, not a huge-bytes
+    # sentinel: when Catalyst stats are unavailable a size threshold is
+    # skipped and the partition check would repartition anyway —
+    # ADVICE r9.)
     lm = bigram_logprob(
         ensure_parallelism(df, min_partitions=8, min_bytes=256 << 10),
-        id_col, text_col, min_parallel_bytes=1 << 60)
+        id_col, text_col, min_parallel_bytes=None)
     scored = lm.withColumn(
         "_lpb", F.col("sum_logp_micro").cast("double") / F.col("n_bigrams"))
     binned = with_ntile_percent_rank(

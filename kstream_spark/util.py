@@ -35,7 +35,7 @@ def _plan_size_bytes(df: DataFrame) -> int | None:
 
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None,
-                       min_bytes: int = 8 << 20) -> DataFrame:
+                       min_bytes: int | None = 8 << 20) -> DataFrame:
     """Repartition iff the input is both under-partitioned AND big enough
     for the shuffle to pay for itself.
 
@@ -51,7 +51,13 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None,
 
     ``min_bytes`` is per-operator: CPU-heavy fan-out operators (shingling
     explodes text ~10-50x) pass a lower floor; plain codegen passes keep
-    the default."""
+    the default.  ``min_bytes=None`` is the explicit OFF switch — return
+    the frame untouched unconditionally.  (Callers that want the
+    repartition pinned off must use None, not a huge-bytes sentinel: when
+    Catalyst stats are unavailable a size threshold is simply skipped and
+    the partition check would repartition anyway — ADVICE r9.)"""
+    if min_bytes is None:
+        return df
     spark = df.sparkSession
     size = _plan_size_bytes(df)
     if size is not None and size < min_bytes:
@@ -61,6 +67,31 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None,
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def free_local_checkpoint(df: DataFrame) -> None:
+    """Release the storage blocks behind a ``localCheckpoint``-ed frame.
+
+    ``Dataset.unpersist`` only drops CacheManager entries, and a
+    localCheckpointed frame is not registered there — its data lives in
+    the checkpointed RDD's own persistence, which ``unpersist`` never
+    touches (verified empirically on PySpark 4.1.2: numCachedPartitions
+    unchanged after ``df.unpersist(True)``; ADVICE r9).  Iterative
+    algorithms that checkpoint per round (graph BSP loops) would
+    accumulate one O(|nodes|) block set per round until ContextCleaner
+    GC got around to them.
+
+    The real handle is the LogicalRDD the checkpoint planted at the root
+    of the analyzed plan: ``queryExecution().analyzed().rdd()`` is the
+    persisted internal-row RDD, and unpersisting THAT frees the blocks
+    immediately (probe: storage info goes to [] right after).  Uses the
+    py4j-private ``_jdf`` like ``_plan_size_bytes``; any failure (plan
+    shape changed on a Spark upgrade, Spark Connect) degrades to the
+    old behavior — GC-driven cleanup — rather than crashing."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # fall back to ContextCleaner GC
 
 
 def with_salt(df: DataFrame, buckets: int, salt_col: str = "__salt") -> DataFrame:

@@ -93,6 +93,29 @@ def test_hilbert_key_matches_reference_walk(spark):
     assert sorted(got.values()) == list(range(256))
 
 
+def test_hilbert_nibble_table_matches_walk_exhaustive():
+    """The 4-state nibble LUT (hilbert_key's fast path for bits%4==0)
+    replays the classic per-bit walk EXACTLY on the full bits=8 domain —
+    driver-side, no Spark.  Chunk transitions only depend on the 2-bit
+    state, and all four states occur within this domain, so exhaustive
+    bits=8 plus the bits=4 Spark test pins the table semantics (bits=12
+    exhaustive / bits=16 randomized were verified when the path landed)."""
+    from kstream_spark.operators.layout import _hilbert_nibble_table
+    tbl = _hilbert_nibble_table()
+    states_seen = set()
+    for x in range(256):
+        for y in range(256):
+            st = d = 0
+            for c in (1, 0):
+                v = tbl[st * 256 + ((x >> (4 * c)) & 15) * 16
+                        + ((y >> (4 * c)) & 15)]
+                d = d * 256 + (v & 255)
+                st = v >> 8
+                states_seen.add(st)
+            assert d == _xy2d(256, x, y), (x, y)
+    assert states_seen == {0, 1, 2, 3}
+
+
 def test_hilbert_is_continuous_morton_is_not(spark):
     """Consecutive Hilbert keys are always 4-neighbors (curve continuity
     — the locality property Morton lacks at power-of-two boundaries)."""
