@@ -64,8 +64,13 @@ def q_dedup_prefix_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     max_shingle_df for.  The oracle is DELIBERATELY the brute-force
     full-index SQL (same as dedup_ngram_jaccard) — hash equality proves
     the filter is lossless."""
-    return D.prefix_jaccard_pairs(_docs(StreamBuilder(spark), sf),
-                                  "doc_id", "text", n=3, threshold=0.8)
+    # pair list is bounded (verified near-dups, not the corpus) —
+    # materialize it so the operator's per-doc cache frees with the query
+    caches: list = []
+    out = D.prefix_jaccard_pairs(_docs(StreamBuilder(spark), sf),
+                                 "doc_id", "text", n=3, threshold=0.8,
+                                 caches=caches)
+    return collect_freeing(out, *caches)
 
 
 SQL_DEDUP_NGRAM_JACCARD = f"""

@@ -768,7 +768,8 @@ def _cdc_chunks_arrow(df: DataFrame, id_col: str, text_col: str,
 
 
 def prefix_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
-                         n: int = 3, threshold: float = 0.8) -> DataFrame:
+                         n: int = 3, threshold: float = 0.8,
+                         caches: list | None = None) -> DataFrame:
     """EXACT Jaccard pairs via PREFIX FILTERING (AllPairs/PPJoin family —
     Bayardo et al. 2007, Xiao et al. 2008; Vernica et al. 2010 gives the
     MapReduce form): instead of self-joining the FULL inverted index
@@ -833,11 +834,16 @@ def prefix_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                     .alias("prefix"))
             # three consumers (prefix index + both verify sides): cache
             # the per-doc relation so the df-join aggregation runs once.
-            # Deliberately NOT unpersisted — the result returns lazily,
-            # so the cache must outlive this call (module precedent:
-            # shingle_sets/simhash); long sessions drop it with
-            # clearCache between queries, as tools/check.py does.
+            # Not unpersisted HERE — the result returns lazily, so the
+            # cache must outlive this call.  Long-lived callers pass
+            # ``caches`` and release it once the result materializes
+            # (the registered query does, via util.collect_freeing —
+            # the pair list is bounded, the per-doc relation is not);
+            # sweep-style callers may instead clearCache between
+            # queries, as tools/check.py does.  (ADVICE r9.)
             .persist())
+    if caches is not None:
+        caches.append(sets)
     prefix = sets.select(F.col(id_col), F.explode("prefix").alias("s"))
     cand = (prefix.select(F.col(id_col).alias("doc_a"), "s")
             .join(prefix.select(F.col(id_col).alias("doc_b"), "s"), "s")

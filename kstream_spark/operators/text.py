@@ -698,7 +698,7 @@ def unigram_train(df: DataFrame, text_col: str, seed_v: int = 60,
                  .groupBy("w").agg(F.count("*").cast("long").alias("wf")))
     if max_word_len is not None:
         word_freq = word_freq.filter(F.length("w") <= max_word_len)
-    word_freq = word_freq.persist()
+    word_freq = _right_size_vocab_relation(word_freq.persist())
     seed = unigram_seed_vocab(df, text_col, max_piece_len, seed_v).collect()
     lp = {r["piece"]: int(r["logp_micro"]) for r in seed}
     ml, oov = max_piece_len, int(oov_logp_micro)
@@ -813,6 +813,34 @@ def unigram_tokenize(df: DataFrame, text_col: str, pieces: list,
             .groupBy("token").agg(F.sum("c").cast("long").alias("cnt")))
 
 
+def _right_size_vocab_relation(word_freq: DataFrame,
+                               rows_per_partition: int = 4096) -> DataFrame:
+    """Re-persist an already-persisted distinct-word relation at a
+    partition count matched to its actual cardinality.
+
+    The tokenizer training loops run MANY small jobs over this relation
+    (one per merge round / EM round), and the groupBy that built it
+    leaves it at the session shuffle-partition count — for a
+    natural-language vocabulary (thousands to a few million distinct
+    words) that means dozens of near-empty tasks scheduled per round,
+    which at sf1 was ~2/3 of every round's wall-clock.  One bounded
+    count (the relation is being materialized anyway) picks
+    ceil(n / rows_per_partition) capped at defaultParallelism, so a toy
+    vocab collapses to one task and a 100 TB corpus's vocab still fans
+    out across the cluster.  Returns the re-persisted relation; the
+    original's cache is dropped."""
+    n = word_freq.count()
+    spark = word_freq.sparkSession
+    target = max(1, min(spark.sparkContext.defaultParallelism,
+                        (n + rows_per_partition - 1) // rows_per_partition))
+    if word_freq.rdd.getNumPartitions() <= target:
+        return word_freq
+    sized = word_freq.repartition(target).persist()
+    sized.count()
+    word_freq.unpersist()
+    return sized
+
+
 def wordpiece_train(df: DataFrame, text_col: str,
                     n_merges: int = 6) -> DataFrame:
     """ITERATIVE WordPiece training (Schuster & Nakajima 2012, the BERT
@@ -831,51 +859,65 @@ def wordpiece_train(df: DataFrame, text_col: str,
     as bpe_train); the merge itself is the delimiter-doubling
     triple-replace (greedy leftmost non-overlapping — see bpe_train).
 
-    Scale shape: identical to bpe_train plus ONE extra vocab-sized
-    map-side-combinable aggregation per round (the symbol counts, which
-    are alphabet-plus-merges-sized and broadcast onto the pair relation);
-    one 1-row driver action per round — the irreducible sequential
-    dependency of agglomerative tokenizer training.
+    Scale shape: each round is ONE vocab-sized map-side-combinable
+    aggregation — symbols and adjacent pairs explode from the same scan
+    (a symbol never contains a space, a pair always does, so one count
+    relation carries both) — followed by ONE bounded driver collect of
+    that relation: its cardinality is |alphabet| + merges-so-far symbols
+    plus at most (|alphabet|+merges)^2 observed pairs, independent of
+    corpus size, so the likelihood-gain argmax runs driver-side in
+    microseconds instead of a broadcast-join + global-sort subplan (the
+    r9 shape spent two aggregations, two joins and an orderBy per round;
+    fusing them halved the round's wall-clock).  One action per round —
+    the irreducible sequential dependency of agglomerative tokenizer
+    training.
 
     Returns one row per merge:
     (merge_rank, pair, merged, cnt, score_micro)."""
+    import math
     spark = df.sparkSession
     w = words(F.col(text_col))
     word_freq = (df.select(F.explode(w).alias("w"))
                  .filter(F.length("w") >= 2)
                  .groupBy("w").agg(F.count("*").cast("long").alias("wf"))
                  .persist())
+    word_freq = _right_size_vocab_relation(word_freq)
     cur = word_freq.select(
         F.concat(F.lit(" "),
                  F.expr(r"regexp_replace(w, '(.)', '$1 ')")).alias("seq"),
         "wf")
+    # symbols ++ pairs from one scan; sequence(1, 0) is the DESCENDING
+    # [1, 0] in Spark, hence the explicit size guard on the pair arm
+    tok_expr = F.expr(
+        "concat(split(trim(seq), ' '), "
+        " case when size(split(trim(seq), ' ')) > 1 then " +
+        _BPE_PAIRS_EXPR + " else array() end)")
     merges: list[tuple] = []
     for r in range(1, n_merges + 1):
-        pairs = (cur.filter(F.size(F.split(F.trim("seq"), " ")) > 1)
-                 .select("wf", F.explode(F.expr(_BPE_PAIRS_EXPR))
-                         .alias("pair"))
-                 .groupBy("pair")
-                 .agg(F.sum("wf").cast("long").alias("cnt")))
-        syms = (cur.select(
-            "wf",
-            F.explode(F.split(F.trim("seq"), " ")).alias("sym"))
-            .groupBy("sym").agg(F.sum("wf").cast("long").alias("sc")))
-        sa = syms.select(F.col("sym").alias("_a"), F.col("sc").alias("_ca"))
-        sb = syms.select(F.col("sym").alias("_b"), F.col("sc").alias("_cb"))
-        top = (pairs
-               .join(F.broadcast(sa),
-                     F.element_at(F.split("pair", " "), 1) == F.col("_a"))
-               .join(F.broadcast(sb),
-                     F.element_at(F.split("pair", " "), 2) == F.col("_b"))
-               .select("pair", "cnt",
-                       F.round((F.log("cnt") - F.log("_ca") - F.log("_cb"))
-                               * 1e6, 0).cast("long").alias("score_micro"))
-               .orderBy(F.desc("score_micro"), F.asc("pair"))
-               .limit(1).collect())
-        if not top:
+        counts = (cur.select("wf", F.explode(tok_expr).alias("tok"))
+                  .groupBy("tok")
+                  .agg(F.sum("wf").cast("long").alias("cnt"))
+                  .collect())
+        sc = {row["tok"]: int(row["cnt"]) for row in counts
+              if " " not in row["tok"]}
+        best = None
+        for row in counts:
+            pair = row["tok"]
+            if " " not in pair:
+                continue
+            a, b = pair.split(" ")
+            cnt = int(row["cnt"])
+            # same arithmetic the r9 Spark subplan ran: doubles through
+            # math.log, then decimal HALF_UP — _round_half_up replicates
+            # Spark's round() exactly (and the DuckDB oracle's)
+            score = _round_half_up(
+                (math.log(cnt) - math.log(sc[a]) - math.log(sc[b])) * 1e6)
+            key = (-score, pair)
+            if best is None or key < best[0]:
+                best = (key, pair, cnt, score)
+        if best is None:
             break
-        pair, cnt, score = (top[0]["pair"], int(top[0]["cnt"]),
-                            int(top[0]["score_micro"]))
+        _, pair, cnt, score = best
         merged = pair.replace(" ", "")
         merges.append((r, pair, merged, cnt, score))
         cur = cur.select(

@@ -348,8 +348,13 @@ def watermarked_stream_join(left: DataFrame, right: DataFrame, key: str,
     the loop, and late data handled by the same watermark contract as
     the windowed aggregations (§2.5).
 
-    Column hygiene: payload column names must not collide across sides
-    (join keys excepted) — the native join keeps both schemas.  Outer
+    Column hygiene: the native join keeps both schemas, so a right-side
+    payload column whose name collides with a left-side one (the shared
+    timestamp name being the common case) is emitted with a ``_right``
+    suffix; non-colliding names pass through unchanged.  A right side
+    that ALREADY contains both ``c`` and ``c_right`` would make the
+    suffixed name collide again, so that shape is rejected up front
+    (ValueError) rather than emitting duplicate output names.  Outer
     joins (``how='leftOuter'``/``'rightOuter'``/``'fullOuter'``) are
     supported by Spark with the same condition; null rows emit once the
     watermark passes the interval bound.
@@ -369,8 +374,18 @@ def watermarked_stream_join(left: DataFrame, right: DataFrame, key: str,
     # would otherwise emit two output columns under the same name, making
     # downstream by-name selection ambiguous — suffix the right side's.
     left_names = {c for c in left.columns if c != key}
+    right_out = {c: f"{c}_right" if c in left_names else c
+                 for c in right.columns if c != key}
+    out_names = ([key] + [c for c in left.columns if c != key]
+                 + list(right_out.values()))
+    dupes = {n for n in out_names if out_names.count(n) > 1}
+    if dupes:
+        # e.g. the right side already carries both `v` and `v_right`
+        raise ValueError(
+            "watermarked_stream_join: output would contain duplicate "
+            f"column names {sorted(dupes)} after suffixing colliding "
+            "right-side columns with '_right' — rename before joining")
     return joined.select(
         F.coalesce(lw[key], rw[key]).alias(key),
         *[lw[c] for c in left.columns if c != key],
-        *[rw[c].alias(f"{c}_right") if c in left_names else rw[c]
-          for c in right.columns if c != key])
+        *[rw[c].alias(right_out[c]) for c in right.columns if c != key])

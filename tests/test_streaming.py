@@ -142,10 +142,21 @@ def test_latest_with_ttl_impl_dispatch(spark, stream_dir, tmp_path):
     out = {r.k: (r.version, r.expired) for r in
            spark.sql("SELECT * FROM state_auto").collect()}
     assert out[10] == (2, False) and out[20] == (3, False)
-    # in this sandbox protobuf is absent, so auto must have taken the
-    # legacy arm; on a protobuf-equipped Spark 4 runtime auto takes tws
-    # and this same assertion proves output parity between the arms
-    assert tws_available(spark) is False or out  # contract documented
+    if tws_available(spark):
+        # auto resolved to the tws arm here — run the forced-legacy arm
+        # on the same input and require identical per-key output, the
+        # real cross-arm parity proof (in the protobuf-less sandbox auto
+        # IS legacy and the exact-value asserts above already cover it)
+        legacy = latest_with_ttl(src, "k", "uuid", ["t", "v"],
+                                 impl="legacy")
+        q2 = (legacy.writeStream.format("memory").queryName("state_legacy")
+              .outputMode("append")
+              .option("checkpointLocation", str(tmp_path / "ck_leg"))
+              .start())
+        _run(q2)
+        leg = {r.k: (r.version, r.expired) for r in
+               spark.sql("SELECT * FROM state_legacy").collect()}
+        assert leg == out
 
 
 def test_latest_with_ttl_tws_arm(spark, stream_dir, tmp_path):
