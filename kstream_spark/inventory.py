@@ -548,31 +548,29 @@ INVENTORY.update(QUALITY_INVENTORY)
 # into group 3.  The rest of the r9 window refreshes the r5-stale band.
 
 _TOUCHED_THIS_ROUND: list[str] = [
-    # r9: these four now materialize their bounded final relation via
-    # util.collect_freeing so their in-function persists free with the
-    # query (ADVICE r8 cache-leak finding) — new evaluation path, re-prove
-    "pipeline_selection_mix", "sim_ann_retrain",
-    "mm_phash_dedup", "mm_afp_dedup",
-    # r9: lang_id_ngram rewritten as a zero-shuffle codegen projection
-    # (literal profile arrays + when-chain argmax) and prefix_jaccard's
-    # prefix/verify relations folded into one id-keyed aggregation —
-    # both evaluation paths changed, re-prove
-    "text_lang_id_ngram", "dedup_prefix_jaccard",
-    # r9: q4 now carries o_orderpriority through the EXISTS join (one
-    # orders scan, was two); q21's per-order counts moved from
-    # agg+join-back to a window over the pair relation — re-prove
-    "tpch_q4_priority_exists", "tpch_q21_waiting_supplier",
-    # r9: ensure_parallelism (explode/md5-heavy 256KB floor) added to
-    # fingerprint, _dsir_tokens, kmv_source_overlap, bigram_logprob —
-    # evaluation paths changed for their registered consumers
-    "text_fingerprint", "select_dsir", "select_curriculum",
-    "sketch_kmv_overlap",
-    # r9: bigram_logprob's repartition floor became per-consumer (the
-    # pre-collapse experiment was reverted same-round) — re-prove
-    "text_bigram_lm",
-    # r9: range_join gained the clamp that caps the catch-all band's
-    # bucket fan-out (200k dead rows -> 24) — re-prove
-    "j_range_join_bands",
+    # r10: connected_components rewritten as alternating large-star/
+    # small-star contraction (operators/graph.py) — every consumer of
+    # the clustering fixpoint has a new evaluation path
+    "graph_components", "dedup_clusters", "dedup_best_of_cluster",
+    # r10: hilbert_key's bits%4==0 fast path is now a 4-state nibble-LUT
+    # fold (element_at into a literal array) — re-prove vs the per-bit
+    # oracle CTEs
+    "layout_hilbert",
+    # r10: wordpiece_train rounds fused to one aggregation + bounded
+    # driver argmax; tokenizer word_freq relations re-persisted at
+    # cardinality-matched partition counts (_right_size_vocab_relation)
+    "text_wordpiece_train", "text_wordpiece_tokenize",
+    "text_unigram_train", "text_unigram_tokenize", "corpus_fertility",
+    # r10: bigram_logprob gained the broadcast-vs-shuffle table arm
+    # (auto-gated); its registered consumers join the log-prob table by
+    # broadcast now
+    "text_bigram_lm", "select_curriculum",
+    # r10: selection-mix wrapper restructured (repartition(1) kept slice,
+    # pinned-off floors, single-partition ntile); select_dsir wrapper
+    # reverted to lazy return after the fused-scores experiment
+    "pipeline_selection_mix", "select_dsir",
+    # r10: prefix_jaccard's per-doc cache now frees via collect_freeing
+    "dedup_prefix_jaccard",
 ]
 
 

@@ -872,18 +872,29 @@ def q_pipeline_selection_mix(spark: SparkSession, sf: str) -> DataFrame:
     # the kept slice feeds THREE consumers (bigram LM, the binned join,
     # the packed join-back) — persist the 200-row relation so the DSIR
     # corpus scans run once, not once per consumer
+    # repartition(1) AFTER the broadcast join: the corpus probe stays
+    # parallel, the 200 surviving rows collapse to one partition so every
+    # downstream stage (LM explode, ntile, pack) schedules one task
+    # instead of one per scan split (sf1: downstream 4.3s -> ~1.5s)
     kept = docs.join(
         F.broadcast(SEL.select_dsir(docs, "doc_id", "text",
                                     F.col("source") == "src18",
                                     n_select=_MIX_SELECT, n_buckets=256)
                     .select("doc_id", "dsir_micro")),
-        "doc_id").persist()
-    lm = bigram_logprob(kept, "doc_id", "text")
+        "doc_id").repartition(1).persist()
+    # kept is <= _MIX_SELECT rows BY CONSTRUCTION, so the corpus-scale
+    # machinery is pinned off explicitly: no repartition floor, no
+    # bigram-table gate job (broadcast trivially), and the two-phase
+    # ntile collapses to one range partition — each would otherwise
+    # schedule dozens of near-empty tasks (measured: the 200-row LM +
+    # ntile stages were 4s of the query's 7s at sf1)
+    lm = bigram_logprob(kept, "doc_id", "text",
+                        min_parallel_bytes=None, bigram_table="broadcast")
     scored = lm.withColumn(
         "_lpb", F.col("sum_logp_micro").cast("double") / F.col("n_bigrams"))
     binned = with_ntile_percent_rank(
         scored, [F.asc("_lpb"), F.asc("doc_id")], n_buckets=_MIX_BINS,
-        ntile_col="difficulty", pct_col="_pct")
+        ntile_col="difficulty", pct_col="_pct", num_partitions=1)
     sliced = kept.join(binned.select("doc_id", "difficulty"), "doc_id")
     packed = C.pack_chunks(sliced, "doc_id", "text", capacity=256,
                            shard_col="difficulty")

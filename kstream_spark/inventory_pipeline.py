@@ -1924,7 +1924,9 @@ PIPELINE_INVENTORY["select_cluster_balanced"] = (q_select_cluster_balanced,
 
 # -- data-selection family (operators/selection.py) -------------------------
 def q_select_dsir(spark: SparkSession, sf: str) -> DataFrame:
-    """DSIR-style hashed importance resampling toward a target source."""
+    """DSIR-style hashed importance resampling toward a target source.
+    (The two-pass dsir_scores persists nothing — see its r10 shape note —
+    so there is no cache to free and the result stays lazy.)"""
     from kstream_spark.operators import selection as SEL
     docs = _docs(StreamBuilder(spark), sf)
     return SEL.select_dsir(docs, "doc_id", "text",

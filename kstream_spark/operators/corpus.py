@@ -395,7 +395,9 @@ def corpus_stats(df: DataFrame, text_col: str, lang_col: str,
 
 
 def bigram_logprob(df: DataFrame, id_col: str, text_col: str,
-                   min_parallel_bytes: int | None = 8 << 20) -> DataFrame:
+                   min_parallel_bytes: int | None = 8 << 20,
+                   bigram_table: str = "auto",
+                   broadcast_max_bigrams: int = 2_000_000) -> DataFrame:
     """Corpus-self BIGRAM LM quality score — the conditional upgrade of
     ``unigram_logprob``: each document is scored by the total
     ``ln P(w_i | w_{i-1})`` under the corpus's own bigram statistics
@@ -409,19 +411,33 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str,
     micro-units (the unigram_logprob trick), so the per-doc score is an
     exact integer sum.  Returns (id, n_bigrams, sum_logp_micro).
 
-    Scale shape: unlike the unigram's vocab-sized BROADCAST table, the
-    bigram table grows with the corpus's distinct-bigram count — so it
-    joins back onto the bigram stream by a SHUFFLE keyed on the bigram
-    (count-bounded: both sides collapse map-side first), never a
-    broadcast.  The bigram stream feeds BOTH the count aggregation and
-    the log-prob join with the SAME bg-keyed partitioning, so Catalyst
-    reuses one exchange for the two consumers (ReusedExchange) — an r9
-    experiment that pre-collapsed to a (doc, bigram, count) relation
-    "to explode once" broke that reuse and benched 2.9x slower: it
-    traded a narrow re-explode for a third wide shuffle.  Two wide
-    shuffles total (bg-keyed, shared; then the per-doc sum).
+    Scale shape — ``bigram_table`` picks how the log-prob table joins
+    back onto the bigram stream:
+
+    * ``"broadcast"``: the stream side never shuffles at all — explode,
+      broadcast hash join, per-doc map-side-combinable sum.  Right
+      whenever the DISTINCT-bigram table fits a broadcast (natural-
+      language vocabularies mostly do; sf1 A/B: 4.4s -> 1.9s, the wide
+      bg-keyed exchange of the raw stream was the whole difference).
+      Costs one extra narrow corpus pass (the table-build subtree and
+      the join side each explode once) — cheap next to shuffling the
+      full stream.
+    * ``"shuffle"``: the r9 shape — the stream feeds BOTH the count
+      aggregation and the log-prob join with the SAME bg-keyed
+      partitioning, so Catalyst reuses one exchange for the two
+      consumers (ReusedExchange).  The honest path when the bigram
+      table itself is too big to broadcast.  (An r9 experiment that
+      pre-collapsed to a (doc, bigram, count) relation "to explode
+      once" broke that reuse and benched 2.9x slower.)
+    * ``"auto"`` (default): one bounded map-side-combinable distinct
+      count gates between them at ``broadcast_max_bigrams``.  The gate
+      is an extra corpus pass — callers that already know their vocab
+      scale should pass the arm explicitly.
     """
     from kstream_spark.util import ensure_parallelism
+    if bigram_table not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"bigram_table must be auto|broadcast|shuffle, "
+                         f"got {bigram_table!r}")
     w = _clean_words(F.lower(F.col(text_col)))
     # ``min_parallel_bytes``: the repartition floor is a PER-CONSUMER
     # call, A/B'd at sf1 — this operator alone runs FASTER without the
@@ -437,6 +453,10 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str,
                        "transform(sequence(2, size(_w)), "
                        "i -> concat(element_at(_w, i - 1), ' ', "
                        "element_at(_w, i)))")).alias("bg")))
+    mode = bigram_table
+    if mode == "auto":
+        n_bg = big.select("bg").distinct().count()
+        mode = "broadcast" if n_bg <= broadcast_max_bigrams else "shuffle"
     cb = big.groupBy("bg").agg(F.count("*").alias("_cab"))
     ca = (cb.withColumn("_a", F.substring_index("bg", " ", 1))
           .groupBy("_a").agg(F.sum("_cab").alias("_ca")))
@@ -445,6 +465,8 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str,
           .select("bg",
                   F.round(F.log(F.col("_cab") / F.col("_ca")) * 1e6, 0)
                   .cast("long").alias("_lpi")))
+    if mode == "broadcast":
+        lp = F.broadcast(lp)
     return (big.join(lp, "bg")
             .groupBy(id_col)
             .agg(F.count("*").cast("long").alias("n_bigrams"),

@@ -90,7 +90,8 @@ def dsir_apply(df: DataFrame, id_col: str, text_col: str,
 
 
 def dsir_scores(df: DataFrame, id_col: str, text_col: str,
-                target_pred, n_buckets: int = 256) -> DataFrame:
+                target_pred, n_buckets: int = 256,
+                caches: list | None = None) -> DataFrame:
     """Per-document importance score for target-domain selection.
 
     Hashed n-gram importance resampling: tokens hash into ``n_buckets``
@@ -118,14 +119,26 @@ def dsir_scores(df: DataFrame, id_col: str, text_col: str,
     train-once/score-many production shape, ``dsir_weights`` persists and
     ``dsir_apply`` scores (this convenience fuses them for the
     oracle-checked single-corpus query).
-    """
+
+    Shape note (r10 A/B at sf1): a single-pass variant that compacted
+    the token stream to a persisted per-(doc, bucket) count relation —
+    "hash every token once" — measured SLOWER (2.5s vs 2.0s): the
+    (doc, bucket) groupBy is a WIDE shuffle (nearly token-cardinality
+    keys, so map-side combine buys little) plus a corpus-sized persist,
+    which together cost more than the second explode+md5 pass.  The
+    same argument holds harder at 100 TB, where a shuffle is as
+    expensive as the scan it would save and the persist becomes
+    terabytes of executor storage — so the stateless two-pass
+    composition stays.  ``caches`` is accepted for interface stability
+    (this shape persists nothing, so it never appends)."""
     return dsir_apply(df, id_col, text_col,
                       dsir_weights(df, text_col, target_pred, n_buckets),
                       n_buckets)
 
 
 def select_dsir(df: DataFrame, id_col: str, text_col: str, target_pred,
-                n_select: int = 100, n_buckets: int = 256) -> DataFrame:
+                n_select: int = 100, n_buckets: int = 256,
+                caches: list | None = None) -> DataFrame:
     """Top-``n_select`` documents by DSIR importance weight (the selection
     step).  Rank is over the EXACT integer micro-score with id tie-break,
     so the kept set is bit-stable across engines and reruns.
@@ -133,9 +146,12 @@ def select_dsir(df: DataFrame, id_col: str, text_col: str, target_pred,
     Scale note: the global top-n goes through the same narrow
     per-partition prune as the ANN rankers (_per_query_topk with a single
     query group) — no reducer sorts the whole corpus's scores.
+    ``caches`` forwards to dsir_scores (the result here is bounded, so
+    callers can collect_freeing it against these).
     """
     from kstream_spark.operators.similarity import _per_query_topk
-    scored = (dsir_scores(df, id_col, text_col, target_pred, n_buckets)
+    scored = (dsir_scores(df, id_col, text_col, target_pred, n_buckets,
+                          caches=caches)
               .withColumn("query_id", F.lit(0))
               .withColumn("_s", F.col("dsir_micro").cast("double")))
     kept = _per_query_topk(scored, n_select, score_col="_s", id_col=id_col,
