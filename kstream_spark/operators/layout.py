@@ -120,52 +120,46 @@ def hilbert_key(col_a: Column, col_b: Column, bits: int = 16) -> Column:
     (measured below in tests/test_layout.py: max per-file bounding-box
     area consistently <= the Morton layout's on the same data).
 
-    Implementation (bits divisible by 4 — every practical call): a
-    STATE-TABLE fold consuming one 4-bit chunk of each coordinate per
-    step — ``element_at`` into a constant-folded 1024-long literal array
-    (built once by ``_hilbert_nibble_table``), so bits=16 is 4 table
-    lookups per row instead of 16 rotate/reflect levels (the r9 verdict's
-    constant-factor item: the per-bit fold's expression work dominated
-    ``layout_hilbert`` wall-clock).  Other ``bits`` values fall back to
-    the per-bit fold below.  Both paths are ONE ``F.aggregate`` over a
-    constant sequence with a struct accumulator — evaluated iteratively
-    at runtime, so the plan stays constant-size at any ``bits`` (an
-    unrolled when-chain would grow exponentially: each level references
-    x and y twice).  Engine-portable — the DuckDB oracle replays the
-    per-bit walk with unrolled CTEs (inventory_behavior._hilbert_sql;
-    DuckDB 1.0's ``list_reduce`` mis-executes correlated per-row folds,
-    so the oracle deliberately avoids it); the table path is
-    bit-identical to it (exhaustive equivalence tests) — no UDF.
+    Implementation (bits divisible by 4 — every practical call): an
+    UNROLLED state-table walk consuming one 4-bit chunk of each
+    coordinate per step — ``element_at`` into a constant-folded
+    1024-long literal array (built once by ``_hilbert_nibble_table``),
+    so bits=16 is 4 table lookups per row instead of 16 rotate/reflect
+    levels (the r9 verdict's constant-factor item: the per-bit fold's
+    expression work dominated ``layout_hilbert`` wall-clock).  Unrolled
+    plain expressions run inside WHOLE-STAGE CODEGEN with common-
+    subexpression elimination; an ``F.aggregate`` fold of the same walk
+    is interpreted per element and measured ~2.7x slower at sf1 (and the
+    state chain references each lookup only twice, so the unrolled tree
+    stays small — unlike the rotate/reflect walk, whose per-level x/y
+    double-reference is why the bits%4!=0 fallback below must stay a
+    fold).  Engine-portable — the DuckDB oracle replays the per-bit walk
+    with unrolled CTEs (inventory_behavior._hilbert_sql; DuckDB 1.0's
+    ``list_reduce`` mis-executes correlated per-row folds, so the oracle
+    deliberately avoids it); the table path is bit-identical to it
+    (exhaustive equivalence tests + exceptAll parity at bits=8/16 on the
+    sf1 events fixture) — no UDF.
     """
     if bits % 4 == 0 and bits > 0:
         global _HILBERT_TBL
         if _HILBERT_TBL is None:
             _HILBERT_TBL = _hilbert_nibble_table()
         mask = F.lit((1 << bits) - 1)
-        sh = F.lit(1 << (bits - 4)).cast("long")  # top-nibble divisor
         tbl = F.array(*[F.lit(v).cast("long") for v in _HILBERT_TBL])
-        init = F.struct(
-            col_a.cast("long").bitwiseAND(mask).alias("x"),
-            col_b.cast("long").bitwiseAND(mask).alias("y"),
-            F.lit(0).cast("long").alias("st"),
-            F.lit(0).cast("long").alias("d"))
-
-        def step(acc, _i):
-            # all-integer: the shift amounts are Python literals, which
-            # is exactly what F.shiftright accepts
-            xn = F.shiftright(acc["x"], bits - 4)  # top nibble
-            yn = F.shiftright(acc["y"], bits - 4)
-            idx = acc["st"] * 256 + xn * 16 + yn + 1  # element_at is 1-based
-            val = F.element_at(tbl, idx.cast("int"))
-            return F.struct(
-                (acc["x"] % sh * 16).alias("x"),
-                (acc["y"] % sh * 16).alias("y"),
-                F.shiftright(val, 8).alias("st"),
-                (acc["d"] * 256 + val.bitwiseAND(F.lit(255))).alias("d"))
-
-        folded = F.aggregate(F.sequence(F.lit(1), F.lit(bits // 4)),
-                             init, step)
-        return folded.getField("d").cast("long")
+        x = col_a.cast("long").bitwiseAND(mask)
+        y = col_b.cast("long").bitwiseAND(mask)
+        st = F.lit(0).cast("long")
+        d = F.lit(0).cast("long")
+        for c in range(bits // 4 - 1, -1, -1):
+            # all-integer: shift amounts are Python literals, which is
+            # exactly what F.shiftright accepts; element_at is 1-based
+            xn = F.shiftright(x, 4 * c).bitwiseAND(F.lit(15))
+            yn = F.shiftright(y, 4 * c).bitwiseAND(F.lit(15))
+            val = F.element_at(tbl, (st * 256 + xn * 16 + yn + 1)
+                               .cast("int"))
+            d = d * 256 + val.bitwiseAND(F.lit(255))
+            st = F.shiftright(val, 8)
+        return d.cast("long")
     mask = F.lit((1 << bits) - 1)
     x0 = col_a.cast("long").bitwiseAND(mask)
     y0 = col_b.cast("long").bitwiseAND(mask)
