@@ -109,7 +109,21 @@ def with_ntile_percent_rank(df: DataFrame, order_by: list[Column],
     global rank (see with_global_rank) + a broadcast row-count scalar —
     output-identical to ``ntile(b).over(W.orderBy(...))`` /
     ``percent_rank().over(W.orderBy(...))`` but with no single-partition
-    window sort of the data in the plan."""
+    window sort of the data in the plan.
+
+    ``num_partitions=1`` is the caller's assertion that the relation is
+    BOUNDED (a kept top-n slice, an audit table): the two-phase
+    machinery would then range-shuffle to one partition anyway, so the
+    plain window form — the exact SQL definition, one stage, no
+    checkpoint/offsets jobs — is used instead (the distributed path
+    spends ~4 extra jobs reproducing what a single sorted partition
+    gives for free)."""
+    if num_partitions == 1:
+        from pyspark.sql import Window as W
+        w = W.orderBy(*order_by)
+        return (df.withColumn(ntile_col,
+                              F.ntile(n_buckets).over(w).cast("long"))
+                .withColumn(pct_col, F.round(F.percent_rank().over(w), 6)))
     ranked = with_global_rank(df, order_by, rank_col="__grank",
                               num_partitions=num_partitions,
                               total_col="__n")

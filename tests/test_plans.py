@@ -323,6 +323,15 @@ def test_distributed_rank_matches_window_and_avoids_global_sort(spark):
     # an 11th ntile bucket out of 10 at sf1).  localCheckpoint makes the
     # shared scan structural:
     assert "Scan ExistingRDD" in plan, plan
+    # num_partitions=1 (caller asserts a BOUNDED relation) short-circuits
+    # to the plain window form — identical output, none of the two-phase
+    # checkpoint/offset jobs
+    single = with_ntile_percent_rank(df, order, n_buckets=7,
+                                     ntile_col="b", pct_col="p",
+                                     num_partitions=1)
+    assert {(r.id, r.b, r.p) for r in single.collect()} == want
+    splan = single._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" not in splan, splan  # no checkpoint pass
 
 
 def test_ivfpq_corpus_never_shuffles_before_rank(spark):
