@@ -476,3 +476,45 @@ BEHAVIOR_INVENTORY["graph_triangles"] = (q_graph_triangles,
                                          SQL_GRAPH_TRIANGLES)
 BEHAVIOR_INVENTORY["graph_components"] = (q_graph_components,
                                           SQL_GRAPH_COMPONENTS)
+
+
+def q_graph_lpa(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic synchronous label propagation, 3 rounds, over the
+    supplier co-purchase graph (the triangles edge relation;
+    operators/graph.label_propagation)."""
+    from pyspark.sql import functions as SF
+    from kstream_spark.operators.graph import label_propagation
+    li = StreamBuilder(spark).table(f"{sf}/lineitem.parquet",
+                                    name="lineitem").to_df()
+    a = li.select(SF.col("l_orderkey").alias("o"),
+                  SF.col("l_suppkey").alias("s"))
+    b = li.select(SF.col("l_orderkey").alias("o"),
+                  SF.col("l_suppkey").alias("d"))
+    edges = (a.join(b, "o").filter(SF.col("s") < SF.col("d"))
+             .select("s", "d").distinct())
+    return label_propagation(edges, "s", "d", iters=3)
+
+
+def _lpa_sql(iters: int = 3) -> str:
+    """Unrolled per-round CTE chain: each round recomputes every node's
+    most-frequent neighbor label with (count DESC, label ASC) tie-break —
+    definitional replay of the argmax-by-struct aggregation."""
+    parts = ["""
+WITH e AS (SELECT DISTINCT a.l_suppkey AS s, b.l_suppkey AS d
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+sym AS (SELECT s, d FROM e UNION ALL SELECT d AS s, s AS d FROM e),
+l0 AS (SELECT DISTINCT s AS node, CAST(s AS BIGINT) AS label FROM sym)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+c{i} AS (SELECT sym.d AS node, l.label, count(*) AS c
+        FROM sym JOIN l{i - 1} l ON l.node = sym.s GROUP BY 1, 2),
+l{i} AS (SELECT node, label FROM (
+          SELECT node, label, row_number() OVER (
+            PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+          FROM c{i}) WHERE rn = 1)""")
+    parts.append(f"\nSELECT node, label AS community FROM l{iters}")
+    return "".join(parts)
+
+
+BEHAVIOR_INVENTORY["graph_lpa"] = (q_graph_lpa, _lpa_sql())

@@ -370,3 +370,66 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 OLAP_INVENTORY["j_skew_split"] = (q_skew_split_join, SQL_SKEW_SPLIT_JOIN)
+
+
+# bloom-pruned semi join: output must equal the plain semi join (the bloom
+# is scan-stage shedding only; operators/joins.bloom_semi_join)
+def q_bloom_semi_join(spark: SparkSession, sf: str) -> DataFrame:
+    from kstream_spark.operators.joins import bloom_semi_join
+    b = StreamBuilder(spark)
+    orders = b.table(f"{sf}/orders.parquet").to_df().select(
+        F.col("o_custkey").alias("ckey"), "o_orderpriority", "o_totalprice")
+    rich = (b.table(f"{sf}/customer.parquet").to_df()
+            .filter(F.col("c_acctbal") > 9000)
+            .select(F.col("c_custkey").alias("ckey")))
+    kept = bloom_semi_join(orders, rich, "ckey", m_bits=1 << 16, k=3)
+    return (kept.groupBy("o_orderpriority")
+            .agg(F.count("*").cast("long").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+            .orderBy("o_orderpriority"))
+
+
+SQL_BLOOM_SEMI_JOIN = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+OLAP_INVENTORY["j_bloom_semi"] = (q_bloom_semi_join, SQL_BLOOM_SEMI_JOIN)
+
+
+# trailing-window EWMA: the recursive smoother in its distributed-safe
+# bounded-frame form (operators/behavior.ewma); weight/normalizer tables
+# are python-float literals shared verbatim with the oracle
+def q_ts_ewma(spark: SparkSession, sf: str) -> DataFrame:
+    from kstream_spark.operators.behavior import ewma
+    ev = StreamBuilder(spark).stream(f"{sf}/events.parquet").to_df()
+    return (ewma(ev, "user_id", ["ts", "event_id"], "value",
+                 alpha=0.25, window=16)
+            .select("user_id", "event_id", "value", "ewma"))
+
+
+def _ewma_sql(alpha: float = 0.25, window: int = 16) -> str:
+    w = [alpha * (1 - alpha) ** o for o in range(window)]
+    norm = [sum(w[: s + 1]) for s in range(window)]
+    wl = "[" + ", ".join(repr(x) for x in w) + "]"
+    nl = "[" + ", ".join(repr(x) for x in norm) + "]"
+    return f"""
+WITH arrs AS (
+  SELECT user_id, event_id, value,
+    list(CAST(value AS DOUBLE)) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW) AS arr
+  FROM events)
+SELECT user_id, event_id, value,
+  round(list_sum(list_transform(range(1, len(arr) + 1),
+                                j -> arr[j] * {wl}[len(arr) - j + 1]))
+        / {nl}[len(arr)], 6) AS ewma
+FROM arrs
+"""
+
+
+OLAP_INVENTORY["ts_ewma"] = (q_ts_ewma, _ewma_sql())

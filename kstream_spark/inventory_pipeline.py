@@ -2554,3 +2554,131 @@ GROUP BY doc_id
 
 
 PIPELINE_INVENTORY["dedup_cdc_chunks"] = (q_dedup_cdc_chunks, _cdc_sql())
+
+
+# -- corpus-filter rule stacks + entropy (round 10) ---------------------------
+def q_text_gopher_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher rule stack (operators/text.gopher_filter) with bounds
+    calibrated to the fixture's 10-99-word documents so every rule
+    discriminates; ref analog: none (kstream filters via user predicates,
+    kstream/stream.go Filter) — the published rule STACK is the surface."""
+    return TX.gopher_filter(_docs(StreamBuilder(spark), sf), "doc_id", "text",
+                            min_words=20, max_words=80)
+
+
+_GOPHER_STOP_SQL = ", ".join(f"'{s}'" for s in TX.GOPHER_STOPSET)
+
+SQL_TEXT_GOPHER_FILTER = f"""
+WITH base AS (
+  SELECT doc_id, text AS t,
+    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w,
+    list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines
+  FROM documents),
+sig AS (
+  SELECT doc_id,
+    CAST(len(w) AS BIGINT) AS n_words,
+    round(length(regexp_replace(t, '\\s', '', 'g'))
+          / greatest(len(w), 1), 6) AS mean_word_len,
+    round(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+          / greatest(len(w), 1), 6) AS alpha_word_frac,
+    CAST(len(list_intersect(list_distinct(w), [{_GOPHER_STOP_SQL}]))
+         AS BIGINT) AS n_stopwords,
+    round(len(regexp_extract_all(t, '#|\\.\\.\\.'))
+          / greatest(len(w), 1), 6) AS symbol_ratio,
+    round(len(list_filter(lines, x -> regexp_matches(trim(x), '^[-*•]')))
+          / greatest(len(lines), 1), 6) AS bullet_line_frac,
+    round(len(list_filter(lines, x -> regexp_matches(trim(x), '\\.\\.\\.$')))
+          / greatest(len(lines), 1), 6) AS ellipsis_line_frac
+  FROM base),
+fl AS (
+  SELECT *,
+    (n_words < 20 OR n_words > 80) AS f_wc,
+    (mean_word_len < 3.0 OR mean_word_len > 10.0) AS f_mwl,
+    (alpha_word_frac < 0.8) AS f_alpha,
+    (n_stopwords < 2) AS f_stop,
+    (symbol_ratio > 0.1) AS f_sym,
+    (bullet_line_frac > 0.9) AS f_bullet,
+    (ellipsis_line_frac > 0.3) AS f_ell
+  FROM sig)
+SELECT doc_id, n_words, mean_word_len, alpha_word_frac, n_stopwords,
+       symbol_ratio, bullet_line_frac, ellipsis_line_frac,
+       NOT (f_wc OR f_mwl OR f_alpha OR f_stop OR f_sym OR f_bullet OR f_ell)
+         AS keep,
+       concat_ws(',',
+         CASE WHEN f_wc THEN 'word_count' END,
+         CASE WHEN f_mwl THEN 'mean_word_len' END,
+         CASE WHEN f_alpha THEN 'alpha_words' END,
+         CASE WHEN f_stop THEN 'stopwords' END,
+         CASE WHEN f_sym THEN 'symbol_ratio' END,
+         CASE WHEN f_bullet THEN 'bullet_lines' END,
+         CASE WHEN f_ell THEN 'ellipsis_lines' END) AS fail_reasons
+FROM fl
+"""
+
+
+def q_text_c4_clean(spark: SparkSession, sf: str) -> DataFrame:
+    """C4 line cleaning (operators/text.c4_line_clean).  The fixture is
+    single-line and punctuation-free, so the registered query relaxes the
+    terminal-punctuation rule and keys the length rule at 40 words; the
+    full rule set (punctuation + drop markers + multi-line) is exercised
+    by tests/test_text_filters.py on synthetic multi-line docs."""
+    return TX.c4_line_clean(_docs(StreamBuilder(spark), sf), "doc_id", "text",
+                            min_line_words=40, require_terminal_punct=False)
+
+
+SQL_TEXT_C4_CLEAN = """
+WITH base AS (
+  SELECT doc_id,
+    list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines
+  FROM documents),
+k AS (
+  SELECT doc_id, lines,
+    list_transform(
+      list_filter(lines, x ->
+        len(list_filter(string_split_regex(trim(x), '\\s+'),
+                        y -> y <> '')) >= 40
+        AND NOT contains(lower(trim(x)), 'javascript')
+        AND NOT contains(lower(trim(x)), 'lorem ipsum')
+        AND NOT contains(lower(trim(x)), '{')),
+      x -> trim(x)) AS kept
+  FROM base)
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept_lines,
+       coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+       md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_hash
+FROM k
+"""
+
+
+def q_text_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc unigram entropy (operators/text.doc_entropy): the
+    degenerate-text signal; Spark side is a zero-shuffle sorted-array
+    run-length fold, the oracle is the definitional unnest + two GROUP
+    BYs — hash equality proves the fold computes the definition."""
+    return TX.doc_entropy(_docs(StreamBuilder(spark), sf), "doc_id", "text")
+
+
+SQL_TEXT_ENTROPY = f"""
+WITH {_W},
+wx AS (SELECT doc_id,
+         list_filter(words, x -> x <> '') AS w FROM w),
+c AS (SELECT doc_id, word, CAST(count(*) AS DOUBLE) AS c
+      FROM wx, unnest(w) AS t(word) GROUP BY 1, 2),
+agg AS (SELECT doc_id, sum(c) AS n, count(*) AS d,
+               sum(c * log2(c)) AS sclg
+        FROM c GROUP BY 1)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_words,
+       CAST(d AS BIGINT) AS n_distinct,
+       round(log2(n) - sclg / n, 6) AS entropy,
+       round(CASE WHEN d > 1 THEN (log2(n) - sclg / n) / log2(d)
+                  ELSE 0.0 END, 6) AS norm_entropy
+FROM agg
+"""
+
+
+PIPELINE_INVENTORY["text_gopher_filter"] = (q_text_gopher_filter,
+                                            SQL_TEXT_GOPHER_FILTER)
+PIPELINE_INVENTORY["text_c4_clean"] = (q_text_c4_clean, SQL_TEXT_C4_CLEAN)
+PIPELINE_INVENTORY["text_entropy"] = (q_text_entropy, SQL_TEXT_ENTROPY)

@@ -155,3 +155,44 @@ def top_paths(events: DataFrame, user_col: str, ts_col: str,
     return ranked.withColumn(
         "rank", F.row_number().over(
             W2.orderBy(F.desc("n_sessions"), F.asc("path"))).cast("long"))
+
+
+def ewma(events: DataFrame, key_col: str, order_cols: list[str],
+         value_col: str, alpha: float = 0.25, window: int = 16
+         ) -> DataFrame:
+    """Trailing-window EWMA per key: the per-entity smoothed signal
+    (user spend, sensor level, queue depth) every monitoring pipeline
+    wants next to the raw value.
+
+    The classic recursive EWMA is a sequential scan — the one shape a
+    distributed engine must NOT implement literally.  This is the
+    bounded-window form: over the last ``window`` events,
+
+        ewma_i = sum_j v_j * a*(1-a)^(i-j)  /  sum_j a*(1-a)^(i-j)
+
+    (normalized, so short prefixes are unbiased).  Truncation error vs
+    the infinite recursion is (1-a)^window — under 1% at the defaults —
+    and in exchange every row is a PURE function of a bounded frame:
+    one shuffle on the key, one ordered window, no cross-partition
+    recursion, identical answers in any engine.
+
+    The weight and normalizer tables are PYTHON-computed literals
+    embedded in the plan, so Spark and a SQL oracle multiply the exact
+    same constants — no cross-engine pow() drift; the frame fold is
+    codegen array math (collect_list + zip_with + aggregate).
+    """
+    w = [alpha * (1 - alpha) ** o for o in range(window)]   # offset 0..W-1
+    norm = [sum(w[: s + 1]) for s in range(window)]         # frame size s+1
+    W_lit, N_lit = F.lit(w), F.lit(norm)
+    frame = (W.partitionBy(key_col)
+             .orderBy(*[F.col(c).asc() for c in order_cols])
+             .rowsBetween(-(window - 1), 0))
+    arr = F.collect_list(F.col(value_col).cast("double")).over(frame)
+    s = F.size(arr)
+    # element j (1-based) of an s-row frame has trailing offset s-j
+    weighted = F.zip_with(
+        arr, F.sequence(F.lit(1), s),
+        lambda v, j: v * F.element_at(W_lit, (s - j + 1).cast("int")))
+    total = F.aggregate(weighted, F.lit(0.0), lambda acc, x: acc + x)
+    return events.withColumn(
+        "ewma", F.round(total / F.element_at(N_lit, s.cast("int")), 6))

@@ -264,3 +264,40 @@ def triangle_count(edges: DataFrame, src_col: str, dst_col: str
     return (deg.select("node").join(per_corner, "node", "left")
             .select("node", F.coalesce("n_triangles", F.lit(0))
                     .cast("long").alias("n_triangles")))
+
+
+def label_propagation(edges: DataFrame, src_col: str, dst_col: str,
+                      iters: int = 3) -> DataFrame:
+    """Synchronous label propagation (community detection) over an
+    undirected edge list, made fully deterministic: every node starts
+    labeled with its own id, and each round adopts the MOST FREQUENT
+    label among its neighbors, ties broken by SMALLEST label — so a
+    fixed ``iters`` yields one well-defined answer any engine replays
+    (an unrolled per-round CTE chain is the oracle).
+
+    Returns (node, community) after ``iters`` rounds.
+
+    Scale shape (the BSP discipline of ``pagerank``): per round, ONE
+    join of the bounded label relation onto the symmetrized edges
+    (shuffle or AQE-broadcast on the node key), one map-side-combinable
+    (node, label) count, and one argmax-by-struct aggregation — no
+    windows, no driver traffic; rounds are O(edges) each and ``iters``
+    is a constant.
+    """
+    e = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+    sym = e.unionByName(e.select(F.col("d").alias("s"),
+                                 F.col("s").alias("d")))
+    labels = (sym.select(F.col("s").alias("node")).distinct()
+              .withColumn("label", F.col("node").cast("long")))
+    for _ in range(iters):
+        nbr = (sym.join(labels.withColumnRenamed("node", "s"), "s")
+               .select(F.col("d").alias("node"), "label"))
+        counts = nbr.groupBy("node", "label") \
+            .agg(F.count("*").cast("long").alias("c"))
+        # lexicographic struct max == (count DESC, label ASC) argmax
+        best = counts.groupBy("node").agg(
+            F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl")))
+            .alias("b"))
+        labels = best.select("node",
+                             (-F.col("b.nl")).cast("long").alias("label"))
+    return labels.select("node", F.col("label").alias("community"))

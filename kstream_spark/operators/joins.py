@@ -308,3 +308,67 @@ def interval_overlap_join(a: DataFrame, b: DataFrame, key: str,
                     & (F.col(b_start) <= F.col(a_end)))
             .dropDuplicates([key, a_id, b_id])
             .drop("__bk"))
+
+
+def bloom_semi_join(fact: DataFrame, dim: DataFrame, fact_key: str,
+                    dim_key: str | None = None, m_bits: int = 1 << 20,
+                    k: int = 3, seed: str = "bloom") -> DataFrame:
+    """Bloom-pruned EXACT semi join: keep fact rows whose key appears in
+    ``dim``, pre-filtering the fact scan with a compact Bloom filter built
+    from the dim keys before the exact join runs.
+
+    The dynamic-filtering pattern (Trino dynamic filters / Spark's own
+    runtime row-level bloom, which only injects under AQE cost rules):
+    when the dim side is too big to broadcast AS ROWS, its ~m_bits/8-byte
+    Bloom bitmap still broadcasts, and the fact side sheds non-matching
+    rows INSIDE the scan stage — the shuffle that feeds the exact join
+    then carries only survivors (selective semi joins shed 10-100x).
+
+    Exactness: the bloom admits false positives, never false negatives,
+    and an exact left-semi join runs on the survivors — output is
+    bit-identical to ``fact SEMI JOIN dim`` for every (m_bits, k).
+
+    Plumbing: k portable md5 positions per key; the bitmap is built as
+    32-bit words via one combiner-friendly bit_or aggregation (≤ m/32
+    rows ever reach the driver — 256 KiB at the m=2^20 default), then
+    embedded as one literal array so the probe is pure codegen
+    (element_at + an exact power-of-two bit test — shiftleft/shiftright
+    take only LITERAL shift amounts, and every word stays < 2^32 < 2^53
+    so the double pow/floor arithmetic is exact), no UDF, no shuffle.
+
+    Ref: no kstream analog (lookup joins hit the local store per record,
+    kstream/processors/join/global_table_joiner.go:94-124); this is the
+    scan-stage shedding a store-less engine needs at 100 TB.
+    """
+    from kstream_spark.functions.text import hash_str
+    if dim_key is None:
+        dim_key = fact_key
+    words = 1 + (m_bits - 1) // 32
+
+    def positions(col: Column) -> list[Column]:
+        return [(F.conv(F.substring(hash_str(col.cast("string"),
+                                             f"{seed}{i}"), 1, 8), 16, 10)
+                 .cast("long") % m_bits) for i in range(k)]
+
+    dim_keys = dim.select(F.col(dim_key).alias("__k")).distinct()
+    bits = (dim_keys.select(F.explode(F.array(*positions(F.col("__k"))))
+                            .alias("__p"))
+            .select((F.col("__p") / 32).cast("long").alias("__w"),
+                    F.pow(F.lit(2.0), (F.col("__p") % 32).cast("double"))
+                    .cast("long").alias("__b"))
+            .groupBy("__w").agg(F.bit_or("__b").alias("__word"))
+            .collect())
+    bitmap = [0] * words
+    for r in bits:
+        bitmap[r["__w"]] = r["__word"]
+    arr = F.lit(bitmap)
+
+    probe = None
+    for p in positions(F.col(fact_key)):
+        word = F.element_at(arr, (p / 32).cast("int") + 1)
+        hit = (F.floor(word / F.pow(F.lit(2.0), (p % 32).cast("double")))
+               % 2) == 1
+        probe = hit if probe is None else (probe & hit)
+    survivors = fact.filter(probe)
+    return survivors.join(dim_keys.withColumnRenamed("__k", fact_key),
+                          on=fact_key, how="left_semi")

@@ -992,3 +992,171 @@ def wordpiece_tokenize(df: DataFrame, text_col: str, vocab: list,
 
     return (word_freq.mapInPandas(run, "token string, c long")
             .groupBy("token").agg(F.sum("c").cast("long").alias("cnt")))
+
+
+# -- corpus-filter rule stacks (Gopher / C4) ---------------------------------
+
+# the stop-word evidence set Gopher's "no stop words" rule checks against
+# (Rae et al. 2021, table A1: "contains at least 2 of the following");
+# ref has no analog — kstream filters via user predicates only
+# (kstream/stream.go Filter), so the rule STACK is the new surface here.
+GOPHER_STOPSET = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+GOPHER_RULES = ["word_count", "mean_word_len", "alpha_words", "stopwords",
+                "symbol_ratio", "bullet_lines", "ellipsis_lines"]
+
+
+def gopher_filter(df: DataFrame, id_col: str, text_col: str,
+                  min_words: int = 50, max_words: int = 100000,
+                  min_mean_wlen: float = 3.0, max_mean_wlen: float = 10.0,
+                  min_alpha_frac: float = 0.8, min_stopwords: int = 2,
+                  max_symbol_ratio: float = 0.1,
+                  max_bullet_frac: float = 0.9,
+                  max_ellipsis_frac: float = 0.3) -> DataFrame:
+    """Gopher-style document quality rule stack (Rae et al. 2021 §A.1.1).
+
+    Emits every signal the rules read plus ``keep`` and a deterministic
+    comma-joined ``fail_reasons`` (rule names in GOPHER_RULES order), so a
+    pipeline can both filter and audit WHY documents fell.
+
+    All seven rules are ONE projection over the scan — pure codegen
+    Column expressions, zero shuffles, exactly reproducible in SQL: at
+    100 TB this runs at I/O speed and composes with any downstream filter
+    without a barrier.
+    """
+    t = F.col(text_col)
+    w = F.filter(words(t), lambda x: x != F.lit(""))
+    n = F.size(w)
+    mean_wlen = _ratio(F.length(F.regexp_replace(t, r"\s", "")), n)
+    alpha = _ratio(F.size(F.filter(w, lambda x: x.rlike("[a-z]"))), n)
+    n_stop = F.size(F.array_intersect(
+        F.array_distinct(w),
+        F.array(*[F.lit(s) for s in GOPHER_STOPSET])))
+    symbols = F.regexp_count(t, F.lit(r"#|\.\.\.")).cast("long")
+    sym_ratio = _ratio(symbols, n)
+    lines = F.filter(F.split(t, "\n"), lambda x: F.trim(x) != F.lit(""))
+    n_lines = F.size(lines)
+    bullet = _ratio(F.size(F.filter(
+        lines, lambda x: F.trim(x).rlike(r"^[-*•]"))), n_lines)
+    ellipsis = _ratio(F.size(F.filter(
+        lines, lambda x: F.trim(x).rlike(r"\.\.\.$"))), n_lines)
+
+    d = df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_words"),
+        mean_wlen.alias("mean_word_len"),
+        alpha.alias("alpha_word_frac"),
+        n_stop.cast("long").alias("n_stopwords"),
+        sym_ratio.alias("symbol_ratio"),
+        bullet.alias("bullet_line_frac"),
+        ellipsis.alias("ellipsis_line_frac"),
+    )
+    fails = {
+        "word_count": (F.col("n_words") < min_words)
+                      | (F.col("n_words") > max_words),
+        "mean_word_len": (F.col("mean_word_len") < min_mean_wlen)
+                         | (F.col("mean_word_len") > max_mean_wlen),
+        "alpha_words": F.col("alpha_word_frac") < min_alpha_frac,
+        "stopwords": F.col("n_stopwords") < min_stopwords,
+        "symbol_ratio": F.col("symbol_ratio") > max_symbol_ratio,
+        "bullet_lines": F.col("bullet_line_frac") > max_bullet_frac,
+        "ellipsis_lines": F.col("ellipsis_line_frac") > max_ellipsis_frac,
+    }
+    reasons = F.concat_ws(",", *[
+        F.when(fails[r], F.lit(r)).otherwise(F.lit(None)) for r in GOPHER_RULES])
+    keep = ~fails[GOPHER_RULES[0]]
+    for r in GOPHER_RULES[1:]:
+        keep = keep & ~fails[r]
+    return d.withColumn("keep", keep).withColumn("fail_reasons", reasons)
+
+
+def c4_line_clean(df: DataFrame, id_col: str, text_col: str,
+                  min_line_words: int = 5,
+                  require_terminal_punct: bool = True,
+                  drop_markers: list[str] | None = None) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2): keep only
+    lines with >= ``min_line_words`` words that (optionally) end in
+    terminal punctuation and contain none of ``drop_markers`` (default:
+    the C4 "javascript" / "lorem ipsum" / "{" markers); reassemble the
+    survivors as ``clean_text``.
+
+    Returns (id, n_lines, n_kept_lines, clean_text, clean_hash) — the
+    hash is the dedup-ready fingerprint of the cleaned text.
+
+    Line surgery is array-expression-only (split -> filter -> join): one
+    codegen projection, zero shuffles, SQL-replayable — the 100 TB shape
+    is a pure scan-stage map like ``gopher_filter``.
+    """
+    if drop_markers is None:
+        drop_markers = ["javascript", "lorem ipsum", "{"]
+    t = F.col(text_col)
+    lines = F.filter(F.split(t, "\n"), lambda x: F.trim(x) != F.lit(""))
+
+    def line_ok(x: Column) -> Column:
+        s = F.trim(x)
+        ok = F.size(F.filter(F.split(s, r"\s+"),
+                             lambda y: y != F.lit(""))) >= min_line_words
+        if require_terminal_punct:
+            ok = ok & s.rlike(r'[.!?"]$')
+        for m in drop_markers:
+            ok = ok & ~F.contains(F.lower(s), F.lit(m))
+        return ok
+
+    kept = F.filter(lines, line_ok)
+    # explicit single-arg lambda: F.transform hands (element, index) to a
+    # two-arg callable, and F.trim(str, trimStr) exists — wrong overload
+    clean = F.array_join(F.transform(kept, lambda x: F.trim(x)), "\n")
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        clean.alias("clean_text"),
+        F.md5(F.encode(clean, "UTF-8")).alias("clean_hash"),
+    )
+
+
+def doc_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document unigram (word) Shannon entropy in bits — the
+    degenerate-text detector that survives dedup: keyword-stuffed or
+    looping documents are unique yet low-entropy, natural prose sits near
+    log2(vocab).  Returns (id, n_words, n_distinct, entropy,
+    norm_entropy) with norm_entropy = entropy / log2(n_distinct) in
+    [0, 1] (1 when every word is distinct; 0 for single-word spam).
+
+    Zero shuffles: H = log2(n) - (sum_c c*log2 c)/n needs only the run
+    lengths of the SORTED per-doc word array, accumulated by one O(n)
+    fold (the repetition_stats trick) — no explode, no groupBy, scan
+    speed at 100 TB.
+    """
+    w = F.filter(words(F.col(text_col)), lambda x: x != F.lit(""))
+    d = df.select(F.col(id_col), w.alias("_w"))
+    # the sort must be a materialized column: expressions referenced
+    # inside a lambda re-evaluate per element
+    d = d.withColumn("_srt", F.array_sort("_w"))
+    n = F.size(F.col("_w"))
+    state = F.struct(F.lit(None).cast("string").alias("prev"),
+                     F.lit(0.0).alias("run"), F.lit(0.0).alias("acc"))
+
+    def clg(c: Column) -> Column:  # c * log2(c); 0 for c <= 0 (empty doc)
+        return F.when(c > 0, c * F.log2(c)).otherwise(F.lit(0.0))
+
+    def step(acc: Column, x: Column) -> Column:
+        same = x.eqNullSafe(acc["prev"])
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1.0)).alias("run"),
+            F.when(same, acc["acc"])
+             .otherwise(acc["acc"] + clg(acc["run"])).alias("acc"))
+
+    sum_clg = F.aggregate(F.col("_srt"), state, step,
+                          lambda acc: acc["acc"] + clg(acc["run"]))
+    n_distinct = F.size(F.array_distinct(F.col("_w")))
+    ent = F.when(n > 0, F.log2(n) - sum_clg / n).otherwise(F.lit(0.0))
+    return d.select(
+        id_col,
+        n.cast("long").alias("n_words"),
+        n_distinct.cast("long").alias("n_distinct"),
+        F.round(ent, 6).alias("entropy"),
+        F.round(F.when(n_distinct > 1, ent / F.log2(n_distinct))
+                 .otherwise(F.lit(0.0)), 6).alias("norm_entropy"),
+    )

@@ -98,3 +98,21 @@ def test_top_paths_known_sequences(spark):
     assert out.iloc[0]["n_sessions"] == 2 and out.iloc[0]["rank"] == 1
     assert out.iloc[1]["path"] == "view > exit"
     assert out["rank"].tolist() == [1, 2]
+
+
+def test_ewma_known_values_and_truncation(spark):
+    """Normalized bounded-frame EWMA: hand-computed values at alpha=0.5,
+    window=2 — frame j has weights [0.25, 0.5] (older, newer) normalized
+    by their sum; the first row is unbiased (equals its own value)."""
+    from kstream_spark.operators.behavior import ewma
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 20.0), (1, 3, 40.0), (2, 1, 7.0)],
+        "user_id long, event_id long, value double")
+    out = {(r.user_id, r.event_id): r.ewma
+           for r in ewma(df, "user_id", ["event_id"], "value",
+                         alpha=0.5, window=2).collect()}
+    assert out[(1, 1)] == 10.0
+    # (10*0.25 + 20*0.5) / 0.75
+    assert out[(1, 2)] == round((10 * 0.25 + 20 * 0.5) / 0.75, 6)
+    assert out[(1, 3)] == round((20 * 0.25 + 40 * 0.5) / 0.75, 6)
+    assert out[(2, 1)] == 7.0   # keys never mix

@@ -189,3 +189,29 @@ def test_connected_components_oracle_parity(spark):
     got = {r.node: r.component for r in
            q_graph_components(spark, "/root/testdata/sf0.001").collect()}
     assert got == oracle
+
+
+def test_label_propagation_two_cliques_converge(spark):
+    """Two triangles joined by one bridge edge: after 3 deterministic
+    rounds each clique agrees on its minimum member id; ties go to the
+    smaller label."""
+    from kstream_spark.operators.graph import label_propagation
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3),        # clique A
+         (4, 5), (5, 6), (4, 6),        # clique B
+         (3, 4)],                        # bridge
+        "s long, d long")
+    out = {r.node: r.community
+           for r in label_propagation(edges, "s", "d", iters=3).collect()}
+    assert out[1] == out[2] == out[3] == 1
+    assert out[5] == out[6]
+    assert set(out) == {1, 2, 3, 4, 5, 6}
+
+
+def test_label_propagation_tiebreak_is_smallest_label(spark):
+    from kstream_spark.operators.graph import label_propagation
+    # node 3 sees labels {1, 2} once each in round 1 -> must pick 1
+    edges = spark.createDataFrame([(1, 3), (2, 3)], "s long, d long")
+    out = {r.node: r.community
+           for r in label_propagation(edges, "s", "d", iters=1).collect()}
+    assert out[3] == 1

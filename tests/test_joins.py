@@ -200,3 +200,25 @@ def test_interval_overlap_join_equals_inequality_join(spark):
         assert got == want, (bucket, got, want)
     assert (1, 10, 90) in want      # touching endpoints overlap
     assert (2, 20, 93) not in want  # adjacent-but-disjoint do not
+
+
+def test_bloom_semi_join_exact_and_sheds_in_scan(spark):
+    """Output is bit-identical to the plain left-semi join for any
+    (m_bits, k) — the bloom admits false positives only, never false
+    negatives — and the probe is a scan-stage Filter BEFORE the join."""
+    import pyspark.sql.functions as F
+
+    from kstream_spark.operators.joins import bloom_semi_join
+    fact = spark.range(0, 2000).select(
+        (F.col("id") % 500).alias("key"), F.col("id").alias("val"))
+    dim = spark.range(0, 100).select((F.col("id") * 7).alias("key"))
+    want = sorted((r.key, r.val) for r in
+                  fact.join(dim, "key", "left_semi").collect())
+    for m_bits, k in ((1 << 16, 3), (64, 2)):   # 64 bits: saturated bloom
+        out = bloom_semi_join(fact, dim, "key", m_bits=m_bits, k=k)
+        got = sorted((r.key, r.val) for r in out.collect())
+        assert got == want, (m_bits, k)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    f_pos = plan.find("element_at")
+    j_pos = plan.find("Join")
+    assert 0 <= j_pos < f_pos  # probe filter sits below (after) the join node
