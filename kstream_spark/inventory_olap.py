@@ -433,3 +433,63 @@ FROM arrs
 
 
 OLAP_INVENTORY["ts_ewma"] = (q_ts_ewma, _ewma_sql())
+
+
+# asof direction variants (operators/joins.asof_join direction=):
+# forward = earliest order at-or-after each event; nearest = closer of the
+# backward/forward candidates, ties backward (pandas merge_asof parity)
+def q_asof_forward(spark: SparkSession, sf: str) -> DataFrame:
+    b = StreamBuilder(spark)
+    events = b.stream(f"{sf}/events.parquet", name="events")
+    orders = b.stream(f"{sf}/orders.parquet", name="orders")
+    return (events.join_asof(orders, key="user_id", left_ts="ts",
+                             right_ts="o_orderdate",
+                             right_cols=["o_orderkey"], how="left",
+                             right_key="o_custkey", direction="forward")
+            .select("event_id", "user_id", "o_orderkey").to_df())
+
+
+SQL_ASOF_FORWARD = """
+WITH r AS (SELECT o_custkey AS user_id, o_orderdate,
+                  max(o_orderkey) AS o_orderkey
+           FROM orders GROUP BY 1, 2)
+SELECT e.event_id, e.user_id, r.o_orderkey
+FROM events e ASOF LEFT JOIN r
+  ON e.user_id = r.user_id AND e.ts <= r.o_orderdate
+"""
+
+
+def q_asof_nearest(spark: SparkSession, sf: str) -> DataFrame:
+    b = StreamBuilder(spark)
+    events = b.stream(f"{sf}/events.parquet", name="events")
+    orders = b.stream(f"{sf}/orders.parquet", name="orders")
+    return (events.join_asof(orders, key="user_id", left_ts="ts",
+                             right_ts="o_orderdate",
+                             right_cols=["o_orderkey"], how="left",
+                             right_key="o_custkey", direction="nearest")
+            .select("event_id", "user_id", "o_orderkey").to_df())
+
+
+# definitional replay: both one-sided ASOF candidates, then the nearest
+# choice (ties -> backward) in epoch seconds — the operator's exact rule
+SQL_ASOF_NEAREST = """
+WITH r AS (SELECT o_custkey AS user_id, o_orderdate,
+                  max(o_orderkey) AS o_orderkey
+           FROM orders GROUP BY 1, 2),
+b AS (SELECT e.event_id, r.o_orderdate AS bd, r.o_orderkey AS bk
+      FROM events e ASOF LEFT JOIN r
+        ON e.user_id = r.user_id AND e.ts >= r.o_orderdate),
+f AS (SELECT e.event_id, r.o_orderdate AS fd, r.o_orderkey AS fk
+      FROM events e ASOF LEFT JOIN r
+        ON e.user_id = r.user_id AND e.ts <= r.o_orderdate)
+SELECT e.event_id, e.user_id,
+       CASE WHEN bd IS NOT NULL AND (fd IS NULL OR
+                 epoch(e.ts) - epoch(bd::TIMESTAMP)
+                   <= epoch(fd::TIMESTAMP) - epoch(e.ts))
+            THEN bk ELSE fk END AS o_orderkey
+FROM events e JOIN b USING (event_id) JOIN f USING (event_id)
+"""
+
+
+OLAP_INVENTORY["j_asof_forward"] = (q_asof_forward, SQL_ASOF_FORWARD)
+OLAP_INVENTORY["j_asof_nearest"] = (q_asof_nearest, SQL_ASOF_NEAREST)

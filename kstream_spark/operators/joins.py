@@ -125,10 +125,20 @@ def join_global_table(stream, table, on, how: str = "inner", dlq: DLQ | None = N
 def asof_join(left: DataFrame, right: DataFrame, key: str, left_ts: str,
               right_ts: str, right_cols: Sequence[str], how: str = "left",
               tolerance: str | None = None,
-              right_key: str | None = None) -> DataFrame:
+              right_key: str | None = None,
+              direction: str = "backward") -> DataFrame:
     """As-of join: for each left row, the most recent right row with
     ``right.ts <= left.ts`` on the same key (capability superset — the
     reference has no temporal joins, SURVEY §2.3 "not present").
+
+    ``direction`` (pandas merge_asof parity):
+      * ``backward`` (default): latest right with rt <= lt;
+      * ``forward``: earliest right with rt >= lt;
+      * ``nearest``: whichever of the two is closer in time, ties to the
+        backward match (equal-distance and exact-ts cases — pandas rule).
+    All three run on the SAME tag-union-window plan: one shuffle+sort per
+    key; ``nearest`` adds a second window SPEC over the same partitioning
+    (Spark reuses the exchange and sort), not a second shuffle.
 
     Scale-first implementation: tag both sides, UNION, one
     shuffle+sort per key, then ``last(value, ignorenulls=True)`` over an
@@ -144,6 +154,9 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, left_ts: str,
     ``tolerance``: optional max age of the match, e.g. "90 days" — older
     matches become nulls (left) / drop the row (inner).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"asof_join direction must be backward/forward/"
+                         f"nearest, got {direction!r}")
     if right_key and right_key != key:
         right = right.withColumnRenamed(right_key, key)
     clash = (set(right_cols) & set(left.columns)) | \
@@ -157,11 +170,16 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, left_ts: str,
 
     ltypes, rtypes = dict(left.dtypes), dict(r.dtypes)
     l_payload = [c for c in left.columns if c != key]
+    # equal-ts matches must be visible to the fill: right rows sort BEFORE
+    # left rows at the same ts for backward/nearest (the preceding frame
+    # sees them; nearest then wins the tie at distance 0), AFTER for
+    # forward (the following frame sees them)
+    l_side, r_side = (0, 1) if direction == "forward" else (1, 0)
     lhs = left.select(
         F.col(key),
         *l_payload,
         F.col(left_ts).alias("__t"),
-        F.lit(1).alias("__side"),
+        F.lit(l_side).alias("__side"),
         *[F.lit(None).cast(rtypes[c]).alias(c) for c in right_cols],
         F.lit(None).cast(rtypes[right_ts]).alias("__rt"),
     )
@@ -169,23 +187,64 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, left_ts: str,
         F.col(key),
         *[F.lit(None).cast(ltypes[c]).alias(c) for c in l_payload],
         F.col(right_ts).alias("__t"),
-        F.lit(0).alias("__side"),
+        F.lit(r_side).alias("__side"),
         *right_cols,
         F.col(right_ts).alias("__rt"),
     )
 
     from pyspark.sql import Window as W
-    w = (W.partitionBy(key).orderBy("__t", "__side")
-         .rowsBetween(W.unboundedPreceding, 0))
+    wb = (W.partitionBy(key).orderBy("__t", "__side")
+          .rowsBetween(W.unboundedPreceding, 0))
+    wf = (W.partitionBy(key).orderBy("__t", "__side")
+          .rowsBetween(0, W.unboundedFollowing))
+    tol = (F.expr(f"INTERVAL {tolerance}") if tolerance is not None
+           else None)
     filled = lhs.unionByName(rhs)
-    for c in [*right_cols, "__rt"]:
-        filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    out = filled.filter(F.col("__side") == 1)
-    if tolerance is not None:
-        in_tol = F.col("__rt") >= F.col("__t") - F.expr(f"INTERVAL {tolerance}")
-        for c in right_cols:
-            out = out.withColumn(c, F.when(in_tol, F.col(c)))
-        out = out.withColumn("__rt", F.when(in_tol, F.col("__rt")))
+    fill_cols = [*right_cols, "__rt"]
+    if direction == "backward":
+        for c in fill_cols:
+            filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(wb))
+        out = filled.filter(F.col("__side") == l_side)
+        if tol is not None:
+            in_tol = F.col("__rt") >= F.col("__t") - tol
+            for c in fill_cols:
+                out = out.withColumn(c, F.when(in_tol, F.col(c)))
+    elif direction == "forward":
+        for c in fill_cols:
+            filled = filled.withColumn(c, F.first(c, ignorenulls=True).over(wf))
+        out = filled.filter(F.col("__side") == l_side)
+        if tol is not None:
+            in_tol = F.col("__rt") <= F.col("__t") + tol
+            for c in fill_cols:
+                out = out.withColumn(c, F.when(in_tol, F.col(c)))
+    else:  # nearest: both fills over the SAME sort (one exchange reused)
+        for c in fill_cols:
+            filled = (filled
+                      .withColumn(f"{c}__b",
+                                  F.last(c, ignorenulls=True).over(wb))
+                      .withColumn(f"{c}__f",
+                                  F.first(c, ignorenulls=True).over(wf)))
+        out = filled.filter(F.col("__side") == l_side)
+        b_valid = F.col("__rt__b").isNotNull()
+        f_valid = F.col("__rt__f").isNotNull()
+        if tol is not None:  # out-of-tolerance candidates never compete
+            b_valid = b_valid & (F.col("__rt__b") >= F.col("__t") - tol)
+            f_valid = f_valid & (F.col("__rt__f") <= F.col("__t") + tol)
+        ftypes = dict(out.dtypes)
+
+        def _sec(name: str) -> Column:  # date can't cast to double directly
+            c = F.col(name)
+            if ftypes[name] in ("date",) or ftypes[name].startswith("timestamp"):
+                return c.cast("timestamp").cast("double")
+            return c.cast("double")
+
+        dist_b = _sec("__t") - _sec("__rt__b")
+        dist_f = _sec("__rt__f") - _sec("__t")
+        use_b = b_valid & (~f_valid | (dist_b <= dist_f))
+        for c in fill_cols:
+            out = out.withColumn(c, F.when(use_b, F.col(f"{c}__b"))
+                                      .when(f_valid, F.col(f"{c}__f")))
+        out = out.drop(*[f"{c}__{s}" for c in fill_cols for s in "bf"])
     if how == "inner":
         out = out.filter(F.col("__rt").isNotNull())
     return out.drop("__t", "__side", "__rt")

@@ -178,13 +178,15 @@ class Stream:
     def join_asof(self, other: "Stream", key: str, left_ts: str, right_ts: str,
                   right_cols: Sequence[str], how: str = "left",
                   tolerance: str | None = None,
-                  right_key: str | None = None) -> "Stream":
+                  right_key: str | None = None,
+                  direction: str = "backward") -> "Stream":
         """As-of (temporal) join — latest right row at-or-before each left
-        row's timestamp.  Superset operator; see operators/joins.asof_join."""
+        row's timestamp (or the earliest-after / nearest variant via
+        ``direction``).  Superset operator; see operators/joins.asof_join."""
         from kstream_spark.operators.joins import asof_join
         return self._derive(asof_join(self.df, other.df, key, left_ts, right_ts,
                                       right_cols, how=how, tolerance=tolerance,
-                                      right_key=right_key),
+                                      right_key=right_key, direction=direction),
                             name=f"{self.name}⋈asof")
 
     def join_table(self, store, on, how: str = "inner", dlq=None,

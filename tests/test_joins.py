@@ -222,3 +222,45 @@ def test_bloom_semi_join_exact_and_sheds_in_scan(spark):
     f_pos = plan.find("element_at")
     j_pos = plan.find("Join")
     assert 0 <= j_pos < f_pos  # probe filter sits below (after) the join node
+
+
+def test_asof_join_forward_and_nearest(spark):
+    """merge_asof direction parity: forward takes the earliest right at or
+    after the left ts; nearest takes the closer side, ties backward."""
+    from kstream_spark.operators.joins import asof_join
+    left = spark.createDataFrame(
+        [(1, "2024-01-10"), (1, "2024-01-16"), (1, "2024-01-30"),
+         (2, "2024-01-05")],
+        "k long, lt string").withColumn("lt", F.col("lt").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-08", 100), (1, "2024-01-15", 101),
+         (1, "2024-01-17", 102), (2, "2024-01-05", 200)],
+        "k long, rt string, val int") \
+        .withColumn("rt", F.col("rt").cast("timestamp"))
+
+    fwd = {(r.k, str(r.lt)[:10]): r.val for r in asof_join(
+        left, right, "k", "lt", "rt", ["val"],
+        direction="forward").collect()}
+    assert fwd[(1, "2024-01-10")] == 101    # earliest >= Jan10
+    assert fwd[(1, "2024-01-16")] == 102
+    assert fwd[(1, "2024-01-30")] is None   # nothing after
+    assert fwd[(2, "2024-01-05")] == 200    # equality qualifies forward
+
+    near = {(r.k, str(r.lt)[:10]): r.val for r in asof_join(
+        left, right, "k", "lt", "rt", ["val"],
+        direction="nearest").collect()}
+    assert near[(1, "2024-01-10")] == 100   # Jan8 (2d) beats Jan15 (5d)
+    assert near[(1, "2024-01-16")] == 101   # tie 1d/1d -> backward wins
+    assert near[(1, "2024-01-30")] == 102   # only a backward candidate
+    assert near[(2, "2024-01-05")] == 200   # exact hit at distance 0
+
+    # tolerance removes out-of-range candidates BEFORE the nearest choice
+    ntol = {(r.k, str(r.lt)[:10]): r.val for r in asof_join(
+        left, right, "k", "lt", "rt", ["val"],
+        direction="nearest", tolerance="4 days").collect()}
+    assert ntol[(1, "2024-01-10")] == 100
+    assert ntol[(1, "2024-01-30")] is None  # backward candidate 13d stale
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        asof_join(left, right, "k", "lt", "rt", ["val"], direction="nope")
