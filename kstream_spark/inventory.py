@@ -548,6 +548,9 @@ INVENTORY.update(QUALITY_INVENTORY)
 # into group 3.  The rest of the r9 window refreshes the r5-stale band.
 
 _TOUCHED_THIS_ROUND: list[str] = [
+    # r10: asof_join restructured for direction=backward/forward/nearest —
+    # the backward path's window plumbing changed, re-prove it
+    "j_asof_join",
     # r10: connected_components rewritten as alternating large-star/
     # small-star contraction (operators/graph.py) — every consumer of
     # the clustering fixpoint has a new evaluation path

@@ -409,7 +409,11 @@ def bloom_semi_join(fact: DataFrame, dim: DataFrame, fact_key: str,
                                              f"{seed}{i}"), 1, 8), 16, 10)
                  .cast("long") % m_bits) for i in range(k)]
 
-    dim_keys = dim.select(F.col(dim_key).alias("__k")).distinct()
+    # no .distinct() anywhere: bit_or is idempotent under duplicate keys
+    # (the bloom build combines map-side into <= m/32 words) and left-semi
+    # already has at-most-once match semantics — a distinct would only add
+    # an exchange
+    dim_keys = dim.select(F.col(dim_key).alias("__k"))
     bits = (dim_keys.select(F.explode(F.array(*positions(F.col("__k"))))
                             .alias("__p"))
             .select((F.col("__p") / 32).cast("long").alias("__w"),
