@@ -142,6 +142,18 @@ HEADLINE = [
     "dq_key_skew",
     "dedup_prefix_jaccard",
     "behavior_top_paths",
+    "layout_hilbert",
+    "graph_pagerank",
+    "graph_triangles",
+    "graph_components",
+    "graph_lpa",
+    "text_gopher_filter",
+    "text_c4_clean",
+    "text_entropy",
+    "j_bloom_semi",
+    "ts_ewma",
+    "j_asof_forward",
+    "j_asof_nearest",
 ]
 
 
