@@ -551,6 +551,10 @@ _TOUCHED_THIS_ROUND: list[str] = [
     # r10: asof_join restructured for direction=backward/forward/nearest —
     # the backward path's window plumbing changed, re-prove it
     "j_asof_join",
+    # r10: triangle_count defaults to the adjacency-intersect edge
+    # iterator (new evaluation path) and the query's edge build dedupes
+    # (order, supplier) before the self-join
+    "graph_triangles",
     # r10: connected_components rewritten as alternating large-star/
     # small-star contraction (operators/graph.py) — every consumer of
     # the clustering fixpoint has a new evaluation path

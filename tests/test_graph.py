@@ -215,3 +215,24 @@ def test_label_propagation_tiebreak_is_smallest_label(spark):
     out = {r.node: r.community
            for r in label_propagation(edges, "s", "d", iters=1).collect()}
     assert out[3] == 1
+
+
+def test_triangle_count_methods_agree(spark):
+    """adj (array-intersect edge iterator) and wedge (row join) must give
+    identical per-node counts on a random-ish graph with hubs, isolated
+    pairs, and both edge directions present."""
+    import random
+
+    from kstream_spark.operators.graph import triangle_count
+    rng = random.Random(7)
+    edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(150)]
+    edges += [(0, i) for i in range(1, 20)]          # hub
+    df = spark.createDataFrame(edges, "s long, d long")
+    a = {(r.node, r.n_triangles)
+         for r in triangle_count(df, "s", "d", method="adj").collect()}
+    w = {(r.node, r.n_triangles)
+         for r in triangle_count(df, "s", "d", method="wedge").collect()}
+    assert a == w and len(a) > 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        triangle_count(df, "s", "d", method="nope")
