@@ -2563,7 +2563,7 @@ def q_text_gopher_filter(spark: SparkSession, sf: str) -> DataFrame:
     discriminates; ref analog: none (kstream filters via user predicates,
     kstream/stream.go Filter) — the published rule STACK is the surface."""
     return TX.gopher_filter(_docs(StreamBuilder(spark), sf), "doc_id", "text",
-                            min_words=20, max_words=80)
+                            min_words=20, max_words=80, min_stopwords=1)
 
 
 _GOPHER_STOP_SQL = ", ".join(f"'{s}'" for s in TX.GOPHER_STOPSET)
@@ -2595,7 +2595,7 @@ fl AS (
     (n_words < 20 OR n_words > 80) AS f_wc,
     (mean_word_len < 3.0 OR mean_word_len > 10.0) AS f_mwl,
     (alpha_word_frac < 0.8) AS f_alpha,
-    (n_stopwords < 2) AS f_stop,
+    (n_stopwords < 1) AS f_stop,
     (symbol_ratio > 0.1) AS f_sym,
     (bullet_line_frac > 0.9) AS f_bullet,
     (ellipsis_line_frac > 0.3) AS f_ell

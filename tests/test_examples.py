@@ -161,3 +161,13 @@ def test_example_10_dedup_strategies(capsys):
     assert results["jaccard"] == results["prefix_jaccard"]
     # winnowing sees verbatim runs Jaccard's whole-set view misses
     assert results["winnowing"] >= results["jaccard"]
+
+
+def test_example_11_corpus_filters(capsys):
+    import examples.corpus_filters as ex11
+    results = ex11.main()
+    out = capsys.readouterr().out
+    assert "gopher rejection ledger" in out and "funnel" in out
+    # each stage can only shrink the corpus, and none may empty it
+    assert (results["input"] >= results["gopher"] >= results["c4"]
+            >= results["entropy"] > 0)
