@@ -2668,13 +2668,14 @@ c AS (SELECT doc_id, word, CAST(count(*) AS DOUBLE) AS c
 agg AS (SELECT doc_id, sum(c) AS n, count(*) AS d,
                sum(c * log2(c)) AS sclg
         FROM c GROUP BY 1)
-SELECT doc_id,
-       CAST(n AS BIGINT) AS n_words,
-       CAST(d AS BIGINT) AS n_distinct,
-       round(log2(n) - sclg / n, 6) AS entropy,
+SELECT wx.doc_id,
+       CAST(coalesce(n, 0) AS BIGINT) AS n_words,
+       CAST(coalesce(d, 0) AS BIGINT) AS n_distinct,
+       round(CASE WHEN n > 0 THEN log2(n) - sclg / n ELSE 0.0 END, 6)
+         AS entropy,
        round(CASE WHEN d > 1 THEN (log2(n) - sclg / n) / log2(d)
                   ELSE 0.0 END, 6) AS norm_entropy
-FROM agg
+FROM wx LEFT JOIN agg USING (doc_id)
 """
 
 

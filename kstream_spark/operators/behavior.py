@@ -180,6 +180,10 @@ def ewma(events: DataFrame, key_col: str, order_cols: list[str],
     embedded in the plan, so Spark and a SQL oracle multiply the exact
     same constants — no cross-engine pow() drift; the frame fold is
     codegen array math (collect_list + zip_with + aggregate).
+
+    NULL values are OBSERVATION GAPS: collect_list drops them, so the
+    weights decay per observed value, not per row, and a row whose
+    trailing frame is all-NULL gets ewma NULL (not a crash).
     """
     w = [alpha * (1 - alpha) ** o for o in range(window)]   # offset 0..W-1
     norm = [sum(w[: s + 1]) for s in range(window)]         # frame size s+1
@@ -195,4 +199,6 @@ def ewma(events: DataFrame, key_col: str, order_cols: list[str],
         lambda v, j: v * F.element_at(W_lit, (s - j + 1).cast("int")))
     total = F.aggregate(weighted, F.lit(0.0), lambda acc, x: acc + x)
     return events.withColumn(
-        "ewma", F.round(total / F.element_at(N_lit, s.cast("int")), 6))
+        "ewma",
+        F.when(s > 0,
+               F.round(total / F.element_at(N_lit, s.cast("int")), 6)))

@@ -213,7 +213,8 @@ def connected_components(edges: DataFrame, src_col: str, dst_col: str,
 
 
 def triangle_count(edges: DataFrame, src_col: str, dst_col: str,
-                   method: str = "adj") -> DataFrame:
+                   method: str = "adj",
+                   broadcast_adj: bool = True) -> DataFrame:
     """Exact per-node triangle counts over an UNDIRECTED graph (the
     edge list may contain either or both directions and self-loops;
     both are canonicalized away), via DEGREE ORIENTATION — the standard
@@ -237,11 +238,16 @@ def triangle_count(edges: DataFrame, src_col: str, dst_col: str,
         the O(#wedges) intermediate never exists as ROWS and never
         shuffles; only (node, count) contributions leave the stage.  On
         dense graphs this removes the dominant exchange (sf0.1 supplier
-        graph: 46s -> ~8s).
+        graph: 46s -> ~8s).  NOTE the adjacency RELATION totals O(m):
+        ``broadcast_adj=True`` (default) force-broadcasts it, right while
+        it fits the executors / the broadcast ceiling (roughly m in the
+        low billions of edges); past that pass ``broadcast_adj=False``
+        (the planner shuffle-joins the arrays — per-ROW size stays
+        bounded by the oriented out-degree) or use ``wedge``.
       * ``wedge`` — materialize wedges as rows and equi-join the closing
         edge; every exchange keyed on node ids.  Prefer when adjacency
         arrays would not fit a row comfortably (max oriented out-degree
-        in the millions — i.e. m in the trillions).
+        in the millions).
     """
     both = edges.select(F.col(src_col).alias("a"),
                         F.col(dst_col).alias("b")) \
@@ -272,11 +278,11 @@ def triangle_count(edges: DataFrame, src_col: str, dst_col: str,
         # count survives AQE coalescing; round-robin balances perfectly
         # and the adj sides broadcast, so no co-partitioning is lost.
         par = oriented.sparkSession.sparkContext.defaultParallelism
-        e = (oriented.repartition(par)
-             .join(F.broadcast(adj.select("u", F.col("_n").alias("_nu"))),
-                   "u")
-             .join(F.broadcast(adj.select(F.col("u").alias("v"),
-                                          F.col("_n").alias("_nv"))), "v"))
+        au = adj.select("u", F.col("_n").alias("_nu"))
+        av = adj.select(F.col("u").alias("v"), F.col("_n").alias("_nv"))
+        if broadcast_adj:
+            au, av = F.broadcast(au), F.broadcast(av)
+        e = oriented.repartition(par).join(au, "u").join(av, "v")
         e = (e.withColumn("_ws", F.array_intersect("_nu", "_nv"))
              .withColumn("_c", F.size("_ws").cast("long"))
              .filter(F.col("_c") > 0))
@@ -334,6 +340,15 @@ def label_propagation(edges: DataFrame, src_col: str, dst_col: str,
     windows, no driver traffic; rounds are O(edges) each and ``iters``
     is a constant.
     """
+    integral = {"tinyint", "smallint", "int", "bigint"}
+    bad = [c for c in (src_col, dst_col)
+           if dict(edges.dtypes)[c] not in integral]
+    if bad:
+        # label = node id cast to long: a non-integral id would cast to
+        # NULL and every round would silently propagate NULL communities
+        raise ValueError(f"label_propagation needs integral node ids; "
+                         f"non-integral columns: {bad} — map ids to longs "
+                         f"(e.g. hash or dense rank) first")
     e = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
     sym = e.unionByName(e.select(F.col("d").alias("s"),
                                  F.col("s").alias("d")))

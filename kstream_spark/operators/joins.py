@@ -402,6 +402,15 @@ def bloom_semi_join(fact: DataFrame, dim: DataFrame, fact_key: str,
     from kstream_spark.functions.text import hash_str
     if dim_key is None:
         dim_key = fact_key
+    ft, dt = dict(fact.dtypes)[fact_key], dict(dim.dtypes)[dim_key]
+    if ft != dt:
+        # the bloom hashes each side's STRING RENDERING independently; a
+        # type mismatch (decimal "9000.00" vs double "9000.0") would hash
+        # the same logical key to different positions and silently DROP
+        # matching fact rows — refuse instead
+        raise ValueError(f"bloom_semi_join key types must match exactly "
+                         f"({fact_key}: {ft} vs {dim_key}: {dt}); cast one "
+                         f"side first")
     words = 1 + (m_bits - 1) // 32
 
     def positions(col: Column) -> list[Column]:

@@ -1024,7 +1024,9 @@ def gopher_filter(df: DataFrame, id_col: str, text_col: str,
     100 TB this runs at I/O speed and composes with any downstream filter
     without a barrier.
     """
-    t = F.col(text_col)
+    # NULL text must still produce a (keep=false, word_count) row, not a
+    # NULL-keep row that vanishes from BOTH the kept set and the audit
+    t = F.coalesce(F.col(text_col), F.lit(""))
     w = F.filter(words(t), lambda x: x != F.lit(""))
     n = F.size(w)
     mean_wlen = _ratio(F.length(F.regexp_replace(t, r"\s", "")), n)
@@ -1089,7 +1091,7 @@ def c4_line_clean(df: DataFrame, id_col: str, text_col: str,
     """
     if drop_markers is None:
         drop_markers = ["javascript", "lorem ipsum", "{"]
-    t = F.col(text_col)
+    t = F.coalesce(F.col(text_col), F.lit(""))  # NULL text = empty doc
     lines = F.filter(F.split(t, "\n"), lambda x: F.trim(x) != F.lit(""))
 
     def line_ok(x: Column) -> Column:
@@ -1128,7 +1130,8 @@ def doc_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     fold (the repetition_stats trick) — no explode, no groupBy, scan
     speed at 100 TB.
     """
-    w = F.filter(words(F.col(text_col)), lambda x: x != F.lit(""))
+    w = F.filter(words(F.coalesce(F.col(text_col), F.lit(""))),
+                 lambda x: x != F.lit(""))  # NULL text = empty doc
     d = df.select(F.col(id_col), w.alias("_w"))
     # the sort must be a materialized column: expressions referenced
     # inside a lambda re-evaluate per element

@@ -116,3 +116,20 @@ def test_ewma_known_values_and_truncation(spark):
     assert out[(1, 2)] == round((10 * 0.25 + 20 * 0.5) / 0.75, 6)
     assert out[(1, 3)] == round((20 * 0.25 + 40 * 0.5) / 0.75, 6)
     assert out[(2, 1)] == 7.0   # keys never mix
+
+
+def test_ewma_null_values_are_observation_gaps(spark):
+    """NULLs drop out of the frame: an all-NULL trailing frame gives
+    ewma NULL (no crash), later rows weight only the observed values."""
+    from kstream_spark.operators.behavior import ewma
+    df = spark.createDataFrame(
+        [(1, 1, None), (1, 2, 20.0), (1, 3, None), (1, 4, 40.0)],
+        "user_id long, event_id long, value double")
+    out = {r.event_id: r.ewma
+           for r in ewma(df, "user_id", ["event_id"], "value",
+                         alpha=0.5, window=2).collect()}
+    assert out[1] is None
+    assert out[2] == 20.0
+    # frame of event 4 = rows 3,4 -> observed [20?no: window=2 rows ->
+    # rows (3,4) -> values [40.0] only] -> unbiased single value
+    assert out[4] == 40.0

@@ -92,3 +92,20 @@ def test_doc_entropy_known_values(spark):
     assert out[3]["entropy"] == expect
     assert out[3]["norm_entropy"] == 0.918296  # H / log2(2 distinct)
     assert out[4]["entropy"] == 0.0 and out[4]["n_words"] == 0
+
+
+def test_filters_null_text_is_empty_doc(spark):
+    """NULL text must behave as an empty document everywhere: gopher
+    rejects it WITH a recorded reason (never a NULL keep that vanishes
+    from both the kept set and the audit), c4 yields an empty clean
+    text, entropy yields zeros."""
+    df = spark.createDataFrame([(1, None), (2, "the be " + "data " * 60)],
+                               "doc_id long, text string")
+    g = {r.doc_id: r for r in TX.gopher_filter(df, "doc_id", "text").collect()}
+    assert g[1]["keep"] is False
+    assert "word_count" in g[1]["fail_reasons"]
+    assert g[2]["keep"] is True
+    c = {r.doc_id: r for r in TX.c4_line_clean(df, "doc_id", "text").collect()}
+    assert c[1]["n_lines"] == 0 and c[1]["clean_text"] == ""
+    e = {r.doc_id: r for r in TX.doc_entropy(df, "doc_id", "text").collect()}
+    assert e[1]["n_words"] == 0 and e[1]["entropy"] == 0.0
