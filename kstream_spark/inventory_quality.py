@@ -226,3 +226,72 @@ FROM top, t
 """
 
 QUALITY_INVENTORY["dq_key_skew"] = (q_dq_key_skew, SQL_DQ_KEY_SKEW)
+
+
+# ingestion-volume anomaly gate: daily event counts vs the PREVIOUS day's
+# trailing EWMA (operators/behavior.ewma composed over the count series) —
+# the feed-health alarm a corpus pipeline runs before trusting a new drop.
+# The day key is exact; the flag compares against python-float literal
+# weight tables shared verbatim with the oracle (no cross-engine pow).
+def q_dq_volume_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    from kstream_spark.operators.behavior import ewma
+    ev = StreamBuilder(spark).stream(f"{sf}/events.parquet",
+                                     name="events").to_df()
+    daily = (ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+             .agg(F.count("*").cast("long").alias("n_events"))
+             .withColumn("_k", F.lit(1)))
+    sm = ewma(daily, "_k", ["day"], "n_events", alpha=0.5, window=7)
+    w = W.partitionBy("_k").orderBy("day")
+    out = (sm.withColumn("baseline", F.lag("ewma").over(w))
+           .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
+                   "n_events",
+                   F.round(F.coalesce(F.col("baseline"),
+                                      F.col("n_events").cast("double")), 6)
+                   .alias("baseline"))
+           .withColumn("ratio_x1m",
+                       F.floor(F.col("n_events") * 1000000.0
+                               / F.col("baseline")).cast("long"))
+           .withColumn("anomaly",
+                       (F.col("ratio_x1m") > 3000000)
+                       | (F.col("ratio_x1m") * 3 < 1000000)))
+    return out.orderBy("day")
+
+
+def _volume_anomaly_sql(alpha: float = 0.5, window: int = 7) -> str:
+    w = [alpha * (1 - alpha) ** o for o in range(window)]
+    norm = [sum(w[: s + 1]) for s in range(window)]
+    wl = "[" + ", ".join(repr(x) for x in w) + "]"
+    nl = "[" + ", ".join(repr(x) for x in norm) + "]"
+    return f"""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1),
+sm AS (
+  SELECT day, n_events,
+    list(CAST(n_events AS DOUBLE)) OVER (
+      ORDER BY day ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW)
+      AS arr
+  FROM daily),
+ew AS (
+  SELECT day, n_events,
+    round(list_sum(list_transform(range(1, len(arr) + 1),
+                                  j -> arr[j] * {wl}[len(arr) - j + 1]))
+          / {nl}[len(arr)], 6) AS ewma
+  FROM sm),
+base AS (
+  SELECT day, n_events,
+    round(coalesce(lag(ewma) OVER (ORDER BY day),
+                   CAST(n_events AS DOUBLE)), 6) AS baseline
+  FROM ew)
+SELECT strftime(day, '%Y-%m-%d') AS day, n_events, baseline,
+       CAST(floor(n_events * 1000000.0 / baseline) AS BIGINT) AS ratio_x1m,
+       (floor(n_events * 1000000.0 / baseline) > 3000000
+        OR floor(n_events * 1000000.0 / baseline) * 3 < 1000000) AS anomaly
+FROM base ORDER BY day
+"""
+
+
+QUALITY_INVENTORY["dq_volume_anomaly"] = (q_dq_volume_anomaly,
+                                          _volume_anomaly_sql())

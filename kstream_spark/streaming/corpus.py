@@ -28,9 +28,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def gopher_gate(id_col: str, text_col: str, **bounds):
+    """Quality gate for ``admit_stream``: keep only documents passing the
+    Gopher rule stack (operators/text.gopher_filter; ``bounds`` forwards
+    its thresholds).  Rules are one codegen projection, so the gate costs
+    a scan — always cheaper than the dedup it shields."""
+    from kstream_spark.operators.text import gopher_filter
+
+    def _gate(batch: DataFrame) -> DataFrame:
+        keep = gopher_filter(batch, id_col, text_col, **bounds) \
+            .filter("keep").select(id_col)
+        return batch.join(keep, id_col, "left_semi")
+
+    return _gate
+
+
 def admit_stream(df: DataFrame, corpus_path: str, signature_path: str,
                  checkpoint_dir: str, id_col: str, text_col: str, n: int = 3,
-                 threshold: float = 0.8, epoch_col: str = "__epoch"):
+                 threshold: float = 0.8, epoch_col: str = "__epoch",
+                 quality_gate=None):
     """Continuously admit only-novel documents from a stream into a corpus
     directory, maintaining the signature store alongside.  Returns the
     StreamingQuery.
@@ -39,12 +55,19 @@ def admit_stream(df: DataFrame, corpus_path: str, signature_path: str,
     against the persisted signature store; on the first batch (no state
     yet) the batch self-dedups against an empty corpus.  Admitted rows and
     their signatures write under epoch-keyed partitions (idempotent on
-    replay)."""
+    replay).
+
+    ``quality_gate``: optional ``DataFrame -> DataFrame`` filter applied
+    to each batch BEFORE dedup (cheap rule screens first — the published
+    funnel order; see ``gopher_gate``).  Gated-out rows are never
+    admitted and never enter the signature store."""
     from kstream_spark.operators.dedup import (corpus_signatures,
                                                incremental_dedup)
 
     def _admit(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
+        if quality_gate is not None:
+            batch = quality_gate(batch)
         try:
             state = spark.read.parquet(signature_path).drop(epoch_col)
         except Exception:  # first batch: nothing admitted yet

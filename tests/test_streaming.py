@@ -1408,3 +1408,32 @@ def test_admit_cluster_balanced_stream_quota_and_dedup(spark, tmp_path):
     assert len(ids) == len(set(ids))                 # no double admission
     assert adm.count() >= got1.count()               # monotone growth
     emb.unpersist()
+
+
+def test_admit_stream_quality_gate(spark, tmp_path):
+    """The gopher quality gate screens each batch BEFORE dedup: rejected
+    docs are never admitted and never enter the signature store."""
+    from kstream_spark.streaming.corpus import admit_stream, gopher_gate
+
+    good = ("the be quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep dark forest to hide from the hunter "
+            "while the moon rises over the quiet hills and the wind moves")
+    spam = "buy " * 60                               # no stop words
+    src = tmp_path / "in"
+    spark.createDataFrame([(1, good), (2, spam)],
+                          "doc_id long, text string") \
+        .coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .parquet(str(src)))
+    q = admit_stream(stream, str(tmp_path / "corpus"), str(tmp_path / "sigs"),
+                     str(tmp_path / "ck"), id_col="doc_id", text_col="text",
+                     quality_gate=gopher_gate("doc_id", "text",
+                                              min_words=20, max_words=200))
+    _run(q)
+    admitted = {r.doc_id for r in
+                spark.read.parquet(str(tmp_path / "corpus")).collect()}
+    assert admitted == {1}
+    sigs = {r.doc_id for r in
+            spark.read.parquet(str(tmp_path / "sigs")).collect()}
+    assert 2 not in sigs
