@@ -330,20 +330,50 @@ def q_graph_components(spark: SparkSession, sf: str) -> DataFrame:
 # transitive closure of (node, reachable-label) pairs over the
 # symmetrized edges, then min(label) per node == min id of the component
 # (the same fixpoint the BSP min-label rounds converge to).
-SQL_GRAPH_COMPONENTS = """
-WITH RECURSIVE
+def _components_sql(rounds: int = 12) -> str:
+    """Min-label + pointer-jumping replay of the connected-components
+    fixpoint as an UNROLLED per-round CTE chain.
+
+    The earlier transitive-closure recursive CTE (walk = every
+    (node, reachable-label) pair) is O(sum of component-size^2) state —
+    definitionally pretty, but DuckDB 1.0's execution of it proved
+    planner-sensitive at sf1 (9s or 15+ MINUTES for the same query in
+    the same process, run-to-run).  This formulation is O((m+n)*rounds)
+    with no recursion: each round takes the min over (own label,
+    neighbors' labels, label-of-own-label); the jump term gives
+    O(log diameter) convergence, so ``rounds``=12 covers any diameter
+    <= ~2^12.  SOUND-OR-LOUD: if rounds were ever insufficient the
+    result simply differs from Spark's fixpoint and the driver records
+    a hash MISMATCH — under-convergence cannot silently pass.
+    """
+    parts = ["""
+WITH
 pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 e AS (SELECT a.l_partkey AS s, b.l_partkey AS d
       FROM pp a JOIN pp b ON a.l_orderkey = b.l_orderkey
                          AND a.l_partkey < b.l_partkey
       GROUP BY 1, 2 HAVING count(*) >= 2),
-sym AS (SELECT s, d FROM e UNION ALL SELECT d, s FROM e),
-walk(node, label) AS (
-  SELECT DISTINCT s, s FROM sym
-  UNION
-  SELECT sym.s, walk.label FROM sym JOIN walk ON walk.node = sym.d)
-SELECT node, min(label) AS component FROM walk GROUP BY node
-"""
+sym AS MATERIALIZED (SELECT s, d FROM e UNION ALL SELECT d, s FROM e),
+l0 AS MATERIALIZED (SELECT DISTINCT s AS node, s AS label FROM sym)"""]
+    # every l{i} is referenced three times by round i+1 — DuckDB 1.0
+    # INLINES plain CTEs, which would expand the chain 3^rounds-fold
+    # (observed as "Too many open files"); MATERIALIZED pins each round
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+nm{i} AS (SELECT sym.d AS node, min(l.label) AS ml
+         FROM sym JOIN l{i - 1} l ON l.node = sym.s GROUP BY 1),
+l{i} AS MATERIALIZED (SELECT n.node,
+           least(n.label,
+                 coalesce(nm.ml, n.label),
+                 coalesce(j.label, n.label)) AS label
+         FROM l{i - 1} n
+         LEFT JOIN nm{i} nm ON nm.node = n.node
+         LEFT JOIN l{i - 1} j ON j.node = n.label)""")
+    parts.append(f"\nSELECT node, label AS component FROM l{rounds}")
+    return "".join(parts)
+
+
+SQL_GRAPH_COMPONENTS = _components_sql()
 
 
 def _hilbert_sql(bits: int, src: str = "pts") -> str:

@@ -33,11 +33,17 @@ busy machine, and its single `seconds` conflated Spark and DuckDB time):
 
 from __future__ import annotations
 
+import faulthandler
 import hashlib
 import json
 import os
+import signal
 import sys
 import time
+
+# live-debug hook: `kill -USR1 <pid>` dumps every thread's python stack
+# to stderr without disturbing the run (used to diagnose oracle stalls)
+faulthandler.register(signal.SIGUSR1)
 
 import duckdb
 import pandas as pd
