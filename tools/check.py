@@ -177,12 +177,12 @@ def main():
             sdf, spark_s = run_spark(fn, q_dir)
         except Exception as e:
             failures.append(name)
-            print(f"FAIL {name}: spark error: {e}")
+            print(f"FAIL {name}: spark error: {e}", flush=True)
             results[name] = {"pass": False, "err": f"spark: {e}"}
             return
         tag = " [sampled]" if sampled else ""
         if name not in oracles:
-            print(f"ok?  {name}: rows={len(sdf)} ({spark_s:.1f}s) [no oracle — rows-only]{tag}")
+            print(f"ok?  {name}: rows={len(sdf)} ({spark_s:.1f}s) [no oracle — rows-only]{tag}", flush=True)
             results[name] = {"pass": True, "rows": len(sdf),
                              "spark_seconds": round(spark_s, 2),
                              "rows_only": True, "sampled": sampled}
@@ -192,7 +192,7 @@ def main():
             odf = con.execute(oracles[name]).fetchdf()
         except Exception as e:
             failures.append(name)
-            print(f"FAIL {name}: oracle error: {e}")
+            print(f"FAIL {name}: oracle error: {e}", flush=True)
             results[name] = {"pass": False, "err": f"oracle: {e}"}
             return
         oracle_s = time.time() - t1
