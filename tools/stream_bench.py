@@ -225,6 +225,46 @@ def bench_tokenize(spark, tmp: str, n: int) -> dict:
             "seconds": round(dt, 2), "tokens_emitted": toks}
 
 
+def bench_corpus_admit(spark, tmp: str, n: int) -> dict:
+    """Streaming corpus-admission throughput: n synthetic documents
+    (1/8 of them exact duplicates of earlier ids) arrive as a file
+    stream and pass the gopher quality gate, the exact-hash gate, and
+    the increment-vs-corpus MinHash band join before landing in the
+    corpus + signature store (streaming/corpus.admit_stream with
+    gopher_gate) — the full ingestion gauntlet per batch."""
+    import pyspark.sql.functions as F
+
+    from kstream_spark.streaming.corpus import admit_stream, gopher_gate
+
+    src = f"{tmp}/corp_in"
+    word = lambda j: F.concat(F.lit("w"), F.pmod(
+        F.xxhash64(F.col("base") * j), F.lit(512)).cast("string"))
+    # ids collide mod 8 -> exact duplicates the hash gate must reject;
+    # 24 words + "the" so the gopher word-count/stop rules pass
+    (spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % (n // 8 if n >= 8 else 1)).alias("base"))
+     .select("doc_id",
+             F.concat_ws(" ", F.lit("the"),
+                         *[word(j) for j in range(1, 25)]).alias("text"))
+     .repartition(8).write.parquet(src))
+    t0 = time.time()
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .parquet(src))
+    q = admit_stream(stream, f"{tmp}/corp_out", f"{tmp}/corp_sigs",
+                     f"{tmp}/corp_ck", id_col="doc_id", text_col="text",
+                     quality_gate=gopher_gate("doc_id", "text",
+                                              min_words=10, max_words=200,
+                                              min_stopwords=1))
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    dt = time.time() - t0
+    admitted = spark.read.parquet(f"{tmp}/corp_out").count()
+    return {"records_per_sec": round(n / dt), "records": n,
+            "seconds": round(dt, 2), "admitted": admitted}
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
 
@@ -242,6 +282,7 @@ def main():
         shapes["sessionize"] = bench_sessionize(spark, tmp, n)
         shapes["ann_admit"] = bench_ann_admit(spark, tmp, n // 2)
         shapes["tokenize"] = bench_tokenize(spark, tmp, n // 2)
+        shapes["corpus_admit"] = bench_corpus_admit(spark, tmp, n // 8)
 
     m = shapes["materialize"]
     print(json.dumps({
