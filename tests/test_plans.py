@@ -422,3 +422,49 @@ def test_partition_pruning_on_hive_layout(spark, tmp_path):
     # correctness unchanged by the layout
     want = ev.filter(F.col("event_type") == "purchase").count()
     assert one.count() == want
+
+
+def test_corpus_rule_stacks_zero_shuffle(spark):
+    """gopher_filter / c4_line_clean / doc_entropy are scan-stage
+    projections: zero exchanges, and only (doc_id, text) read."""
+    from kstream_spark.operators import text as TX
+    b = StreamBuilder(spark)
+    docs = b.table(f"{SF}/documents.parquet").to_df()
+    for out in (TX.gopher_filter(docs, "doc_id", "text"),
+                TX.c4_line_clean(docs, "doc_id", "text"),
+                TX.doc_entropy(docs, "doc_id", "text")):
+        assert P.shuffle_count(out) == 0
+        P.assert_column_pruned(out, "lang")
+
+
+def test_asof_nearest_single_exchange(spark):
+    """direction=nearest runs both fills over ONE sort: exactly the
+    exchanges of the backward form (union shuffle), no extra."""
+    from kstream_spark.operators.joins import asof_join
+    b = StreamBuilder(spark)
+    ev = b.stream(f"{SF}/events.parquet").to_df() \
+        .select("event_id", "user_id", "ts")
+    orders = b.stream(f"{SF}/orders.parquet").to_df()
+    back = asof_join(ev, orders, "user_id", "ts", "o_orderdate",
+                     ["o_orderkey"], right_key="o_custkey")
+    near = asof_join(ev, orders, "user_id", "ts", "o_orderdate",
+                     ["o_orderkey"], right_key="o_custkey",
+                     direction="nearest")
+    assert P.shuffle_count(near) == P.shuffle_count(back)
+
+
+def test_bloom_semi_probe_sits_in_scan_stage(spark):
+    """The bloom probe must appear as a Filter on the fact scan BELOW
+    the exact semi join — the scan-stage shedding that is the whole
+    point of the operator."""
+    from kstream_spark.operators.joins import bloom_semi_join
+    b = StreamBuilder(spark)
+    orders = b.table(f"{SF}/orders.parquet").to_df() \
+        .select(F.col("o_custkey").alias("ckey"), "o_totalprice")
+    dim = b.table(f"{SF}/customer.parquet").to_df() \
+        .filter(F.col("c_acctbal") > 9000) \
+        .select(F.col("c_custkey").alias("ckey"))
+    out = bloom_semi_join(orders, dim, "ckey", m_bits=1 << 12, k=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    j = plan.find("Join")
+    assert 0 <= j < plan.find("element_at")
