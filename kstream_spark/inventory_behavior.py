@@ -441,15 +441,25 @@ r{k} AS (SELECT n.node,
 def _triangle_sql(edges_cte: str = "raw") -> str:
     """DuckDB replay of operators/graph.triangle_count (degree
     orientation; ``edges_cte`` must expose s, d).  Ends in CTE ``tri``
-    (node, n_triangles).  Driver registration queued for r9;
+    (node, n_triangles).
+
+    deg and orient are MATERIALIZED: DuckDB 1.0 inlines plain CTEs at
+    every reference, so the un-hinted form recomputed the lineitem
+    self-join + degree join once per orient reference (three).  The
+    wedge space of the dense supplier graph remains the irreducible
+    cost at sf1 (~17 min, SWEEP_sf1_r10); a list_intersect adjacency
+    variant measured far WORSE — DuckDB's list_intersect is
+    O(|a|*|b|) per row, ~1e12 comparisons there, vs the wedge join's
+    hash probes.  (Spark's method=adj runs the same counting in 45 s —
+    that is the engine comparison, not an oracle defect.)
     tests/test_graph.py::test_triangle_oracle_parity is the local
     parity proof."""
     return f"""und AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
         FROM {edges_cte} WHERE s <> d),
-deg AS (SELECT node, count(*)::BIGINT AS deg FROM (
+deg AS MATERIALIZED (SELECT node, count(*)::BIGINT AS deg FROM (
           SELECT a AS node FROM und UNION ALL SELECT b FROM und)
         GROUP BY node),
-orient AS (SELECT
+orient AS MATERIALIZED (SELECT
     CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
          THEN a ELSE b END AS u,
     CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
