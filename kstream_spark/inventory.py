@@ -542,43 +542,16 @@ INVENTORY.update(QUALITY_INVENTORY)
 # Ties keep registration order, so the ordering is stable run-to-run.  New
 # queries appear in no CORRECTNESS file and land in group 2 automatically.
 
-# r9: the four never-checked queries (layout_hilbert, graph_pagerank,
-# graph_triangles, graph_components) land in group 2 automatically; the
-# r8-touched set earned green rows in CORRECTNESS_r08 so it rotates back
-# into group 3.  The rest of the r9 window refreshes the r5-stale band.
+# Per-round history of the touched list lives in git; the r11 window =
+# touched + the 27-query r6-stale band (group 3's current front).
 
 _TOUCHED_THIS_ROUND: list[str] = [
-    # r10: asof_join restructured for direction=backward/forward/nearest —
-    # the backward path's window plumbing changed, re-prove it
-    "j_asof_join",
-    # r10: triangle_count defaults to the adjacency-intersect edge
-    # iterator (new evaluation path) and the query's edge build dedupes
-    # (order, supplier) before the self-join
-    "graph_triangles",
-    # r10: connected_components rewritten as alternating large-star/
-    # small-star contraction (operators/graph.py) — every consumer of
-    # the clustering fixpoint has a new evaluation path
-    "graph_components", "dedup_clusters", "dedup_best_of_cluster",
-    # r10: hilbert_key's bits%4==0 fast path is now a 4-state nibble-LUT
-    # fold (element_at into a literal array) — re-prove vs the per-bit
-    # oracle CTEs
-    "layout_hilbert",
-    # r10: wordpiece_train rounds fused to one aggregation + bounded
-    # driver argmax; tokenizer word_freq relations re-persisted at
-    # cardinality-matched partition counts (_right_size_vocab_relation)
-    "text_wordpiece_train", "text_wordpiece_tokenize",
-    "text_unigram_train", "text_unigram_tokenize", "corpus_fertility",
-    # r10: bigram_logprob gained the broadcast-vs-shuffle table arm
-    # (auto-gated); its registered consumers join the log-prob table by
-    # broadcast now
-    "text_bigram_lm", "select_curriculum",
-    # r10: selection-mix wrapper restructured (repartition(1) kept slice,
-    # pinned-off floors, single-partition ntile); select_dsir wrapper
-    # reverted to lazy return after the fused-scores experiment
-    "pipeline_selection_mix", "select_dsir",
-    # r10: prefix_jaccard's per-doc cache now frees via collect_freeing
-    "dedup_prefix_jaccard",
+    # r11: ewma oracle gained FILTER (WHERE value IS NOT NULL) so DuckDB's
+    # list() matches Spark collect_list's NULL-drop (ADVICE r10) — the
+    # compare changed, re-prove it
+    "ts_ewma",
 ]
+
 
 
 def _verification_order(inv: dict[str, tuple],

@@ -417,10 +417,15 @@ def _ewma_sql(alpha: float = 0.25, window: int = 16) -> str:
     norm = [sum(w[: s + 1]) for s in range(window)]
     wl = "[" + ", ".join(repr(x) for x in w) + "]"
     nl = "[" + ", ".join(repr(x) for x in norm) + "]"
+    # FILTER matches Spark collect_list's NULL-drop: NULLs are observation
+    # gaps on BOTH engines (weights shift to observed values; an all-NULL
+    # frame yields arr=[] -> NULL ewma, same as the operator) — without it
+    # DuckDB's list() keeps NULLs and len(arr)/weight indexing diverge the
+    # moment a fixture carries a NULL value
     return f"""
 WITH arrs AS (
   SELECT user_id, event_id, value,
-    list(CAST(value AS DOUBLE)) OVER (
+    list(CAST(value AS DOUBLE)) FILTER (WHERE value IS NOT NULL) OVER (
       PARTITION BY user_id ORDER BY ts, event_id
       ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW) AS arr
   FROM events)

@@ -239,11 +239,13 @@ def triangle_count(edges: DataFrame, src_col: str, dst_col: str,
         shuffles; only (node, count) contributions leave the stage.  On
         dense graphs this removes the dominant exchange (sf0.1 supplier
         graph: 46s -> ~8s).  NOTE the adjacency RELATION totals O(m):
-        ``broadcast_adj=True`` (default) force-broadcasts it, right while
-        it fits the executors / the broadcast ceiling (roughly m in the
-        low billions of edges); past that pass ``broadcast_adj=False``
-        (the planner shuffle-joins the arrays — per-ROW size stays
-        bounded by the oriented out-degree) or use ``wedge``.
+        ``broadcast_adj=True`` (default) force-broadcasts it, which the
+        driver must collect and Spark hard-caps at 8 GB per broadcast
+        relation — at ~16-24 bytes per oriented edge that is roughly m
+        in the low HUNDREDS OF MILLIONS of edges, not billions.  Past
+        that pass ``broadcast_adj=False`` (the planner shuffle-joins the
+        arrays — per-ROW size stays bounded by the oriented out-degree,
+        and the exchange keys on node ids) or use ``wedge``.
       * ``wedge`` — materialize wedges as rows and equi-join the closing
         edge; every exchange keyed on node ids.  Prefer when adjacency
         arrays would not fit a row comfortably (max oriented out-degree

@@ -264,3 +264,38 @@ def test_asof_join_forward_and_nearest(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         asof_join(left, right, "k", "lt", "rt", ["val"], direction="nope")
+
+
+def test_asof_join_equal_ts_right_dupes_deterministic(spark):
+    """Equal-timestamp right-side duplicates must resolve deterministically
+    regardless of partitioning: the operator compacts the right side to one
+    row per (key, ts) with max_by(struct(right_cols)) BEFORE the window
+    fill (joins.asof_join), so every direction picks the greatest payload —
+    the same row a SQL oracle's max() pre-aggregation picks.  Without the
+    compaction, last()/first() over the union sort would take whichever
+    duplicate the shuffle happened to order last/first (the r10 review's
+    repartition-flip scenario)."""
+    import random
+
+    from kstream_spark.operators.joins import asof_join
+    left = spark.createDataFrame(
+        [(1, "2024-01-10"), (1, "2024-01-20")],
+        "k long, lt string").withColumn("lt", F.col("lt").cast("timestamp"))
+    # three right rows at the SAME (key, ts) between the two left rows;
+    # every direction that matches must land on val=103 (max struct)
+    dup_rows = [(1, "2024-01-15", v) for v in (101, 103, 102)]
+    for seed in (0, 1, 2):
+        rows = dup_rows[:]
+        random.Random(seed).shuffle(rows)
+        right = (spark.createDataFrame(rows, "k long, rt string, val int")
+                 .withColumn("rt", F.col("rt").cast("timestamp"))
+                 .repartition(7))       # scramble physical order too
+        for direction in ("backward", "forward", "nearest"):
+            out = {(r.k, str(r.lt)[:10]): r.val for r in asof_join(
+                left, right, "k", "lt", "rt", ["val"],
+                direction=direction).collect()}
+            # Jan10: only a forward candidate; Jan20: only a backward one
+            exp10 = None if direction == "backward" else 103
+            exp20 = None if direction == "forward" else 103
+            assert out[(1, "2024-01-10")] == exp10, (seed, direction)
+            assert out[(1, "2024-01-20")] == exp20, (seed, direction)

@@ -227,11 +227,17 @@ def bench_tokenize(spark, tmp: str, n: int) -> dict:
 
 def bench_corpus_admit(spark, tmp: str, n: int) -> dict:
     """Streaming corpus-admission throughput: n synthetic documents
-    (1/8 of them exact duplicates of earlier ids) arrive as a file
-    stream and pass the gopher quality gate, the exact-hash gate, and
-    the increment-vs-corpus MinHash band join before landing in the
-    corpus + signature store (streaming/corpus.admit_stream with
-    gopher_gate) — the full ingestion gauntlet per batch."""
+    arrive as a file stream and pass the gopher quality gate, the
+    exact-hash gate, and the increment-vs-corpus MinHash band join
+    before landing in the corpus + signature store
+    (streaming/corpus.admit_stream with gopher_gate) — the full
+    ingestion gauntlet per batch.
+
+    Workload shape: ids collide mod n//8, so only n/8 texts are unique
+    and 7/8 of the stream is EXACT duplicates — the re-crawl-heavy
+    ingest profile where the cheap hash gate must shed the bulk before
+    any MinHash work.  ``unique_fraction`` in the result records this
+    so the records_per_sec is read against the right mix."""
     import pyspark.sql.functions as F
 
     from kstream_spark.streaming.corpus import admit_stream, gopher_gate
@@ -262,7 +268,8 @@ def bench_corpus_admit(spark, tmp: str, n: int) -> dict:
     dt = time.time() - t0
     admitted = spark.read.parquet(f"{tmp}/corp_out").count()
     return {"records_per_sec": round(n / dt), "records": n,
-            "seconds": round(dt, 2), "admitted": admitted}
+            "seconds": round(dt, 2), "admitted": admitted,
+            "unique_fraction": round((n // 8 if n >= 8 else n) / n, 4)}
 
 
 def main():
