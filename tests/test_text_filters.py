@@ -109,3 +109,29 @@ def test_filters_null_text_is_empty_doc(spark):
     assert c[1]["n_lines"] == 0 and c[1]["clean_text"] == ""
     e = {r.doc_id: r for r in TX.doc_entropy(df, "doc_id", "text").collect()}
     assert e[1]["n_words"] == 0 and e[1]["entropy"] == 0.0
+
+
+def test_viterbi_batch_matches_scalar():
+    """The numpy batch Viterbi (_viterbi_pieces_batch, the r11 perf path
+    under unigram train/tokenize) must reproduce the scalar DP's piece
+    sequences EXACTLY — same max-score / fewest-pieces / longest-last
+    tie-breaks — for random vocabularies and words, padding and
+    word-length skew included."""
+    import random
+
+    from kstream_spark.operators.text import (_viterbi_pieces,
+                                              _viterbi_pieces_batch)
+    rng = random.Random(7)
+    alphabet = "abcd"
+    for trial in range(10):
+        pieces = {"".join(rng.choice(alphabet)
+                          for _ in range(rng.randint(1, 4)))
+                  for _ in range(rng.randint(2, 40))}
+        lp = {p: rng.randint(-3_000_000, -100_000) for p in pieces}
+        ws = ["".join(rng.choice(alphabet)
+                      for _ in range(rng.randint(0, 12)))
+              for _ in range(rng.randint(1, 80))]
+        want = [_viterbi_pieces(w, lp, 4, -20_000_000) for w in ws]
+        got = _viterbi_pieces_batch(ws, lp, 4, -20_000_000)
+        assert got == want, trial
+    assert _viterbi_pieces_batch([], {"a": -1}, 4, -5) == []
