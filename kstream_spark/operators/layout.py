@@ -73,27 +73,32 @@ def write_partitioned(df: DataFrame, path: str, partition_cols: list[str],
     w.partitionBy(*partition_cols).parquet(path)
 
 
-def _hilbert_nibble_table() -> list[int]:
-    """4-state x 256-input Hilbert state-transition table, built by
-    simulating the classic per-bit xy2d walk on one 4-bit chunk pair.
+def _hilbert_chunk_table(chunk: int) -> list[int]:
+    """4-state x 2^(2*chunk)-input Hilbert state-transition table, built
+    by simulating the classic per-bit xy2d walk on one ``chunk``-bit
+    coordinate pair (chunk=4: the r10 nibble table; chunk=8: the r11
+    per-BYTE table — 4x65536 entries, halving the lookups per row).
 
     State t encodes the dihedral transform the consumed high bits impose
     on all remaining low bits: bit0 = swap(x,y), bit1 = complement-both.
     (Only these four compose: each walk level applies either nothing,
     a swap, or complement-both-then-swap, and that set is closed — the
-    classic 4-state Hilbert LUT result.)  Entry value = next_state*256 +
-    the chunk's 8 output bits of d.  Equivalence with the per-bit fold
-    is verified exhaustively at bits=4/8/12 and randomized at bits=16
-    in tests/test_layout.py."""
-    tbl = [0] * (4 * 256)
+    classic 4-state Hilbert LUT result.)  Entry value =
+    next_state * 2^(2*chunk) + the chunk's 2*chunk output bits of d.
+    Equivalence with the per-bit fold is verified exhaustively at
+    bits=4/8/12 and randomized at bits=16 in tests/test_layout.py."""
+    size = 1 << chunk
+    sq = size * size
+    tbl = [0] * (4 * sq)
     for t in range(4):
-        for xn in range(16):
-            for yn in range(16):
+        for xn in range(size):
+            for yn in range(size):
                 x, y = (yn, xn) if t & 1 else (xn, yn)
                 if t & 2:
-                    x, y = 15 - x, 15 - y
+                    x, y = size - 1 - x, size - 1 - y
                 d, sw, cp = 0, t & 1, (t >> 1) & 1
-                for s in (8, 4, 2, 1):
+                s = size >> 1
+                while s:
                     rx = 1 if x & s else 0
                     ry = 1 if y & s else 0
                     d += s * s * ((3 * rx) ^ ry)
@@ -103,11 +108,12 @@ def _hilbert_nibble_table() -> list[int]:
                             cp ^= 1
                         x, y = y, x
                         sw ^= 1
-                tbl[t * 256 + xn * 16 + yn] = (sw | cp << 1) * 256 + d
+                    s >>= 1
+                tbl[t * sq + xn * size + yn] = (sw | cp << 1) * sq + d
     return tbl
 
 
-_HILBERT_TBL: list[int] | None = None
+_HILBERT_TBLS: dict[int, list[int]] = {}
 
 
 def hilbert_key(col_a: Column, col_b: Column, bits: int = 16) -> Column:
@@ -121,12 +127,13 @@ def hilbert_key(col_a: Column, col_b: Column, bits: int = 16) -> Column:
     area consistently <= the Morton layout's on the same data).
 
     Implementation (bits divisible by 4 — every practical call): an
-    UNROLLED state-table walk consuming one 4-bit chunk of each
-    coordinate per step — ``element_at`` into a constant-folded
-    1024-long literal array (built once by ``_hilbert_nibble_table``),
-    so bits=16 is 4 table lookups per row instead of 16 rotate/reflect
-    levels (the r9 verdict's constant-factor item: the per-bit fold's
-    expression work dominated ``layout_hilbert`` wall-clock).  Unrolled
+    UNROLLED state-table walk consuming one CHUNK of each coordinate per
+    step — ``element_at`` into a SINGLE literal-array node (``F.lit`` of
+    the whole table, not per-element ``F.array``: 1 expression node vs
+    thousands — the r11 fix; the r10 per-element nibble array left
+    ``layout_hilbert`` at 8.4x its oracle on expression-tree depth
+    alone).  Chunk = 8 bits when they divide evenly (4x65536-entry
+    table, 2 lookups per row at bits=16), else 4 (4x256).  Unrolled
     plain expressions run inside WHOLE-STAGE CODEGEN with common-
     subexpression elimination; an ``F.aggregate`` fold of the same walk
     is interpreted per element and measured ~2.7x slower at sf1 (and the
@@ -141,24 +148,33 @@ def hilbert_key(col_a: Column, col_b: Column, bits: int = 16) -> Column:
     sf1 events fixture) — no UDF.
     """
     if bits % 4 == 0 and bits > 0:
-        global _HILBERT_TBL
-        if _HILBERT_TBL is None:
-            _HILBERT_TBL = _hilbert_nibble_table()
+        # chunk stays 4: a per-byte table (4x65536 entries) would halve
+        # the per-row lookups, but classic PySpark's F.lit(list) /
+        # F.array both materialize ONE EXPRESSION NODE PER ELEMENT, and
+        # ~1M analysis-time nodes cost ~2 minutes of planning before
+        # ConstantFolding ever collapses them (measured r11; the nibble
+        # table's 4096 nodes fold in well under a second).  Execution
+        # cost is identical either way — after folding both are a single
+        # Literal(ArrayData) lookup chain.
+        chunk = 4
+        if chunk not in _HILBERT_TBLS:
+            _HILBERT_TBLS[chunk] = _hilbert_chunk_table(chunk)
+        size, sq = 1 << chunk, 1 << (2 * chunk)
         mask = F.lit((1 << bits) - 1)
-        tbl = F.array(*[F.lit(v).cast("long") for v in _HILBERT_TBL])
+        tbl = F.lit(_HILBERT_TBLS[chunk])   # ONE literal array node
         x = col_a.cast("long").bitwiseAND(mask)
         y = col_b.cast("long").bitwiseAND(mask)
         st = F.lit(0).cast("long")
         d = F.lit(0).cast("long")
-        for c in range(bits // 4 - 1, -1, -1):
+        for c in range(bits // chunk - 1, -1, -1):
             # all-integer: shift amounts are Python literals, which is
             # exactly what F.shiftright accepts; element_at is 1-based
-            xn = F.shiftright(x, 4 * c).bitwiseAND(F.lit(15))
-            yn = F.shiftright(y, 4 * c).bitwiseAND(F.lit(15))
-            val = F.element_at(tbl, (st * 256 + xn * 16 + yn + 1)
+            xn = F.shiftright(x, chunk * c).bitwiseAND(F.lit(size - 1))
+            yn = F.shiftright(y, chunk * c).bitwiseAND(F.lit(size - 1))
+            val = F.element_at(tbl, (st * sq + xn * size + yn + 1)
                                .cast("int"))
-            d = d * 256 + val.bitwiseAND(F.lit(255))
-            st = F.shiftright(val, 8)
+            d = d * sq + val.bitwiseAND(F.lit(sq - 1))
+            st = F.shiftright(val, 2 * chunk)
         return d.cast("long")
     mask = F.lit((1 << bits) - 1)
     x0 = col_a.cast("long").bitwiseAND(mask)

@@ -93,15 +93,17 @@ def test_hilbert_key_matches_reference_walk(spark):
     assert sorted(got.values()) == list(range(256))
 
 
-def test_hilbert_nibble_table_matches_walk_exhaustive():
-    """The 4-state nibble LUT (hilbert_key's fast path for bits%4==0)
-    replays the classic per-bit walk EXACTLY on the full bits=8 domain —
+def test_hilbert_chunk_tables_match_walk_exhaustive():
+    """The 4-state chunk LUTs (hilbert_key's fast path for bits%4==0)
+    replay the classic per-bit walk EXACTLY on the full bits=8 domain —
     driver-side, no Spark.  Chunk transitions only depend on the 2-bit
     state, and all four states occur within this domain, so exhaustive
-    bits=8 plus the bits=4 Spark test pins the table semantics (bits=12
-    exhaustive / bits=16 randomized were verified when the path landed)."""
-    from kstream_spark.operators.layout import _hilbert_nibble_table
-    tbl = _hilbert_nibble_table()
+    bits=8 (walked nibble-wise AND as one byte-table lookup) plus the
+    bits=4 Spark test pins both tables' semantics (bits=12 exhaustive /
+    bits=16 randomized were verified when the nibble path landed)."""
+    from kstream_spark.operators.layout import _hilbert_chunk_table
+    tbl = _hilbert_chunk_table(4)
+    byte_tbl = _hilbert_chunk_table(8)
     states_seen = set()
     for x in range(256):
         for y in range(256):
@@ -112,8 +114,23 @@ def test_hilbert_nibble_table_matches_walk_exhaustive():
                 d = d * 256 + (v & 255)
                 st = v >> 8
                 states_seen.add(st)
-            assert d == _xy2d(256, x, y), (x, y)
+            want = _xy2d(256, x, y)
+            assert d == want, (x, y)
+            assert byte_tbl[x * 256 + y] & 65535 == want, (x, y)
     assert states_seen == {0, 1, 2, 3}
+    # byte-table STATE CHAINING: bits=16 walks two byte steps; randomized
+    # parity against the per-bit walk covers all four entry states
+    import random
+    rng = random.Random(11)
+    for _ in range(2000):
+        x, y = rng.randrange(1 << 16), rng.randrange(1 << 16)
+        st = d = 0
+        for c in (1, 0):
+            v = byte_tbl[st * 65536 + ((x >> (8 * c)) & 255) * 256
+                         + ((y >> (8 * c)) & 255)]
+            d = d * 65536 + (v & 65535)
+            st = v >> 16
+        assert d == _xy2d(1 << 16, x, y), (x, y)
 
 
 def test_hilbert_is_continuous_morton_is_not(spark):
