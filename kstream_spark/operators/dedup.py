@@ -511,7 +511,8 @@ def incremental_dedup(new_docs: DataFrame, corpus: DataFrame, id_col: str,
                       text_col: str, n: int = 3,
                       threshold: float = 0.8,
                       corpus_state: DataFrame | None = None,
-                      persisted: list | None = None) -> DataFrame:
+                      persisted: list | None = None,
+                      return_signatures: bool = False) -> DataFrame:
     """Admit only NEW documents that duplicate nothing in the existing
     corpus and nothing earlier in their own batch — the production shape
     for growing corpora (dedup the daily increment, never re-scan the
@@ -601,7 +602,20 @@ def incremental_dedup(new_docs: DataFrame, corpus: DataFrame, id_col: str,
     losers = (icand.join(ia, "doc_a").join(ib, "doc_b")
               .filter(i / (F.col("na") + F.col("nb") - i) >= threshold)
               .select(F.col("doc_b").alias(id_col)).distinct())
-    return admitted.join(losers, id_col, "left_anti")
+    result = admitted.join(losers, id_col, "left_anti")
+    if not return_signatures:
+        return result
+    # the admitted docs' corpus_signatures(...) relation, derived from the
+    # ALREADY-COMPUTED (and persisted) increment signatures — value-
+    # identical to corpus_signatures(result, ...) but without a second
+    # Python minhash pass over every admitted doc; admit_stream writes
+    # this to the signature store each micro-batch, where the re-minhash
+    # was the largest per-batch cost (r11 corpus_admit throughput task)
+    ch = result.select(F.col(id_col),
+                       content_hash(F.col(text_col)).alias("__ch"))
+    sigs = inc.join(result.select(id_col), id_col, "left_semi") \
+        .join(ch, id_col)
+    return result, sigs
 
 
 def cross_source_matrix(df: DataFrame, id_col: str, text_col: str,

@@ -30,15 +30,15 @@ from pyspark.sql import functions as F
 
 def gopher_gate(id_col: str, text_col: str, **bounds):
     """Quality gate for ``admit_stream``: keep only documents passing the
-    Gopher rule stack (operators/text.gopher_filter; ``bounds`` forwards
-    its thresholds).  Rules are one codegen projection, so the gate costs
-    a scan — always cheaper than the dedup it shields."""
-    from kstream_spark.operators.text import gopher_filter
+    Gopher rule stack (operators/text.gopher_keep; ``bounds`` forwards
+    its thresholds).  The rules compile to ONE scan-stage boolean
+    predicate — no signal projection, no semi-join back (the r10 gate
+    joined gopher_filter's id output back onto the batch, an extra scan
+    + join per micro-batch) — always cheaper than the dedup it shields."""
+    from kstream_spark.operators.text import gopher_keep
 
     def _gate(batch: DataFrame) -> DataFrame:
-        keep = gopher_filter(batch, id_col, text_col, **bounds) \
-            .filter("keep").select(id_col)
-        return batch.join(keep, id_col, "left_semi")
+        return batch.filter(gopher_keep(text_col, **bounds))
 
     return _gate
 
@@ -61,8 +61,7 @@ def admit_stream(df: DataFrame, corpus_path: str, signature_path: str,
     to each batch BEFORE dedup (cheap rule screens first — the published
     funnel order; see ``gopher_gate``).  Gated-out rows are never
     admitted and never enter the signature store."""
-    from kstream_spark.operators.dedup import (corpus_signatures,
-                                               incremental_dedup)
+    from kstream_spark.operators.dedup import incremental_dedup
 
     def _admit(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
@@ -73,18 +72,24 @@ def admit_stream(df: DataFrame, corpus_path: str, signature_path: str,
         except Exception:  # first batch: nothing admitted yet
             state = None
         handles: list = []  # dedup's internal caches, freed after the writes
-        admitted = incremental_dedup(batch, batch.limit(0), id_col, text_col,
-                                     n=n, threshold=threshold,
-                                     corpus_state=state,
-                                     persisted=handles).persist()
+        # return_signatures: the store write below reuses the increment's
+        # persisted minhash relation instead of re-minhashing every
+        # admitted doc — the second Python md5 pass was the largest
+        # per-batch cost on the admission path
+        admitted, sigs = incremental_dedup(batch, batch.limit(0), id_col,
+                                           text_col, n=n,
+                                           threshold=threshold,
+                                           corpus_state=state,
+                                           persisted=handles,
+                                           return_signatures=True)
+        admitted = admitted.persist()
         # per-write dynamic overwrite: replayed epochs replace only their own
         # partitions, WITHOUT flipping the session-wide overwrite semantics
         # for every other writer in the application
         (admitted.withColumn(epoch_col, F.lit(epoch_id))
          .write.mode("overwrite").partitionBy(epoch_col)
          .option("partitionOverwriteMode", "dynamic").parquet(corpus_path))
-        (corpus_signatures(admitted, id_col, text_col, n=n)
-         .withColumn(epoch_col, F.lit(epoch_id))
+        (sigs.withColumn(epoch_col, F.lit(epoch_id))
          .write.mode("overwrite").partitionBy(epoch_col)
          .option("partitionOverwriteMode", "dynamic").parquet(signature_path))
         for h in [admitted, *handles]:
