@@ -290,6 +290,14 @@ def main():
         shapes["ann_admit"] = bench_ann_admit(spark, tmp, n // 2)
         shapes["tokenize"] = bench_tokenize(spark, tmp, n // 2)
         shapes["corpus_admit"] = bench_corpus_admit(spark, tmp, n // 8)
+        # same gauntlet at a production-sized trigger: the ~6s per-batch
+        # fixed cost (plan construction + stage scheduling for the
+        # ~25-stage dedup DAG) amortizes with batch size — 7.3k rec/s at
+        # 62.5k records vs >50k rec/s here (r11 measurements), so the
+        # small-n row above is the overhead-bound regime, not the
+        # pipeline's capacity
+        shapes["corpus_admit_amortized"] = bench_corpus_admit(
+            spark, tmp + "/big", n * 4)
 
     m = shapes["materialize"]
     print(json.dumps({
