@@ -550,6 +550,24 @@ _TOUCHED_THIS_ROUND: list[str] = [
     # list() matches Spark collect_list's NULL-drop (ADVICE r10) — the
     # compare changed, re-prove it
     "ts_ewma",
+    # r11: unigram train/tokenize run the numpy batch Viterbi
+    # (_viterbi_pieces_batch) — new evaluation path, scalar-parity
+    # pytest-pinned, re-prove vs the oracle
+    "text_unigram_tokenize", "text_unigram_train",
+    # r11: bpe_train's word_freq relation is right-sized
+    # (_right_size_vocab_relation) before the merge rounds
+    "text_bpe_train", "text_bpe_tokenize",
+    # r11: profile training samples doc_id % 5 == 0 (both engines) —
+    # the RESULT DEFINITION changed, not just the plan
+    "text_lang_id_ngram",
+    # r11: share_tokens/share_bigrams arms — the corpus token/bigram
+    # relation persists once and feeds all consumers in these bodies
+    "select_dsir", "select_curriculum", "pipeline_selection_mix",
+    # r11: _doc_local_minhash gained the per-task shingle-digest memo —
+    # bit-identical by construction, but every minhash consumer has a
+    # new inner loop; re-prove the family
+    "dedup_minhash_lsh", "dedup_survivors", "dedup_clusters",
+    "dedup_best_of_cluster", "dedup_cross_source", "dedup_incremental",
 ]
 
 

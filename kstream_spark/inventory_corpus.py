@@ -494,12 +494,19 @@ CORPUS_INVENTORY["sample_group_split"] = (q_sample_group_split,
 def q_text_lang_id_ngram(spark: SparkSession, sf: str) -> DataFrame:
     """Char-trigram language ID (Cavnar-Trenkle shape, the n-gram upgrade
     of the marker-word text_lang_id): train top-40 trigram profiles per
-    labeled language, predict by distinct-trigram overlap, report the
-    confusion matrix (true lang x predicted lang x doc count)."""
+    labeled language on a DETERMINISTIC 20% sample (doc_id % 5 == 0 —
+    replayed verbatim by the oracle), predict by distinct-trigram overlap
+    over the FULL corpus, report the confusion matrix (true lang x
+    predicted lang x doc count).  Train-on-sample is the Cavnar-Trenkle
+    production shape and the 100 TB scale story: the profile explode
+    (every char position of every sampled doc) reads a bounded slice,
+    while prediction stays a zero-shuffle full scan — r11, after the
+    full-corpus profile explode measured 4s of the query's 6s at sf1."""
     from kstream_spark.operators.text import (lang_id_ngram,
                                               lang_ngram_profiles)
     docs = _docs(spark, sf)
-    prof = lang_ngram_profiles(docs, "lang", "text", n=3, top_m=40)
+    prof = lang_ngram_profiles(docs.filter(F.col("doc_id") % 5 == 0),
+                               "lang", "text", n=3, top_m=40)
     pred = lang_id_ngram(docs, "doc_id", "text", prof, n=3)
     return (docs.select("doc_id", "lang").join(pred, "doc_id")
             .groupBy("lang", "pred_lang")
@@ -512,7 +519,7 @@ WITH src AS (SELECT doc_id, lang, lower(text) AS t
              FROM documents WHERE length(lower(text)) >= 3),
 g AS (SELECT lang, unnest(list_transform(range(1, length(t) - 1),
                                          i -> substr(t, i, 3))) AS g
-      FROM src),
+      FROM src WHERE doc_id % 5 = 0),
 cnt AS (SELECT lang, g, count(*) AS c FROM g GROUP BY lang, g),
 prof AS (SELECT lang, g FROM (
            SELECT lang, g, row_number() OVER (PARTITION BY lang
@@ -813,9 +820,16 @@ def q_select_curriculum(spark: SparkSession, sf: str) -> DataFrame:
     """Curriculum difficulty deciles over the corpus-self bigram LM score
     (operators/selection.curriculum_bins): distributed two-phase ntile —
     no single-task sort of the corpus — cut into 10 equal-depth bins,
-    one exact-integer audit row per bin."""
+    one exact-integer audit row per bin.  share_bigrams: the exploded
+    bigram relation persists once for all three LM consumers; the 10-row
+    audit materializes via collect_freeing so the cache frees with the
+    query."""
     from kstream_spark.operators.selection import curriculum_bins
-    return curriculum_bins(_docs(spark, sf), "doc_id", "text", n_bins=10)
+    from kstream_spark.util import collect_freeing
+    caches: list = []
+    out = curriculum_bins(_docs(spark, sf), "doc_id", "text", n_bins=10,
+                          caches=caches, share_bigrams=True)
+    return collect_freeing(out, *caches)
 
 
 SQL_SELECT_CURRICULUM = r"""
@@ -876,10 +890,12 @@ def q_pipeline_selection_mix(spark: SparkSession, sf: str) -> DataFrame:
     # parallel, the 200 surviving rows collapse to one partition so every
     # downstream stage (LM explode, ntile, pack) schedules one task
     # instead of one per scan split (sf1: downstream 4.3s -> ~1.5s)
+    sel_caches: list = []
     kept = docs.join(
         F.broadcast(SEL.select_dsir(docs, "doc_id", "text",
                                     F.col("source") == "src18",
-                                    n_select=_MIX_SELECT, n_buckets=256)
+                                    n_select=_MIX_SELECT, n_buckets=256,
+                                    caches=sel_caches, share_tokens=True)
                     .select("doc_id", "dsir_micro")),
         "doc_id").repartition(1).persist()
     # kept is <= _MIX_SELECT rows BY CONSTRUCTION, so the corpus-scale
@@ -908,10 +924,11 @@ def q_pipeline_selection_mix(spark: SparkSession, sf: str) -> DataFrame:
                        F.round(F.col("total_tokens")
                                / (F.col("n_chunks") * 256.0), 6))
            .orderBy("difficulty"))
-    # one audit row per bin — materialize so the kept-slice cache frees
-    # with the query instead of living for the sweep session (ADVICE r8)
+    # one audit row per bin — materialize so the kept-slice cache AND the
+    # shared DSIR token cache free with the query instead of living for
+    # the sweep session (ADVICE r8)
     from kstream_spark.util import collect_freeing
-    return collect_freeing(out, kept)
+    return collect_freeing(out, kept, *sel_caches)
 
 
 SQL_PIPELINE_SELECTION_MIX = f"""

@@ -1925,13 +1925,19 @@ PIPELINE_INVENTORY["select_cluster_balanced"] = (q_select_cluster_balanced,
 # -- data-selection family (operators/selection.py) -------------------------
 def q_select_dsir(spark: SparkSession, sf: str) -> DataFrame:
     """DSIR-style hashed importance resampling toward a target source.
-    (The two-pass dsir_scores persists nothing — see its r10 shape note —
-    so there is no cache to free and the result stays lazy.)"""
+    share_tokens: the corpus token relation persists once and feeds both
+    the weight aggregation and the per-doc scoring (the query-scale arm;
+    dsir_scores' shape note) — the bounded 100-row result materializes
+    via collect_freeing so the cache frees with the query."""
     from kstream_spark.operators import selection as SEL
+    from kstream_spark.util import collect_freeing
     docs = _docs(StreamBuilder(spark), sf)
-    return SEL.select_dsir(docs, "doc_id", "text",
-                           F.col("source") == "src18",
-                           n_select=100, n_buckets=256)
+    caches: list = []
+    out = SEL.select_dsir(docs, "doc_id", "text",
+                          F.col("source") == "src18",
+                          n_select=100, n_buckets=256,
+                          caches=caches, share_tokens=True)
+    return collect_freeing(out, *caches)
 
 
 SQL_SELECT_DSIR = """

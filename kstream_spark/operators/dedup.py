@@ -252,6 +252,28 @@ def _doc_local_minhash(df: DataFrame, id_col: str, text_col: str, n: int,
                 else [f"h{i}" for i in range(num_hashes)])
 
     def run(batches):
+        # per-TASK shingle memo: a shingle's num_hashes md5 digests are a
+        # pure function of the shingle, and dedup workloads are exactly
+        # the ones where shingles repeat across documents (near-dups,
+        # boilerplate, re-crawls) — computing each distinct shingle's
+        # digest row once turns the md5 cost from O(sum len(ss)) into
+        # O(distinct shingles) per task, bit-identically.  Bounded so a
+        # pathological partition can't hold gigabytes of digest rows.
+        memo: dict = {}
+        MEMO_CAP = 1 << 20
+        md5 = hashlib.md5
+        prefixes = [f"{i}:".encode() for i in range(num_hashes)]
+
+        def digests(s: str) -> tuple:
+            row = memo.get(s)
+            if row is None:
+                sb = s.encode()
+                row = tuple(md5(p + sb).hexdigest() for p in prefixes)
+                if len(memo) >= MEMO_CAP:
+                    memo.clear()
+                memo[s] = row
+            return row
+
         for pdf in batches:
             out = {"__id": [], "ss": [], "n": [],
                    **{c: [] for c in sig_cols}}
@@ -263,14 +285,19 @@ def _doc_local_minhash(df: DataFrame, id_col: str, text_col: str, n: int,
                 out["__id"].append(did)
                 out["ss"].append(sh)
                 out["n"].append(len(sh))
-                hs = [min((hashlib.md5(f"{i}:".encode() + s.encode())
-                           .hexdigest() for s in sh), default=None)
-                      for i in range(num_hashes)]
+                if sh:
+                    # element-wise min across the doc's shingle digest
+                    # rows == the per-hash min of the scalar loop
+                    rows_d = [digests(s) for s in sh]
+                    hs = (list(rows_d[0]) if len(rows_d) == 1
+                          else [min(v) for v in zip(*rows_d)])
+                else:
+                    hs = [None] * num_hashes
                 if bands:
                     for b in range(bands):
                         seg = hs[b * rows:(b + 1) * rows]
                         out[f"b{b}"].append(
-                            hashlib.md5("".join(seg).encode()).hexdigest()
+                            md5("".join(seg).encode()).hexdigest()
                             if sh else None)
                 else:
                     for i in range(num_hashes):

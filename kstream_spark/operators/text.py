@@ -286,10 +286,11 @@ def bpe_train(df: DataFrame, text_col: str,
     (merge_rank, pair, merged, cnt)."""
     spark = df.sparkSession
     w = words(F.col(text_col))
-    word_freq = (df.select(F.explode(w).alias("w"))
-                 .filter(F.length("w") >= 2)
-                 .groupBy("w").agg(F.count("*").cast("long").alias("wf"))
-                 .persist())
+    word_freq = _right_size_vocab_relation(
+        df.select(F.explode(w).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w").agg(F.count("*").cast("long").alias("wf"))
+        .persist())
     # " h e l l o " — every symbol flanked by spaces so a merge is a
     # plain substring replace with no boundary special-cases
     cur = word_freq.select(
