@@ -308,3 +308,35 @@ def test_cluster_balanced_select_equal_depth_and_window_parity(spark):
     want = set(map(tuple, naive[["vec_id", "cell_id", "rk"]].values))
     assert got == want
     emb.unpersist()
+
+
+def test_dsir_share_tokens_arm_matches_stateless(spark, sel_docs):
+    """share_tokens=True (one persisted token relation feeding both the
+    weight agg and the per-doc scoring) must produce EXACTLY the
+    stateless two-pass composition's scores — same weights math, same
+    rounding — and must hand its cache back through `caches`."""
+    kw = dict(n_select=5, n_buckets=64)
+    base = sorted(map(tuple, SEL.select_dsir(
+        sel_docs, "doc_id", "text", F.col("src") == "tgt",
+        **kw).collect()))
+    caches: list = []
+    got = sorted(map(tuple, SEL.select_dsir(
+        sel_docs, "doc_id", "text", F.col("src") == "tgt",
+        caches=caches, share_tokens=True, **kw).collect()))
+    assert got == base
+    assert len(caches) == 1
+    for c in caches:
+        c.unpersist()
+
+
+def test_curriculum_share_bigrams_arm_matches_stateless(spark, sel_docs):
+    base = sorted(map(tuple, SEL.curriculum_bins(
+        sel_docs, "doc_id", "text", n_bins=2).collect()))
+    caches: list = []
+    got = sorted(map(tuple, SEL.curriculum_bins(
+        sel_docs, "doc_id", "text", n_bins=2,
+        caches=caches, share_bigrams=True).collect()))
+    assert got == base
+    assert len(caches) == 1
+    for c in caches:
+        c.unpersist()

@@ -140,16 +140,33 @@ def orchestrate(sf_dir: str, only: set[str], sample: bool, minof: int,
                 json_out: str, band_size: int) -> None:
     """Fresh python+JVM per band of ``band_size`` queries; merge artifacts;
     fresh-process standalone re-measure of every >=STANDALONE_RERUN_SECONDS
-    passer.  See module docstring (the r10 late-sweep-inflation fix)."""
+    passer.  See module docstring (the r10 late-sweep-inflation fix).
+
+    Band/solo artifacts land in a STABLE workdir next to ``json_out``
+    (``<json_out>.bands/``) and an existing complete artifact is reused,
+    so a killed sweep resumes from the first unfinished band instead of
+    starting over (an 8-band sf1 sweep is ~an hour of fresh-JVM work —
+    losing it to a timeout on the last band is the failure mode this
+    removes).  Delete the dir to force a full re-measure."""
     import subprocess
-    import tempfile
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entry   # rotation order only — no session
     names = [n for n in entry.queries() if not only or n in only]
     bands = [names[i:i + band_size] for i in range(0, len(names), band_size)]
+    work = json_out + ".bands"
+    os.makedirs(work, exist_ok=True)
 
     def run_child(qnames: list[str], out_path: str, label: str) -> dict:
+        if os.path.exists(out_path):
+            try:
+                with open(out_path) as fh:
+                    part = json.load(fh)
+                if set(part.get("results", {})) == set(qnames):
+                    print(f"== {label}: reusing {out_path}", flush=True)
+                    return part
+            except Exception:
+                pass
         cmd = [sys.executable, os.path.abspath(__file__), sf_dir, *qnames,
                "--json", out_path, "--minof", str(minof)]
         if sample:
@@ -169,25 +186,24 @@ def orchestrate(sf_dir: str, only: set[str], sample: bool, minof: int,
 
     results: dict = {}
     control_runs: list = []
-    with tempfile.TemporaryDirectory() as tmp:
-        for bi, band in enumerate(bands):
-            part = run_child(band, f"{tmp}/band{bi}.json", f"band {bi}")
-            for name, row in part["results"].items():
-                results[name] = dict(row, band=bi)
-            control_runs += [dict(c, band=bi) for c in part["control_runs"]]
-        rerun = [n for n, r in results.items()
-                 if r.get("pass") and not r.get("rows_only")
-                 and r.get("spark_seconds", 0) >= STANDALONE_RERUN_SECONDS]
-        print(f"== standalone re-measure: {len(rerun)} queries "
-              f">= {STANDALONE_RERUN_SECONDS}s", flush=True)
-        for qi, name in enumerate(rerun):
-            part = run_child([name], f"{tmp}/solo{qi}.json", f"solo {name}")
-            solo = part["results"].get(name, {})
-            results[name]["spark_seconds_standalone"] = \
-                solo.get("spark_seconds")
-            if solo.get("pass") is False:   # a standalone FAIL outranks
-                results[name]["pass"] = False
-                results[name]["err"] = f"standalone: {solo.get('err')}"
+    for bi, band in enumerate(bands):
+        part = run_child(band, f"{work}/band{bi}.json", f"band {bi}")
+        for name, row in part["results"].items():
+            results[name] = dict(row, band=bi)
+        control_runs += [dict(c, band=bi) for c in part["control_runs"]]
+    rerun = [n for n, r in results.items()
+             if r.get("pass") and not r.get("rows_only")
+             and r.get("spark_seconds", 0) >= STANDALONE_RERUN_SECONDS]
+    print(f"== standalone re-measure: {len(rerun)} queries "
+          f">= {STANDALONE_RERUN_SECONDS}s", flush=True)
+    for qi, name in enumerate(rerun):
+        part = run_child([name], f"{work}/solo_{name}.json", f"solo {name}")
+        solo = part["results"].get(name, {})
+        results[name]["spark_seconds_standalone"] = \
+            solo.get("spark_seconds")
+        if solo.get("pass") is False:   # a standalone FAIL outranks
+            results[name]["pass"] = False
+            results[name]["err"] = f"standalone: {solo.get('err')}"
     failures = [n for n, r in results.items() if not r["pass"]]
     with open(json_out, "w") as fh:
         json.dump({"sf_dir": sf_dir, "sample_mode": sample, "minof": minof,
