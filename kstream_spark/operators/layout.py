@@ -132,8 +132,11 @@ def hilbert_key(col_a: Column, col_b: Column, bits: int = 16) -> Column:
     the whole table, not per-element ``F.array``: 1 expression node vs
     thousands — the r11 fix; the r10 per-element nibble array left
     ``layout_hilbert`` at 8.4x its oracle on expression-tree depth
-    alone).  Chunk = 8 bits when they divide evenly (4x65536-entry
-    table, 2 lookups per row at bits=16), else 4 (4x256).  Unrolled
+    alone).  Chunk is FIXED at 4 (4x256-entry nibble table, 4 lookups
+    per row at bits=16): a per-byte table (chunk=8) would halve the
+    lookups but its ~1M literal expression nodes cost minutes of
+    planning time before constant folding — see the inline comment at
+    the ``chunk = 4`` assignment below.  Unrolled
     plain expressions run inside WHOLE-STAGE CODEGEN with common-
     subexpression elimination; an ``F.aggregate`` fold of the same walk
     is interpreted per element and measured ~2.7x slower at sf1 (and the

@@ -788,6 +788,8 @@ def _viterbi_pieces_batch(ws: list, lp: dict, max_len: int,
     n_words = len(ws)
     if n_words == 0:
         return []
+    if not lp:   # zero-length lp_val would IndexError in the np.where
+        return [_viterbi_pieces(w, lp, max_len, oov_lp) for w in ws]
     lens = np.fromiter((len(w) for w in ws), dtype=np.int64, count=n_words)
     order = np.argsort(lens, kind="stable")     # ascending length
     lens_s = lens[order]

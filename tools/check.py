@@ -78,6 +78,20 @@ STANDALONE_RERUN_SECONDS = 2.0
 DEFAULT_BAND = 25
 
 
+def _repo_head() -> str:
+    """Current repo HEAD (empty if git is unavailable) — stamps sweep
+    artifacts so a resumed orchestrated run can't silently merge results
+    measured against older code (the r11 ADVICE staleness hole)."""
+    import subprocess
+    try:
+        return subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "rev-parse", "HEAD"],
+            capture_output=True, text=True, timeout=10).stdout.strip()
+    except Exception:
+        return ""
+
+
 def canonical(df: pd.DataFrame) -> str:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -157,14 +171,24 @@ def orchestrate(sf_dir: str, only: set[str], sample: bool, minof: int,
     work = json_out + ".bands"
     os.makedirs(work, exist_ok=True)
 
+    head = _repo_head()
+
     def run_child(qnames: list[str], out_path: str, label: str) -> dict:
         if os.path.exists(out_path):
             try:
                 with open(out_path) as fh:
                     part = json.load(fh)
-                if set(part.get("results", {})) == set(qnames):
+                stale = part.get("repo_head") != head
+                failed = any(not r.get("pass")
+                             for r in part.get("results", {}).values())
+                if set(part.get("results", {})) == set(qnames) \
+                        and not stale and not failed:
                     print(f"== {label}: reusing {out_path}", flush=True)
                     return part
+                if stale or failed:   # post-fix rerun must not merge stale
+                    print(f"== {label}: discarding {out_path} "
+                          f"({'HEAD changed' if stale else 'had failures'})",
+                          flush=True)
             except Exception:
                 pass
         cmd = [sys.executable, os.path.abspath(__file__), sf_dir, *qnames,
@@ -207,6 +231,7 @@ def orchestrate(sf_dir: str, only: set[str], sample: bool, minof: int,
     failures = [n for n, r in results.items() if not r["pass"]]
     with open(json_out, "w") as fh:
         json.dump({"sf_dir": sf_dir, "sample_mode": sample, "minof": minof,
+                   "repo_head": head,
                    "orchestrated": True, "band_size": band_size,
                    "standalone_rerun_seconds": STANDALONE_RERUN_SECONDS,
                    "standalone_remeasured": sorted(rerun),
@@ -231,6 +256,8 @@ def main():
         nxt = sys.argv[sys.argv.index("--orchestrate") + 1] \
             if sys.argv.index("--orchestrate") + 1 < len(sys.argv) else ""
         orch = int(nxt) if nxt.isdigit() else DEFAULT_BAND
+        if orch <= 0:   # a 0 band would silently fall through to the
+            sys.exit("--orchestrate band size must be >= 1")  # bad sweep
         if nxt.isdigit() and nxt in args:
             args.remove(nxt)
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
@@ -354,7 +381,7 @@ def main():
         run_control(len(todo))
         with open(json_out, "w") as fh:
             json.dump({"sf_dir": sf_dir, "sample_mode": sample,
-                       "minof": minof,
+                       "minof": minof, "repo_head": _repo_head(),
                        "control_query": CONTROL_QUERY,
                        "control_runs": control_runs,
                        "sampled_queries": sorted(SAMPLED_QUERIES & set(results)),

@@ -269,7 +269,7 @@ def bench_corpus_admit(spark, tmp: str, n: int) -> dict:
     admitted = spark.read.parquet(f"{tmp}/corp_out").count()
     return {"records_per_sec": round(n / dt), "records": n,
             "seconds": round(dt, 2), "admitted": admitted,
-            "unique_fraction": round((n // 8 if n >= 8 else n) / n, 4)}
+            "unique_fraction": round((n // 8 if n >= 8 else 1) / n, 4)}
 
 
 def main():
