@@ -546,28 +546,24 @@ INVENTORY.update(QUALITY_INVENTORY)
 # touched + the 27-query r6-stale band (group 3's current front).
 
 _TOUCHED_THIS_ROUND: list[str] = [
-    # r11: ewma oracle gained FILTER (WHERE value IS NOT NULL) so DuckDB's
-    # list() matches Spark collect_list's NULL-drop (ADVICE r10) — the
-    # compare changed, re-prove it
-    "ts_ewma",
-    # r11: unigram train/tokenize run the numpy batch Viterbi
-    # (_viterbi_pieces_batch) — new evaluation path, scalar-parity
-    # pytest-pinned, re-prove vs the oracle
-    "text_unigram_tokenize", "text_unigram_train",
-    # r11: bpe_train's word_freq relation is right-sized
-    # (_right_size_vocab_relation) before the merge rounds
-    "text_bpe_train", "text_bpe_tokenize",
-    # r11: profile training samples doc_id % 5 == 0 (both engines) —
-    # the RESULT DEFINITION changed, not just the plan
-    "text_lang_id_ngram",
-    # r11: share_tokens/share_bigrams arms — the corpus token/bigram
-    # relation persists once and feeds all consumers in these bodies
-    "select_dsir", "select_curriculum", "pipeline_selection_mix",
-    # r11: _doc_local_minhash gained the per-task shingle-digest memo —
-    # bit-identical by construction, but every minhash consumer has a
-    # new inner loop; re-prove the family
+    # r12: _doc_local_minhash moved from the mapInPandas md5 loop to a
+    # whole-stage-codegen projection chain — bit-identical by
+    # construction (pytest parity) but EVERY minhash consumer evaluates
+    # a new path; re-prove the family
     "dedup_minhash_lsh", "dedup_survivors", "dedup_clusters",
     "dedup_best_of_cluster", "dedup_cross_source", "dedup_incremental",
+    # r12: prefix filtering builds the inverted index with df attached
+    # (one token-stream shuffle fewer) + PPJoin length filter on
+    # candidates
+    "dedup_prefix_jaccard",
+    # r12: label_propagation persists sym/labels and gains the
+    # fixed-point early exit
+    "graph_lpa",
+    # r12: kmv sketch persists before the source-list collect
+    "sketch_kmv_overlap",
+    # r12: confusion matrix threads lang through keep_cols instead of
+    # the doc-keyed join back
+    "text_lang_id_ngram",
 ]
 
 

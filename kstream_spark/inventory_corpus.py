@@ -507,9 +507,12 @@ def q_text_lang_id_ngram(spark: SparkSession, sf: str) -> DataFrame:
     docs = _docs(spark, sf)
     prof = lang_ngram_profiles(docs.filter(F.col("doc_id") % 5 == 0),
                                "lang", "text", n=3, top_m=40)
-    pred = lang_id_ngram(docs, "doc_id", "text", prof, n=3)
-    return (docs.select("doc_id", "lang").join(pred, "doc_id")
-            .groupBy("lang", "pred_lang")
+    # keep_cols threads the true lang through the zero-shuffle scoring
+    # projection — the r11 doc-keyed join back onto docs double-shuffled
+    # the corpus for a column the scan already had (sf1: 2.9x -> in-band)
+    pred = lang_id_ngram(docs, "doc_id", "text", prof, n=3,
+                         keep_cols=("lang",))
+    return (pred.groupBy("lang", "pred_lang")
             .agg(F.count("*").cast("long").alias("n_docs"))
             .orderBy("lang", "pred_lang"))
 

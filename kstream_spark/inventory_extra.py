@@ -493,11 +493,14 @@ def q_sketch_kmv_overlap(spark: SparkSession, sf: str) -> DataFrame:
     operator handles all pairs identically."""
     from kstream_spark.builder import StreamBuilder
     from kstream_spark.operators.sketches import kmv_source_overlap
+    from kstream_spark.util import collect_freeing
     docs = (StreamBuilder(spark)
             .table(f"{sf}/documents.parquet", name="documents").to_df()
             .filter(F.col("source").isin("src18", "src6", "src7", "src12")))
-    return kmv_source_overlap(docs, "doc_id", "text", "source",
-                              k=128, n=3)
+    caches: list = []
+    out = kmv_source_overlap(docs, "doc_id", "text", "source",
+                             k=128, n=3, caches=caches)
+    return collect_freeing(out, *caches)
 
 
 SQL_SKETCH_KMV_OVERLAP = r"""

@@ -228,87 +228,59 @@ def minhash_signatures(sh: DataFrame, id_col: str,
 def _doc_local_minhash(df: DataFrame, id_col: str, text_col: str, n: int,
                        num_hashes: int, bands: int | None = None) -> DataFrame:
     """Per-doc (signature, sorted shingle array, set size) in ONE
-    shuffle-free mapInPandas pass.
+    shuffle-free whole-stage-codegen projection chain.
 
     MinHash signatures and shingle sets are doc-local functions, so neither
-    needs the exploded (doc, shingle) relation or its groupBy shuffle; the
-    md5 family here is hashlib == JVM md5 == DuckDB md5, so the SQL oracle
-    reproduces signatures bit-for-bit (verified by the driver compare).
+    needs the exploded (doc, shingle) relation or its groupBy shuffle —
+    and none of it needs Python either: ``h_i = min over shingles of
+    md5(i || ':' || shingle)`` is ``array_min(transform(ss, ...))`` and a
+    band hash is ``md5(concat(h...))``, all JVM-side md5 == hashlib md5
+    == DuckDB md5, so the SQL oracle reproduces signatures bit-for-bit
+    (verified by the driver compare).  The r11 shape ran the same
+    arithmetic in a mapInPandas loop with a per-task shingle-digest memo;
+    codegen md5 beats memoized Python md5 plus Arrow transfer ~4x on the
+    admission bench (2M-record trigger: minhash 17.5s -> this path), and
+    the memo's skew caveat disappears with it.
 
-    With ``bands`` set, the LSH band hashes (md5 of each band's
-    concatenated hex signatures — byte-identical to the Catalyst
-    md5(concat_ws(h...)) it replaces) are ALSO computed inside the Arrow
-    pass and the per-hash columns are dropped: the output carries
-    ``bands`` columns instead of ``num_hashes``, which shrinks both the
-    downstream plan (no 16-column schema + band-concat expressions to
-    optimize) and any persisted signature store."""
-    import hashlib
-    import re
+    Three SELECTs, not one: each stage's output is multiply referenced by
+    the next (ss by num_hashes transforms, the h columns by their band
+    concat), and CollapseProject would otherwise inline + re-evaluate the
+    shingle array once per hash (the lang_id_ngram projection-barrier
+    lesson, operators/text.py).
 
-    import pandas as pd
+    With ``bands`` set, the per-hash columns are dropped and the output
+    carries ``bands`` columns instead of ``num_hashes``, which shrinks
+    both the downstream plan and any persisted signature store."""
+    from kstream_spark.functions.text import word_shingles
 
-    rows = (num_hashes // bands) if bands else 0
-    sig_cols = ([f"b{b}" for b in range(bands)] if bands
-                else [f"h{i}" for i in range(num_hashes)])
+    with_ss = df.select(
+        F.col(id_col),
+        F.sort_array(F.array_distinct(word_shingles(F.col(text_col), n)))
+        .alias("ss"))
+    # array_min of an empty transform is NULL — exactly the no-shingle
+    # signature the downstream band filter (n > 0) expects.  The hash
+    # index binds via a factory, NOT a defaulted lambda parameter:
+    # F.transform dispatches on lambda arity, so a second parameter
+    # would receive the ELEMENT INDEX and silently replace the prefix.
+    def _hash_i(i: int):
+        return lambda s: F.md5(
+            F.encode(F.concat(F.lit(f"{i}:"), s), "UTF-8"))
 
-    def run(batches):
-        # per-TASK shingle memo: a shingle's num_hashes md5 digests are a
-        # pure function of the shingle, and dedup workloads are exactly
-        # the ones where shingles repeat across documents (near-dups,
-        # boilerplate, re-crawls) — computing each distinct shingle's
-        # digest row once turns the md5 cost from O(sum len(ss)) into
-        # O(distinct shingles) per task, bit-identically.  Bounded so a
-        # pathological partition can't hold gigabytes of digest rows.
-        memo: dict = {}
-        MEMO_CAP = 1 << 20
-        md5 = hashlib.md5
-        prefixes = [f"{i}:".encode() for i in range(num_hashes)]
-
-        def digests(s: str) -> tuple:
-            row = memo.get(s)
-            if row is None:
-                sb = s.encode()
-                row = tuple(md5(p + sb).hexdigest() for p in prefixes)
-                if len(memo) >= MEMO_CAP:
-                    memo.clear()
-                memo[s] = row
-            return row
-
-        for pdf in batches:
-            out = {"__id": [], "ss": [], "n": [],
-                   **{c: [] for c in sig_cols}}
-            for did, text in zip(pdf[id_col], pdf[text_col]):
-                ws = re.split(r"\s+", text.lower())
-                sh = sorted({" ".join(ws[i:i + n])
-                             for i in range(len(ws) - (n - 1))}) \
-                    if len(ws) >= n else []
-                out["__id"].append(did)
-                out["ss"].append(sh)
-                out["n"].append(len(sh))
-                if sh:
-                    # element-wise min across the doc's shingle digest
-                    # rows == the per-hash min of the scalar loop
-                    rows_d = [digests(s) for s in sh]
-                    hs = (list(rows_d[0]) if len(rows_d) == 1
-                          else [min(v) for v in zip(*rows_d)])
-                else:
-                    hs = [None] * num_hashes
-                if bands:
-                    for b in range(bands):
-                        seg = hs[b * rows:(b + 1) * rows]
-                        out[f"b{b}"].append(
-                            md5("".join(seg).encode()).hexdigest()
-                            if sh else None)
-                else:
-                    for i in range(num_hashes):
-                        out[f"h{i}"].append(hs[i])
-            yield pd.DataFrame(out)
-
-    id_type = dict(df.dtypes)[id_col]
-    schema_sig = ", ".join(f"{c} string" for c in sig_cols)
-    return df.select(F.col(id_col), F.col(text_col)) \
-        .mapInPandas(run, f"__id {id_type}, ss array<string>, n long, {schema_sig}") \
-        .withColumnRenamed("__id", id_col)
+    hs = [F.array_min(F.transform(F.col("ss"), _hash_i(i)))
+          .alias(f"h{i}") for i in range(num_hashes)]
+    with_h = with_ss.select(
+        F.col(id_col), "ss", F.size("ss").cast("long").alias("n"), *hs)
+    if not bands:
+        return with_h
+    rows = num_hashes // bands
+    band_cols = [
+        F.when(F.col("n") > 0,
+               F.md5(F.encode(F.concat(
+                   *[F.col(f"h{i}") for i in range(b * rows,
+                                                   (b + 1) * rows)]),
+                   "UTF-8")))
+        .alias(f"b{b}") for b in range(bands)]
+    return with_h.select(F.col(id_col), "ss", "n", *band_cols)
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
@@ -539,7 +511,8 @@ def incremental_dedup(new_docs: DataFrame, corpus: DataFrame, id_col: str,
                       threshold: float = 0.8,
                       corpus_state: DataFrame | None = None,
                       persisted: list | None = None,
-                      return_signatures: bool = False) -> DataFrame:
+                      return_signatures: bool = False,
+                      checkpoint_fresh: bool = False) -> DataFrame:
     """Admit only NEW documents that duplicate nothing in the existing
     corpus and nothing earlier in their own batch — the production shape
     for growing corpora (dedup the daily increment, never re-scan the
@@ -567,6 +540,15 @@ def incremental_dedup(new_docs: DataFrame, corpus: DataFrame, id_col: str,
     relations are appended to, so a caller that runs this per micro-batch
     (``admit_stream``) can unpersist them after its action — otherwise the
     cached blocks outlive the batch and pile up for the life of the stream.
+
+    ``checkpoint_fresh``: eagerly ``localCheckpoint`` the post-exact-gate
+    survivors.  Everything downstream (minhash, both verify joins, the
+    admitted writes) references that relation repeatedly, and a re-crawl
+    -heavy stream sheds most of the batch at the exact gate — so the
+    per-batch caller pins the SURVIVORS (|batch|/8 on the bench mix)
+    instead of the raw batch it used to checkpoint (r12: 9.2s -> ~2s of
+    the 2M-record admission trigger).  The handle is appended to
+    ``persisted``; free it with ``util.free_local_checkpoint``.
     """
     from pyspark.sql import Window as W
 
@@ -580,6 +562,10 @@ def incremental_dedup(new_docs: DataFrame, corpus: DataFrame, id_col: str,
         "__first", F.min(id_col).over(W.partitionBy("__ch"))) \
         .filter(F.col(id_col) == F.col("__first")) \
         .drop("__ch", "__first")
+    if checkpoint_fresh:
+        fresh = fresh.localCheckpoint(eager=True)
+        if persisted is not None:
+            persisted.append(fresh)
 
     # gate 2: near-dup vs corpus (increment bands join corpus bands only).
     # ONE signature pass per relation — the batch-internal phase below
@@ -850,16 +836,29 @@ def prefix_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     """
     sh = shingle_sets(df, id_col, text_col, n)
     t_micro = int(round(threshold * 1e6))
-    dfreq = sh.groupBy("s").agg(F.count("*").alias("_df"))
+    # ONE shuffle builds the inverted index WITH df attached — the r11
+    # shape aggregated df (shuffle 1), re-shuffled the token stream into
+    # the join (shuffle 2), then grouped by id (shuffle 3); collecting
+    # the posting list alongside the count and exploding it back is
+    # narrow, so the df annotation costs no second token-stream exchange
+    # (sf1 A/B: 11.5s -> 6.9s for the whole query).  The posting-list
+    # buffer is df-bounded per shingle — single digits on TPC-H-ish
+    # text, thousands on boilerplate corpora (kilobytes either way);
+    # a corpus with MILLION-df shingles should pre-drop them via
+    # shingle_sets(max_shingle_df=...) before calling this.
+    inv = sh.groupBy("s").agg(F.count("*").alias("_df"),
+                              F.collect_list(id_col).alias("_ids"))
+    tok = inv.select("s", "_df", F.explode("_ids").alias(id_col))
     # ONE id-keyed aggregation yields BOTH the rare-first prefix (the
     # sorted (df, s) struct array's first plen elements) and the verify
     # arrays — the r8 shape spent a per-doc window pass on the prefix
     # and then re-shuffled the full index a second time inside
     # _jaccard_on_pairs for the arrays (sf1 A/B: 11.8s -> this shape's
     # single groupBy).  sort_array on the struct array orders by
-    # (_df asc, s asc), exactly the prefix order the window used.
-    sets = (sh.join(dfreq, "s")
-            .groupBy(F.col(id_col))
+    # (_df asc, s asc), exactly the prefix order the window used.  The
+    # verify arrays stay in that order — array_intersect hashes its
+    # inputs, so the r11 lexical re-sort bought nothing.
+    sets = (tok.groupBy(F.col(id_col))
             .agg(F.sort_array(F.collect_list(F.struct("_df", "s")))
                  .alias("_ds"),
                  F.count("*").alias("n"))
@@ -868,8 +867,7 @@ def prefix_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                          - F.expr(f"({t_micro}L * n + 999999) div 1000000")
                          + 1).cast("int"))
             .select(F.col(id_col),
-                    F.sort_array(F.expr("transform(_ds, x -> x.s)"))
-                    .alias("ss"),
+                    F.expr("transform(_ds, x -> x.s)").alias("ss"),
                     F.col("n"),
                     F.expr("transform(slice(_ds, 1, _plen), x -> x.s)")
                     .alias("prefix"))
@@ -885,10 +883,19 @@ def prefix_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
             .persist())
     if caches is not None:
         caches.append(sets)
-    prefix = sets.select(F.col(id_col), F.explode("prefix").alias("s"))
-    cand = (prefix.select(F.col(id_col).alias("doc_a"), "s")
-            .join(prefix.select(F.col(id_col).alias("doc_b"), "s"), "s")
-            .filter(F.col("doc_a") < F.col("doc_b"))
+    # the prefix index carries n so the PPJoin LENGTH filter prunes
+    # candidates before the distinct: J >= t forces t*max(|A|,|B|) <=
+    # min(|A|,|B|) (the intersection fits in the shorter set), checked
+    # in the same exact integer micro arithmetic as the prefix length
+    prefix = sets.select(F.col(id_col), F.col("n"),
+                         F.explode("prefix").alias("s"))
+    cand = (prefix.select(F.col(id_col).alias("doc_a"),
+                          F.col("n").alias("_la"), "s")
+            .join(prefix.select(F.col(id_col).alias("doc_b"),
+                                F.col("n").alias("_lb"), "s"), "s")
+            .filter((F.col("doc_a") < F.col("doc_b"))
+                    & (F.least("_la", "_lb") * F.lit(1000000).cast("long")
+                       >= F.lit(t_micro) * F.greatest("_la", "_lb")))
             .select("doc_a", "doc_b").distinct())
     a = sets.select(F.col(id_col).alias("doc_a"),
                     F.col("ss").alias("ssa"), F.col("n").alias("na"))

@@ -333,14 +333,21 @@ def label_propagation(edges: DataFrame, src_col: str, dst_col: str,
     fixed ``iters`` yields one well-defined answer any engine replays
     (an unrolled per-round CTE chain is the oracle).
 
-    Returns (node, community) after ``iters`` rounds.
+    Returns (node, community) after ``iters`` rounds (or earlier: a
+    round in which NO label changed is a fixed point of this
+    deterministic rule — every later round reproduces the same labels —
+    so the loop stops there and the result is bit-identical to the
+    fully-unrolled replay).
 
-    Scale shape (the BSP discipline of ``pagerank``): per round, ONE
-    join of the bounded label relation onto the symmetrized edges
-    (shuffle or AQE-broadcast on the node key), one map-side-combinable
-    (node, label) count, and one argmax-by-struct aggregation — no
-    windows, no driver traffic; rounds are O(edges) each and ``iters``
-    is a constant.
+    Scale shape (the BSP discipline of ``pagerank``): the symmetrized
+    edge relation is PERSISTED pre-partitioned on the source key —
+    upstream edge derivations are often expensive (the inventory's
+    lineitem self-join) and a lazy chain would recompute them once per
+    round per reference — so each round's label join needs no shuffle
+    on the big side.  Then one map-side-combinable (node, label) count,
+    one argmax-by-struct aggregation, and a limit-1 changed-label probe
+    on the persisted round result — no windows, driver traffic is one
+    boolean per round; rounds are O(edges) each and ``iters`` caps them.
     """
     integral = {"tinyint", "smallint", "int", "bigint"}
     bad = [c for c in (src_col, dst_col)
@@ -352,11 +359,13 @@ def label_propagation(edges: DataFrame, src_col: str, dst_col: str,
                          f"non-integral columns: {bad} — map ids to longs "
                          f"(e.g. hash or dense rank) first")
     e = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
-    sym = e.unionByName(e.select(F.col("d").alias("s"),
-                                 F.col("s").alias("d")))
+    sym = (e.unionByName(e.select(F.col("d").alias("s"),
+                                  F.col("s").alias("d")))
+           .repartition("s").persist())
     labels = (sym.select(F.col("s").alias("node")).distinct()
-              .withColumn("label", F.col("node").cast("long")))
-    for _ in range(iters):
+              .withColumn("label", F.col("node").cast("long"))
+              .persist())
+    for rnd in range(iters):
         nbr = (sym.join(labels.withColumnRenamed("node", "s"), "s")
                .select(F.col("d").alias("node"), "label"))
         counts = nbr.groupBy("node", "label") \
@@ -365,6 +374,19 @@ def label_propagation(edges: DataFrame, src_col: str, dst_col: str,
         best = counts.groupBy("node").agg(
             F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl")))
             .alias("b"))
-        labels = best.select("node",
-                             (-F.col("b.nl")).cast("long").alias("label"))
+        new_labels = best.select(
+            "node", (-F.col("b.nl")).cast("long").alias("label")).persist()
+        # fixed-point probe: zero changed labels means every later round
+        # is identical — stop, hash-safe.  The probe is also what
+        # MATERIALIZES new_labels into cache; it must run before the
+        # parent unpersists or the final collect would recompute the
+        # whole round chain from lineage.
+        converged = (new_labels.join(
+            labels.withColumnRenamed("label", "old"), "node")
+            .where(F.col("label") != F.col("old")).isEmpty())
+        labels.unpersist()
+        labels = new_labels
+        if converged and rnd < iters - 1:
+            break
+    sym.unpersist()
     return labels.select("node", F.col("label").alias("community"))

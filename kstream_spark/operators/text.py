@@ -398,7 +398,8 @@ def lang_ngram_profiles(df: DataFrame, lang_col: str, text_col: str,
 
 
 def lang_id_ngram(df: DataFrame, id_col: str, text_col: str,
-                  profiles: DataFrame, n: int = 3) -> DataFrame:
+                  profiles: DataFrame, n: int = 3,
+                  keep_cols: tuple = ()) -> DataFrame:
     """Char-n-gram language ID: each document's DISTINCT n-grams are
     intersected with every language profile and the language with the
     most hits wins (ties toward the lexicographically lowest language;
@@ -415,13 +416,19 @@ def lang_id_ngram(df: DataFrame, id_col: str, text_col: str,
     distinct + broadcast join + (doc,lang) count + per-doc window —
     carried three shuffles whose only payoff was avoiding a per-row
     intersect; at sf1 it ran 6.6s vs this shape's single scan).
-    Returns (id, pred_lang, n_hits)."""
+    Returns (id, *keep_cols, pred_lang, n_hits) — ``keep_cols`` threads
+    input columns through the projection so downstream consumers (the
+    confusion matrix) need no doc-keyed join back onto the input (that
+    join was a corpus-sized double shuffle for columns the scan already
+    had in hand — the r12 fix for text_lang_id_ngram's 2.9x)."""
     prof: dict[str, list[str]] = {}
     for r in profiles.select("lang", "g").collect():   # |langs| x top_m
         prof.setdefault(r["lang"], []).append(r["g"])
     langs = sorted(prof)     # ascending = the tie-break order
+    keep = [F.col(c) for c in keep_cols]
     if not langs:
-        return df.select(F.col(id_col), F.lit("und").alias("pred_lang"),
+        return df.select(F.col(id_col), *keep,
+                         F.lit("und").alias("pred_lang"),
                          F.lit(0).cast("long").alias("n_hits"))
     t = F.lower(F.col(text_col))
     # per-row gram building is CPU-heavy (L substrs + array_distinct per
@@ -431,7 +438,7 @@ def lang_id_ngram(df: DataFrame, id_col: str, text_col: str,
     # accident; this repartition does it on purpose)
     from kstream_spark.util import ensure_parallelism
     src = ensure_parallelism(df, min_bytes=256 << 10) \
-        .select(F.col(id_col), t.alias("_t"))
+        .select(F.col(id_col), *keep, t.alias("_t"))
     grams = F.when(
         F.length("_t") >= n,
         F.array_distinct(F.expr(
@@ -443,9 +450,9 @@ def lang_id_ngram(df: DataFrame, id_col: str, text_col: str,
     # (CollapseProject keeps non-cheap multi-referenced projections
     # separate, so this select is a real barrier — measured 4.4s -> 1.5s
     # for the scoring pass at sf0.1)
-    with_grams = src.select(F.col(id_col), grams.alias("_gs"))
+    with_grams = src.select(F.col(id_col), *keep, grams.alias("_gs"))
     scored = with_grams.select(
-        F.col(id_col), *[
+        F.col(id_col), *keep, *[
             F.size(F.array_intersect(
                 F.col("_gs"), F.array(*[F.lit(g) for g in prof[lang]])))
             .alias(f"_h_{i}") for i, lang in enumerate(langs)])
@@ -457,7 +464,7 @@ def lang_id_ngram(df: DataFrame, id_col: str, text_col: str,
         best_l = F.when(gt, F.lit(lang)).otherwise(best_l)
         best_h = F.when(gt, F.col(f"_h_{i}")).otherwise(best_h)
     return scored.select(
-        F.col(id_col),
+        F.col(id_col), *keep,
         F.when(best_h > 0, best_l).otherwise(F.lit("und"))
         .alias("pred_lang"),
         F.greatest(best_h, F.lit(0)).cast("long").alias("n_hits"))

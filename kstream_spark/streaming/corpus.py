@@ -68,14 +68,6 @@ def admit_stream(df: DataFrame, corpus_path: str, signature_path: str,
         spark = batch.sparkSession
         if quality_gate is not None:
             batch = quality_gate(batch)
-        # eager localCheckpoint: the gated batch is referenced throughout
-        # the dedup DAG (hash gate, window, minhash, verify, two writes),
-        # and each reference re-analyzes the gate's large predicate tree
-        # and re-evaluates the gate — truncating to a leaf here cut ~2s
-        # of per-batch plan-construction + re-scan time (r11 profile).
-        # Storage is one micro-batch's gated increment (bounded by the
-        # trigger), freed below at the RDD level.
-        batch = batch.localCheckpoint(eager=True)
         try:
             state = spark.read.parquet(signature_path).drop(epoch_col)
         except Exception:  # first batch: nothing admitted yet
@@ -85,12 +77,20 @@ def admit_stream(df: DataFrame, corpus_path: str, signature_path: str,
         # persisted minhash relation instead of re-minhashing every
         # admitted doc — the second Python md5 pass was the largest
         # per-batch cost on the admission path
+        # checkpoint_fresh: the dedup DAG references its post-exact-gate
+        # survivors throughout (minhash, verify, two writes) — pinning
+        # THAT relation (|batch|/8 on a re-crawl-heavy mix) replaced the
+        # r11 full-batch localCheckpoint here, so the gate + exact-hash
+        # window run exactly once per batch and the pinned storage is
+        # survivors-sized (r12 admission profile: 9.2s -> ~2s per
+        # 2M-record trigger).
         admitted, sigs = incremental_dedup(batch, batch.limit(0), id_col,
                                            text_col, n=n,
                                            threshold=threshold,
                                            corpus_state=state,
                                            persisted=handles,
-                                           return_signatures=True)
+                                           return_signatures=True,
+                                           checkpoint_fresh=True)
         admitted = admitted.persist()
         # per-write dynamic overwrite: replayed epochs replace only their own
         # partitions, WITHOUT flipping the session-wide overwrite semantics
@@ -102,8 +102,8 @@ def admit_stream(df: DataFrame, corpus_path: str, signature_path: str,
          .write.mode("overwrite").partitionBy(epoch_col)
          .option("partitionOverwriteMode", "dynamic").parquet(signature_path))
         for h in [admitted, *handles]:
-            h.unpersist()
-        free_local_checkpoint(batch)
+            h.unpersist()                # persisted relations
+            free_local_checkpoint(h)     # the checkpointed fresh handle
 
     return (df.writeStream.foreachBatch(_admit)
             .option("checkpointLocation", checkpoint_dir).start())
