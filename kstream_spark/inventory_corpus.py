@@ -830,8 +830,12 @@ def q_select_curriculum(spark: SparkSession, sf: str) -> DataFrame:
     from kstream_spark.operators.selection import curriculum_bins
     from kstream_spark.util import collect_freeing
     caches: list = []
+    # bigram_table pinned: the documents corpus vocabulary is far under
+    # the 2M-bigram broadcast ceiling at every SF (9.3k distinct bigrams
+    # at sf1), so the auto gate's distinct-count job buys nothing here
     out = curriculum_bins(_docs(spark, sf), "doc_id", "text", n_bins=10,
-                          caches=caches, share_bigrams=True)
+                          caches=caches, share_bigrams=True,
+                          bigram_table="broadcast")
     return collect_freeing(out, *caches)
 
 

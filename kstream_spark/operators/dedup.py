@@ -226,31 +226,41 @@ def minhash_signatures(sh: DataFrame, id_col: str,
 
 
 def _doc_local_minhash(df: DataFrame, id_col: str, text_col: str, n: int,
-                       num_hashes: int, bands: int | None = None) -> DataFrame:
+                       num_hashes: int, bands: int | None = None,
+                       impl: str = "pandas") -> DataFrame:
     """Per-doc (signature, sorted shingle array, set size) in ONE
-    shuffle-free whole-stage-codegen projection chain.
+    shuffle-free doc-local pass — no exploded (doc, shingle) relation, no
+    groupBy shuffle.  Two bit-identical implementations (pytest-pinned
+    parity; hashlib md5 == JVM md5 == DuckDB md5, so either replays the
+    SQL oracle bit-for-bit):
 
-    MinHash signatures and shingle sets are doc-local functions, so neither
-    needs the exploded (doc, shingle) relation or its groupBy shuffle —
-    and none of it needs Python either: ``h_i = min over shingles of
-    md5(i || ':' || shingle)`` is ``array_min(transform(ss, ...))`` and a
-    band hash is ``md5(concat(h...))``, all JVM-side md5 == hashlib md5
-    == DuckDB md5, so the SQL oracle reproduces signatures bit-for-bit
-    (verified by the driver compare).  The r11 shape ran the same
-    arithmetic in a mapInPandas loop with a per-task shingle-digest memo;
-    codegen md5 beats memoized Python md5 plus Arrow transfer ~4x on the
-    admission bench (2M-record trigger: minhash 17.5s -> this path), and
-    the memo's skew caveat disappears with it.
+    * ``impl="pandas"`` (default): mapInPandas loop with a per-TASK
+      shingle-digest memo — a shingle's num_hashes digests are a pure
+      function of the shingle, and CORPUS dedup workloads are exactly the
+      ones where shingles repeat across documents (near-dup clusters,
+      boilerplate, re-crawls), so the md5 cost is O(distinct shingles)
+      per task.  A/B at sf0.1 documents (5k long, near-dup-heavy docs):
+      1.4s vs the codegen arm's 7.8s — the memo is the whole difference.
+    * ``impl="codegen"``: whole-stage-codegen projection chain —
+      ``h_i = array_min(transform(ss, s -> md5(i || ':' || s)))``, band
+      hash = ``md5(concat(h...))``.  No Python, no Arrow transfer, no
+      per-doc loop overhead; every shingle OCCURRENCE pays 16 JVM md5s.
+      Wins ~4x on UNIQUE-heavy short-doc streams where the memo never
+      hits (the 2M-record admission trigger: minhash 17.5s -> ~4s), loses
+      on repetitive corpora.  streaming/corpus.admit_stream selects it.
 
-    Three SELECTs, not one: each stage's output is multiply referenced by
-    the next (ss by num_hashes transforms, the h columns by their band
-    concat), and CollapseProject would otherwise inline + re-evaluate the
-    shingle array once per hash (the lang_id_ngram projection-barrier
-    lesson, operators/text.py).
+    Pick by workload: repetition favors pandas, uniqueness favors
+    codegen; the default is the corpus-query regime.
 
-    With ``bands`` set, the per-hash columns are dropped and the output
-    carries ``bands`` columns instead of ``num_hashes``, which shrinks
-    both the downstream plan and any persisted signature store."""
+    With ``bands`` set, the LSH band hashes are computed in the same pass
+    and the per-hash columns are dropped: the output carries ``bands``
+    columns instead of ``num_hashes``, which shrinks both the downstream
+    plan and any persisted signature store."""
+    if impl == "pandas":
+        return _doc_local_minhash_pandas(df, id_col, text_col, n,
+                                         num_hashes, bands)
+    if impl != "codegen":
+        raise ValueError(f"impl must be pandas|codegen, got {impl!r}")
     from kstream_spark.functions.text import word_shingles
 
     with_ss = df.select(
@@ -281,6 +291,75 @@ def _doc_local_minhash(df: DataFrame, id_col: str, text_col: str, n: int,
                    "UTF-8")))
         .alias(f"b{b}") for b in range(bands)]
     return with_h.select(F.col(id_col), "ss", "n", *band_cols)
+
+
+def _doc_local_minhash_pandas(df: DataFrame, id_col: str, text_col: str,
+                              n: int, num_hashes: int,
+                              bands: int | None = None) -> DataFrame:
+    """The memoized-Python arm of ``_doc_local_minhash`` (see its
+    docstring for the workload trade-off).  Memo bounded so a
+    pathological partition can't hold gigabytes of digest rows."""
+    import hashlib
+    import re
+
+    import pandas as pd
+
+    rows = (num_hashes // bands) if bands else 0
+    sig_cols = ([f"b{b}" for b in range(bands)] if bands
+                else [f"h{i}" for i in range(num_hashes)])
+
+    def run(batches):
+        memo: dict = {}
+        MEMO_CAP = 1 << 20
+        md5 = hashlib.md5
+        prefixes = [f"{i}:".encode() for i in range(num_hashes)]
+
+        def digests(s: str) -> tuple:
+            row = memo.get(s)
+            if row is None:
+                sb = s.encode()
+                row = tuple(md5(p + sb).hexdigest() for p in prefixes)
+                if len(memo) >= MEMO_CAP:
+                    memo.clear()
+                memo[s] = row
+            return row
+
+        for pdf in batches:
+            out = {"__id": [], "ss": [], "n": [],
+                   **{c: [] for c in sig_cols}}
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                ws = re.split(r"\s+", text.lower())
+                sh = sorted({" ".join(ws[i:i + n])
+                             for i in range(len(ws) - (n - 1))}) \
+                    if len(ws) >= n else []
+                out["__id"].append(did)
+                out["ss"].append(sh)
+                out["n"].append(len(sh))
+                if sh:
+                    # element-wise min across the doc's shingle digest
+                    # rows == the per-hash min of the scalar loop
+                    rows_d = [digests(s) for s in sh]
+                    hs = (list(rows_d[0]) if len(rows_d) == 1
+                          else [min(v) for v in zip(*rows_d)])
+                else:
+                    hs = [None] * num_hashes
+                if bands:
+                    for b in range(bands):
+                        seg = hs[b * rows:(b + 1) * rows]
+                        out[f"b{b}"].append(
+                            md5("".join(seg).encode()).hexdigest()
+                            if sh else None)
+                else:
+                    for i in range(num_hashes):
+                        out[f"h{i}"].append(hs[i])
+            yield pd.DataFrame(out)
+
+    id_type = dict(df.dtypes)[id_col]
+    schema_sig = ", ".join(f"{c} string" for c in sig_cols)
+    return df.select(F.col(id_col), F.col(text_col)) \
+        .mapInPandas(run, f"__id {id_type}, ss array<string>, n long, "
+                          f"{schema_sig}") \
+        .withColumnRenamed("__id", id_col)
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
@@ -512,7 +591,8 @@ def incremental_dedup(new_docs: DataFrame, corpus: DataFrame, id_col: str,
                       corpus_state: DataFrame | None = None,
                       persisted: list | None = None,
                       return_signatures: bool = False,
-                      checkpoint_fresh: bool = False) -> DataFrame:
+                      checkpoint_fresh: bool = False,
+                      sig_impl: str = "pandas") -> DataFrame:
     """Admit only NEW documents that duplicate nothing in the existing
     corpus and nothing earlier in their own batch — the production shape
     for growing corpora (dedup the daily increment, never re-scan the
@@ -540,6 +620,11 @@ def incremental_dedup(new_docs: DataFrame, corpus: DataFrame, id_col: str,
     relations are appended to, so a caller that runs this per micro-batch
     (``admit_stream``) can unpersist them after its action — otherwise the
     cached blocks outlive the batch and pile up for the life of the stream.
+
+    ``sig_impl``: forwarded to ``_doc_local_minhash`` for both sides —
+    "pandas" (default; repetition-amortized memo, the corpus-query
+    regime) or "codegen" (unique-heavy short-doc streams; admit_stream
+    passes it — see the minhash docstring's A/B).
 
     ``checkpoint_fresh``: eagerly ``localCheckpoint`` the post-exact-gate
     survivors.  Everything downstream (minhash, both verify joins, the
@@ -574,10 +659,11 @@ def incremental_dedup(new_docs: DataFrame, corpus: DataFrame, id_col: str,
     # bucketing + exact verify) and Spark does not reuse the mapInPandas
     # subtree; MEMORY_AND_DISK spills gracefully at corpus scale
     inc = _doc_local_minhash(fresh, id_col, text_col, n, NUM_HASHES,
-                             bands=BANDS).persist()
+                             bands=BANDS, impl=sig_impl).persist()
     cor = (corpus_state.drop("__ch") if corpus_state is not None
            else _doc_local_minhash(corpus, id_col, text_col, n,
-                                   NUM_HASHES, bands=BANDS)).persist()
+                                   NUM_HASHES, bands=BANDS,
+                                   impl=sig_impl)).persist()
     if persisted is not None:
         persisted += [inc, cor]
 

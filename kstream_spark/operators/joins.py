@@ -371,7 +371,8 @@ def interval_overlap_join(a: DataFrame, b: DataFrame, key: str,
 
 def bloom_semi_join(fact: DataFrame, dim: DataFrame, fact_key: str,
                     dim_key: str | None = None, m_bits: int = 1 << 20,
-                    k: int = 3, seed: str = "bloom") -> DataFrame:
+                    k: int = 3, seed: str = "bloom",
+                    caches: list | None = None) -> DataFrame:
     """Bloom-pruned EXACT semi join: keep fact rows whose key appears in
     ``dim``, pre-filtering the fact scan with a compact Bloom filter built
     from the dim keys before the exact join runs.
@@ -421,8 +422,14 @@ def bloom_semi_join(fact: DataFrame, dim: DataFrame, fact_key: str,
     # no .distinct() anywhere: bit_or is idempotent under duplicate keys
     # (the bloom build combines map-side into <= m/32 words) and left-semi
     # already has at-most-once match semantics — a distinct would only add
-    # an exchange
-    dim_keys = dim.select(F.col(dim_key).alias("__k"))
+    # an exchange.  The projected key column is PERSISTED: two consumers
+    # read it (the bloom build's collect below, then the exact semi
+    # join's broadcast/shuffle side), and without the cache the second
+    # re-runs the dim scan + filter from source (r12; ``caches`` receives
+    # the handle for collect_freeing callers, same contract as dedup).
+    dim_keys = dim.select(F.col(dim_key).alias("__k")).persist()
+    if caches is not None:
+        caches.append(dim_keys)
     bits = (dim_keys.select(F.explode(F.array(*positions(F.col("__k"))))
                             .alias("__p"))
             .select((F.col("__p") / 32).cast("long").alias("__w"),

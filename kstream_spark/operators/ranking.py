@@ -90,14 +90,22 @@ def with_global_rank(df: DataFrame, order_by: list[Column],
             F.sum("count").over(
                 W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)),
             F.lit(0)))
-    out = (local.join(F.broadcast(offsets.select("__pid", "__off")), "__pid")
-           .withColumn(rank_col, (F.col("__off") + F.col("__lrn") + 1)
-                       .cast("long"))
-           .drop("__pid", "__lrn", "__off"))
+    keep = ["__pid", "__off"]
     if total_col is not None:
-        total = counts.agg(F.sum("count").alias(total_col))
-        out = out.join(F.broadcast(total))
-    return out
+        # the total rides the SAME tiny offsets relation (an unbounded
+        # window over <= n_parts rows) — one broadcast join carries both,
+        # where a separate counts.agg paid a second broadcast exchange +
+        # join per query (the r12 selection job-collapse)
+        offsets = offsets.withColumn(
+            total_col,
+            F.sum("count").over(
+                W.orderBy("__pid").rowsBetween(W.unboundedPreceding,
+                                               W.unboundedFollowing)))
+        keep.append(total_col)
+    return (local.join(F.broadcast(offsets.select(*keep)), "__pid")
+            .withColumn(rank_col, (F.col("__off") + F.col("__lrn") + 1)
+                        .cast("long"))
+            .drop("__pid", "__lrn", "__off"))
 
 
 def with_ntile_percent_rank(df: DataFrame, order_by: list[Column],

@@ -178,21 +178,26 @@ def select_dsir(df: DataFrame, id_col: str, text_col: str, target_pred,
     step).  Rank is over the EXACT integer micro-score with id tie-break,
     so the kept set is bit-stable across engines and reruns.
 
-    Scale note: the global top-n goes through the same narrow
-    per-partition prune as the ANN rankers (_per_query_topk with a single
-    query group) — no reducer sorts the whole corpus's scores.
-    ``caches`` forwards to dsir_scores (the result here is bounded, so
-    callers can collect_freeing it against these).
+    Scale note: the global top-n is ``orderBy + limit``, which Spark
+    compiles to TakeOrderedAndProject — per-partition JVM top-n then a
+    driver merge of partitions*n rows, no reducer ever sorts the whole
+    corpus's scores (the r11 shape routed the same prune through
+    _per_query_topk's mapInPandas, paying an Arrow round-trip of every
+    doc's score for a single query group).  (dsir_micro, id) is a total
+    order, so the kept set and ranks are bit-stable.  ``caches`` forwards
+    to dsir_scores (the result here is bounded, so callers can
+    collect_freeing it against these).
     """
-    from kstream_spark.operators.similarity import _per_query_topk
-    scored = (dsir_scores(df, id_col, text_col, target_pred, n_buckets,
-                          caches=caches, share_tokens=share_tokens)
-              .withColumn("query_id", F.lit(0))
-              .withColumn("_s", F.col("dsir_micro").cast("double")))
-    kept = _per_query_topk(scored, n_select, score_col="_s", id_col=id_col,
-                           asc=False)
-    return kept.select(id_col, "n_tokens", "dsir_micro",
-                       F.col("rank").cast("long").alias("rank"))
+    scored = dsir_scores(df, id_col, text_col, target_pred, n_buckets,
+                         caches=caches, share_tokens=share_tokens)
+    kept = scored.orderBy(F.desc("dsir_micro"), F.asc(id_col)) \
+        .limit(n_select)
+    # rank over the already-limited n_select rows — a single-partition
+    # window over a bounded relation, not a corpus sort
+    from pyspark.sql import Window as W
+    w = W.orderBy(F.desc("dsir_micro"), F.asc(id_col))
+    return kept.withColumn("rank", F.row_number().over(w).cast("long")) \
+        .select(id_col, "n_tokens", "dsir_micro", "rank")
 
 
 # -- greedy k-center coreset (farthest-point traversal) ---------------------
@@ -342,7 +347,8 @@ def mmr_rerank(emb: DataFrame, id_col: str, vec_col: str, query_ids: list,
 # -- curriculum difficulty binning -------------------------------------------
 def curriculum_bins(df: DataFrame, id_col: str, text_col: str,
                     n_bins: int = 10, caches: list | None = None,
-                    share_bigrams: bool = False) -> DataFrame:
+                    share_bigrams: bool = False,
+                    bigram_table: str = "auto") -> DataFrame:
     """Curriculum-learning difficulty bins: score every document with the
     corpus-self bigram LM (operators/corpus.bigram_logprob — higher
     per-bigram log-prob = more predictable = easier), rank the corpus by
@@ -382,10 +388,15 @@ def curriculum_bins(df: DataFrame, id_col: str, text_col: str,
     # share_bigrams threads through to bigram_logprob: the exploded
     # (id, bigram) relation persists once and feeds the count table, the
     # probe join, and the auto gate (query-scale arm; see its docstring)
+    # bigram_table passes through: "auto" spends one full distinct-count
+    # job deciding broadcast-vs-shuffle — a caller that knows its vocab
+    # scale (natural-language corpora stay far under the 2M-bigram
+    # broadcast ceiling) pins the arm and drops that job entirely
     lm = bigram_logprob(
         ensure_parallelism(df, min_partitions=8, min_bytes=256 << 10),
         id_col, text_col, min_parallel_bytes=None,
-        caches=caches, share_bigrams=share_bigrams)
+        caches=caches, share_bigrams=share_bigrams,
+        bigram_table=bigram_table)
     scored = lm.withColumn(
         "_lpb", F.col("sum_logp_micro").cast("double") / F.col("n_bigrams"))
     binned = with_ntile_percent_rank(

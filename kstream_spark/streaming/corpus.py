@@ -84,13 +84,18 @@ def admit_stream(df: DataFrame, corpus_path: str, signature_path: str,
         # window run exactly once per batch and the pinned storage is
         # survivors-sized (r12 admission profile: 9.2s -> ~2s per
         # 2M-record trigger).
+        # sig_impl="codegen": an admission stream is the unique-heavy
+        # regime (fresh crawls; exact re-crawls died at the hash gate
+        # above), where the JVM projection minhash wins ~4x over the
+        # memoized pandas arm — see _doc_local_minhash's A/B
         admitted, sigs = incremental_dedup(batch, batch.limit(0), id_col,
                                            text_col, n=n,
                                            threshold=threshold,
                                            corpus_state=state,
                                            persisted=handles,
                                            return_signatures=True,
-                                           checkpoint_fresh=True)
+                                           checkpoint_fresh=True,
+                                           sig_impl="codegen")
         admitted = admitted.persist()
         # per-write dynamic overwrite: replayed epochs replace only their own
         # partitions, WITHOUT flipping the session-wide overwrite semantics

@@ -37,6 +37,21 @@ def test_ngram_jaccard_finds_near_dup(spark, docs):
     assert all(a != 3 and b != 3 for a, b in got)
 
 
+def test_minhash_impls_bit_identical(spark, docs):
+    """The codegen and memoized-pandas minhash arms must agree on every
+    column (signatures drive band bucketing, so ONE differing hex digit
+    silently changes candidate generation) — including the empty-shingle
+    doc (id 4: NULL bands both ways) and per-hash mode."""
+    for bands in (4, None):
+        a = D._doc_local_minhash(docs, "doc_id", "text", 3, D.NUM_HASHES,
+                                 bands=bands, impl="pandas")
+        b = D._doc_local_minhash(docs, "doc_id", "text", 3, D.NUM_HASHES,
+                                 bands=bands, impl="codegen")
+        ra = {r["doc_id"]: r.asDict() for r in a.collect()}
+        rb = {r["doc_id"]: r.asDict() for r in b.collect()}
+        assert ra == rb
+
+
 def test_minhash_lsh_matches_exact_on_near_dups(spark, docs):
     exact = {(r.doc_a, r.doc_b) for r in
              D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()}
