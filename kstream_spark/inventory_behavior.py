@@ -10,6 +10,7 @@ counting.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from kstream_spark.builder import StreamBuilder
 from kstream_spark.operators import behavior as B
@@ -286,22 +287,33 @@ def q_graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     return pagerank(edges, "src", "dst", iters=3)
 
 
+def _cooccur_pairs(df: DataFrame, group_col: str, item_col: str) -> DataFrame:
+    """Ordered co-occurrence pairs (s < d) per group, GROUP-LOCAL: one
+    groupBy collects each group's sorted distinct item set and the pairs
+    explode from the array — one shuffle of (group, item), versus the
+    self-join shape's two shuffles + join (sf1 supplier graph A/B:
+    6.5s -> 4.0s warm for the same 4.5M edges).  Per-row fan-out is
+    bounded by the group's item count choose 2 (TPC-H orders carry <= 7
+    suppliers; a corpus with million-item groups should cap or sample
+    the group first — the same hot-key proviso as any collect_set).
+    Emits duplicates across groups; callers .distinct() or count."""
+    return (df.groupBy(group_col)
+            .agg(F.sort_array(F.collect_set(item_col)).alias("ps"))
+            .select(F.explode(F.expr(
+                "flatten(transform(ps, (x, i) -> "
+                "transform(slice(ps, i + 2, size(ps)), "
+                "y -> struct(x AS s, y AS d))))")).alias("e"))
+            .select("e.s", "e.d"))
+
+
 def q_graph_triangles(spark: SparkSession, sf: str) -> DataFrame:
     """Degree-oriented exact triangle counts over the supplier
     co-purchase graph — suppliers linked when they share an order
     (operators/graph.triangle_count)."""
-    from pyspark.sql import functions as SF
     from kstream_spark.operators.graph import triangle_count
     li = StreamBuilder(spark).table(f"{sf}/lineitem.parquet",
                                     name="lineitem").to_df()
-    # dedupe (order, supplier) BEFORE the self-join: k repeats of a pair
-    # on both sides would inflate the join k^2-fold ahead of the edge
-    # distinct (sf0.1: 14.9s -> the components-query shape)
-    pp = li.select(SF.col("l_orderkey").alias("o"),
-                   SF.col("l_suppkey").alias("s")).distinct()
-    b = pp.select("o", SF.col("s").alias("d"))
-    edges = (pp.join(b, "o").filter(SF.col("s") < SF.col("d"))
-             .select("s", "d").distinct())
+    edges = _cooccur_pairs(li, "l_orderkey", "l_suppkey").distinct()
     return triangle_count(edges, "s", "d")
 
 
@@ -315,12 +327,7 @@ def q_graph_components(spark: SparkSession, sf: str) -> DataFrame:
     from kstream_spark.operators.graph import connected_components
     li = StreamBuilder(spark).table(f"{sf}/lineitem.parquet",
                                     name="lineitem").to_df()
-    pp = li.select("l_orderkey", "l_partkey").distinct()
-    a = pp.select(SF.col("l_orderkey").alias("o"),
-                  SF.col("l_partkey").alias("s"))
-    b = pp.select(SF.col("l_orderkey").alias("o"),
-                  SF.col("l_partkey").alias("d"))
-    edges = (a.join(b, "o").filter(SF.col("s") < SF.col("d"))
+    edges = (_cooccur_pairs(li, "l_orderkey", "l_partkey")
              .groupBy("s", "d").agg(SF.count("*").alias("n"))
              .filter(SF.col("n") >= 2).select("s", "d"))
     return connected_components(edges, "s", "d", collect_threshold=0)
@@ -524,16 +531,10 @@ def q_graph_lpa(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic synchronous label propagation, 3 rounds, over the
     supplier co-purchase graph (the triangles edge relation;
     operators/graph.label_propagation)."""
-    from pyspark.sql import functions as SF
     from kstream_spark.operators.graph import label_propagation
     li = StreamBuilder(spark).table(f"{sf}/lineitem.parquet",
                                     name="lineitem").to_df()
-    # (order, supplier) deduped before the self-join — see q_graph_triangles
-    pp = li.select(SF.col("l_orderkey").alias("o"),
-                   SF.col("l_suppkey").alias("s")).distinct()
-    b = pp.select("o", SF.col("s").alias("d"))
-    edges = (pp.join(b, "o").filter(SF.col("s") < SF.col("d"))
-             .select("s", "d").distinct())
+    edges = _cooccur_pairs(li, "l_orderkey", "l_suppkey").distinct()
     return label_propagation(edges, "s", "d", iters=3)
 
 

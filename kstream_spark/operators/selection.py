@@ -30,9 +30,23 @@ from kstream_spark.functions.vectors import as_double, dot, norm
 
 # -- DSIR-style hashed importance resampling --------------------------------
 def _dsir_tokens(df: DataFrame, id_col: str, text_col: str,
-                 n_buckets: int, extra=None) -> DataFrame:
+                 n_buckets: int, extra=None,
+                 impl: str = "pandas") -> DataFrame:
     """(id, bucket) token stream: whitespace tokens hashed into
     ``n_buckets`` portable md5 feature buckets (seed 'dsir').
+
+    ``impl="pandas"`` (default) buckets through a per-task word->bucket
+    MEMO: a word's bucket is a pure function of the word and natural-
+    language token streams are maximally repetitive (Zipf), so the md5
+    cost collapses to O(distinct words) per task — the same workload
+    lesson as ``dedup._doc_local_minhash`` (sf1 A/B: 1.32s -> 0.78s warm
+    for the bucket-count pass).  ``impl="codegen"`` is the stateless
+    explode + md5-per-occurrence Catalyst arm — no Python, no Arrow; the
+    arm for vocabulary-explosive payloads (URLs, ids) where a memo never
+    hits.  Both split on ASCII whitespace exactly (the pandas regex
+    spells out Java's ``\\s`` class — Python's ``\\s`` is Unicode-wide
+    and would diverge on NBSP), lowercase JVM-side, and drop empties;
+    bit-identical output, either replays the DuckDB oracle.
 
     md5-per-token is CPU-heavy per input byte — spread a few-split scan
     across cores first (the shingle_sets floor; without it a small-file
@@ -41,10 +55,55 @@ def _dsir_tokens(df: DataFrame, id_col: str, text_col: str,
     from kstream_spark.util import ensure_parallelism
     df = ensure_parallelism(df, min_bytes=256 << 10)
     cols = [F.col(id_col)] + ([] if extra is None else [extra])
-    tok = df.select(
-        *cols,
-        F.explode(_clean_words(F.lower(F.col(text_col)))).alias("tok"))
-    return tok.withColumn("_b", _hash_mod(F.col("tok"), n_buckets, "dsir"))
+    if impl == "codegen":
+        tok = df.select(
+            *cols,
+            F.explode(_clean_words(F.lower(F.col(text_col)))).alias("tok"))
+        return tok.withColumn("_b",
+                              _hash_mod(F.col("tok"), n_buckets, "dsir"))
+    if impl != "pandas":
+        raise ValueError(f"impl must be pandas|codegen, got {impl!r}")
+    import hashlib
+    import re
+
+    import pandas as pd
+
+    proj = df.select(*cols, F.lower(F.col(text_col)).alias("__txt"))
+    keys = [f.name for f in proj.schema.fields[:-1]]
+    key_types = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                          for f in proj.schema.fields[:-1])
+    split = re.compile(r"[ \t\n\x0b\f\r]+").split   # Java \s, exactly
+
+    def run(batches):
+        memo: dict = {}
+        MEMO_CAP = 1 << 22
+        md5 = hashlib.md5
+
+        def bucket(w: str) -> int:
+            b = memo.get(w)
+            if b is None:
+                b = int(md5(b"dsir:" + w.encode()).hexdigest()[:8],
+                        16) % n_buckets
+                if len(memo) >= MEMO_CAP:
+                    memo.clear()
+                memo[w] = b
+            return b
+
+        for pdf in batches:
+            out: dict = {k: [] for k in keys}
+            bs: list = []
+            for row in zip(*(pdf[k] for k in keys), pdf["__txt"]):
+                *kv, text = row
+                if text is None:        # explode(null) emits nothing
+                    continue
+                for w in split(text):
+                    if w:
+                        for k, v in zip(keys, kv):
+                            out[k].append(v)
+                        bs.append(bucket(w))
+            yield pd.DataFrame({**out, "_b": bs})
+
+    return proj.mapInPandas(run, f"{key_types}, _b long")
 
 
 def dsir_weights(df: DataFrame, text_col: str, target_pred,

@@ -431,30 +431,40 @@ def lang_id_ngram(df: DataFrame, id_col: str, text_col: str,
                          F.lit("und").alias("pred_lang"),
                          F.lit(0).cast("long").alias("n_hits"))
     t = F.lower(F.col(text_col))
-    # per-row gram building is CPU-heavy (L substrs + array_distinct per
-    # doc): spread a few-split scan across cores — the zero-shuffle plan
-    # otherwise runs ENTIRELY on the scan's 1-2 file splits (the r8
-    # shape's early distinct-exchange parallelized downstream work by
-    # accident; this repartition does it on purpose)
+    # per-row gram building is CPU-heavy (L substrs per doc): spread a
+    # few-split scan across cores — the zero-shuffle plan otherwise runs
+    # ENTIRELY on the scan's 1-2 file splits (the r8 shape's early
+    # distinct-exchange parallelized downstream work by accident; this
+    # repartition does it on purpose)
     from kstream_spark.util import ensure_parallelism
     src = ensure_parallelism(df, min_bytes=256 << 10) \
         .select(F.col(id_col), *keep, t.alias("_t"))
     grams = F.when(
         F.length("_t") >= n,
-        F.array_distinct(F.expr(
-            f"transform(sequence(1, length(_t) - {n - 1}), "
-            f"i -> substr(_t, i, {n}))"))
+        F.expr(f"transform(sequence(1, length(_t) - {n - 1}), "
+               f"i -> substr(_t, i, {n}))")
     ).otherwise(F.array().cast("array<string>"))
-    # materialize the gram array in its OWN projection: inlined into the
-    # per-language intersects it would be re-evaluated |langs| times
-    # (CollapseProject keeps non-cheap multi-referenced projections
-    # separate, so this select is a real barrier — measured 4.4s -> 1.5s
-    # for the scoring pass at sf0.1)
+    # ONE heavy intersect per doc, not |langs|: the doc's gram stream
+    # (duplicates and all — array_intersect dedups internally, so the
+    # r11 array_distinct pre-pass was a redundant full hash pass) is cut
+    # against the UNION of every profile's grams first; the per-language
+    # intersects then run over that <= |langs|*top_m-element remnant,
+    # which is set-algebra-identical (gs ∩ P_l == (gs ∩ ∪P) ∩ P_l).
+    # sf1 A/B: scoring 2.8s -> ~1.3s.  Each stage sits in its OWN
+    # projection: inlined, CollapseProject would re-evaluate the gram
+    # build / the common remnant once per consumer (measured 4.4s ->
+    # 1.5s at sf0.1 when the barrier first landed, r10)
+    all_grams = sorted({g for gs in prof.values() for g in gs})
     with_grams = src.select(F.col(id_col), *keep, grams.alias("_gs"))
-    scored = with_grams.select(
+    with_common = with_grams.select(
+        F.col(id_col), *keep,
+        F.array_intersect(F.col("_gs"),
+                          F.array(*[F.lit(g) for g in all_grams]))
+        .alias("_cg"))
+    scored = with_common.select(
         F.col(id_col), *keep, *[
             F.size(F.array_intersect(
-                F.col("_gs"), F.array(*[F.lit(g) for g in prof[lang]])))
+                F.col("_cg"), F.array(*[F.lit(g) for g in prof[lang]])))
             .alias(f"_h_{i}") for i, lang in enumerate(langs)])
     # argmax with ties to the lexicographically lowest language: walk in
     # ascending lang order and replace only on a STRICT improvement
