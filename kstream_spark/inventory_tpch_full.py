@@ -205,7 +205,13 @@ def q9_product_profit(spark: SparkSession, sf: str) -> DataFrame:
     part = _t(spark, sf, "part").filter(F.col("p_name").like("%e%"))
     supp = _t(spark, sf, "supplier")
     nation = _t(spark, sf, "nation")
-    orders = _t(spark, sf, "orders")
+    # o_year computed on the BUILD side: 1.5M evaluations instead of one
+    # per joined lineitem row, and the broadcast payload prunes to two
+    # longs (the plan is all-broadcast at bench scale — AQE's 64MB
+    # threshold — and degrades to a shuffle join on orderkey at cluster
+    # scale, where the early projection prunes the exchange instead)
+    orders = _t(spark, sf, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year"))
     li = _t(spark, sf, "lineitem")
     amount = _rev() - F.col("p_retailprice") * 0.1 * F.col("l_quantity")
     # sum in exact decimal: double sums are order-dependent in the last ulp
@@ -216,8 +222,7 @@ def q9_product_profit(spark: SparkSession, sf: str) -> DataFrame:
             .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
             .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
             .join(orders, li.l_orderkey == orders.o_orderkey)
-            .groupBy(F.col("n_name").alias("nation"),
-                     F.year("o_orderdate").cast("long").alias("o_year"))
+            .groupBy(F.col("n_name").alias("nation"), "o_year")
             .agg(F.round(F.sum(amount.cast("decimal(18,6)")), 2)
                  .cast("double").alias("sum_profit")))
 
