@@ -79,17 +79,29 @@ DEFAULT_BAND = 25
 
 
 def _repo_head() -> str:
-    """Current repo HEAD (empty if git is unavailable) — stamps sweep
-    artifacts so a resumed orchestrated run can't silently merge results
-    measured against older code (the r11 ADVICE staleness hole)."""
-    import subprocess
-    try:
-        return subprocess.run(
-            ["git", "-C", os.path.dirname(os.path.dirname(
-                os.path.abspath(__file__))), "rev-parse", "HEAD"],
-            capture_output=True, text=True, timeout=10).stdout.strip()
-    except Exception:
-        return ""
+    """Hash of the BEHAVIOR-DEFINING sources (library + entry + this
+    harness) — stamps sweep artifacts so a resumed orchestrated run
+    can't silently merge results measured against older code (the r11
+    ADVICE staleness hole).  A source hash, not git HEAD: committing
+    docs or measurement artifacts mid-sweep must not invalidate a
+    resume (the r12 lesson — a 2h sf1 sweep spans several doc commits),
+    while any .py change still does."""
+    import glob as _g
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    h = hashlib.md5()
+    files = sorted(
+        _g.glob(os.path.join(root, "kstream_spark", "**", "*.py"),
+                recursive=True)
+        + [os.path.join(root, "__spark_entry__.py"),
+           os.path.abspath(__file__)])
+    for p in files:
+        try:
+            with open(p, "rb") as fh:
+                h.update(p.encode())
+                h.update(fh.read())
+        except OSError:
+            pass
+    return "src:" + h.hexdigest()
 
 
 def canonical(df: pd.DataFrame) -> str:
