@@ -158,30 +158,84 @@ def attach_audio(df: DataFrame, source_col: str, sample_rate: int = 16000,
         ))
 
 
+def _fake_decode_segments(df: DataFrame, id_col: str, text_col: str,
+                          n_seg: int, out_col: str, mean: bool,
+                          impl: str) -> DataFrame:
+    """Shared body of the two decode stubs: ``n_seg`` integer segment
+    sums (or means) of a payload's char codes.
+
+    ``impl="pandas"`` (default at both call sites) is one numpy cumsum
+    per row inside mapInPandas — exactly the shape a REAL decoder takes
+    (PIL/librosa are Pandas-UDF territory), and it sidesteps the
+    codegen arm's plan-cost wall: 72 interpreted ``aggregate`` folds per
+    row re-entered by the hash layer's reads made mm_phash/mm_afp
+    ~6s at EVERY SF — flat across data sizes, i.e. driver-side
+    expression-tree analysis, not execution (r12 profile).
+    ``impl="codegen"`` keeps the pure-expression arm (no Python
+    dependency; the pre-r12 default).  Both are integer-exact and
+    bit-identical (pytest-pinned): bounds ``(k*n) div n_seg``, sums over
+    codepoints (== Spark ``ascii`` == DuckDB ``ord`` on every fixture),
+    floor division by ``greatest(len, 1)`` for the mean arm."""
+    if impl == "codegen":
+        src = df.select(F.col(id_col),
+                        F.transform(F.split(F.col(text_col), ""),
+                                    lambda ch: F.ascii(ch)).alias("_pc"),
+                        F.length(F.col(text_col)).alias("_n"))
+        segs = []
+        for k in range(n_seg):
+            st = f"cast(({k} * _n) div {n_seg} as int) + 1"
+            ln = (f"cast((({k + 1}) * _n) div {n_seg} "
+                  f"- ({k} * _n) div {n_seg} as int)")
+            body = (f"aggregate(slice(_pc, {st}, {ln}), 0, "
+                    f"(a, x) -> a + x)")
+            if mean:
+                body = f"{body} div greatest({ln}, 1)"
+            segs.append(F.expr(f"cast({body} as int)"))
+        return src.select(F.col(id_col), F.array(*segs).alias(out_col))
+    if impl != "pandas":
+        raise ValueError(f"impl must be pandas|codegen, got {impl!r}")
+    import numpy as np
+    import pandas as pd
+
+    def run(batches):
+        bounds_k = np.arange(n_seg + 1, dtype=np.int64)
+        for pdf in batches:
+            ids, arrs = [], []
+            for did, t in zip(pdf[id_col], pdf[text_col]):
+                n = 0 if t is None else len(t)
+                if n:
+                    codes = np.fromiter(map(ord, t), dtype=np.int64,
+                                        count=n)
+                    cs = np.concatenate(([0], np.cumsum(codes)))
+                else:
+                    cs = np.zeros(1, dtype=np.int64)
+                bounds = (bounds_k * n) // n_seg
+                sums = cs[bounds[1:]] - cs[bounds[:-1]]
+                if mean:
+                    sums = sums // np.maximum(bounds[1:] - bounds[:-1], 1)
+                ids.append(did)
+                arrs.append([int(v) for v in sums])
+            yield pd.DataFrame({"__id": ids, out_col: arrs})
+
+    id_type = dict(df.dtypes)[id_col]
+    return df.select(F.col(id_col), F.col(text_col)) \
+        .mapInPandas(run, f"__id {id_type}, {out_col} array<int>") \
+        .withColumnRenamed("__id", id_col)
+
+
 def fake_decode_image(df: DataFrame, id_col: str, text_col: str,
-                      n_px: int = 72) -> DataFrame:
+                      n_px: int = 72, impl: str = "pandas") -> DataFrame:
     """STUB image decode: derive a deterministic grayscale "thumbnail"
     (``n_px`` integer pixels) from a text payload — segment MEANS of the
     char codes (sum // len, integer-exact), standing in for the
     resize-to-thumbnail step a real decoder (PIL etc., absent from this
     container) would run.  Region averaging mirrors what real
-    thumbnailing does and is what ``dhash_bands`` consumes; pure codegen
-    (split -> transform -> per-segment aggregate), no UDF.  Rows shorter
-    than one char per segment are the caller's business (filter
-    ``length >= n_px`` for stable thumbnails)."""
-    src = df.select(F.col(id_col),
-                    F.transform(F.split(F.col(text_col), ""),
-                                lambda ch: F.ascii(ch)).alias("_pc"),
-                    F.length(F.col(text_col)).alias("_n"))
-    px = []
-    for k in range(n_px):
-        st = f"cast(({k} * _n) div {n_px} as int) + 1"
-        ln = (f"cast((({k + 1}) * _n) div {n_px} "
-              f"- ({k} * _n) div {n_px} as int)")
-        px.append(F.expr(
-            f"cast(aggregate(slice(_pc, {st}, {ln}), 0, (a, x) -> a + x)"
-            f" div greatest({ln}, 1) as int)"))
-    return src.select(F.col(id_col), F.array(*px).alias("pixels"))
+    thumbnailing does and is what ``dhash_bands`` consumes.  Rows
+    shorter than one char per segment are the caller's business (filter
+    ``length >= n_px`` for stable thumbnails).  See
+    ``_fake_decode_segments`` for the impl arms."""
+    return _fake_decode_segments(df, id_col, text_col, n_px,
+                                 "pixels", mean=True, impl=impl)
 
 
 def dhash_bands(df: DataFrame, id_col: str, pixel_col: str,
@@ -287,25 +341,15 @@ def banded_hamming_pairs(hb: DataFrame, id_col: str, n_bands: int,
 
 
 def fake_decode_audio(df: DataFrame, id_col: str, text_col: str,
-                      n_seg: int = 80) -> DataFrame:
+                      n_seg: int = 80, impl: str = "pandas") -> DataFrame:
     """STUB audio decode: deterministic integer "band energies" from a
     text payload — ``n_seg`` segment SUMS of the char codes, standing in
     for the framed filterbank energies a real decoder (absent from this
-    container) would produce.  Pure codegen; integer-exact.  Callers
-    should filter ``length >= n_seg``."""
-    src = df.select(F.col(id_col),
-                    F.transform(F.split(F.col(text_col), ""),
-                                lambda ch: F.ascii(ch)).alias("_pc"),
-                    F.length(F.col(text_col)).alias("_n"))
-    seg = []
-    for k in range(n_seg):
-        st = f"cast(({k} * _n) div {n_seg} as int) + 1"
-        ln = (f"cast((({k + 1}) * _n) div {n_seg} "
-              f"- ({k} * _n) div {n_seg} as int)")
-        seg.append(F.expr(
-            f"cast(aggregate(slice(_pc, {st}, {ln}), 0, (a, x) -> a + x)"
-            f" as int)"))
-    return src.select(F.col(id_col), F.array(*seg).alias("energies"))
+    container) would produce.  Integer-exact.  Callers should filter
+    ``length >= n_seg``.  See ``_fake_decode_segments`` for the impl
+    arms."""
+    return _fake_decode_segments(df, id_col, text_col, n_seg,
+                                 "energies", mean=False, impl=impl)
 
 
 def afp_bands(df: DataFrame, id_col: str, energy_col: str,
