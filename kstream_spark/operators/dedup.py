@@ -298,7 +298,17 @@ def _doc_local_minhash_pandas(df: DataFrame, id_col: str, text_col: str,
                               bands: int | None = None) -> DataFrame:
     """The memoized-Python arm of ``_doc_local_minhash`` (see its
     docstring for the workload trade-off).  Memo bounded so a
-    pathological partition can't hold gigabytes of digest rows."""
+    pathological partition can't hold gigabytes of digest rows.
+
+    Tokenization parity with the codegen arm (and the DuckDB/RE2 oracle)
+    is load-bearing: the split regex spells out Java's ASCII ``\\s``
+    class (Python's ``\\s`` is Unicode-wide and would diverge on NBSP &
+    friends), lower-casing happens JVM-side in the pre-projection (one
+    casing discipline — Python ``str.lower`` differs on dotted-I etc.),
+    and NULL text maps to the empty shingle set exactly as the codegen
+    arm's ``split(NULL)`` -> empty-array path does.  admit_stream
+    persists codegen-built signatures that later pandas-arm runs compare
+    against, so one differing token boundary silently loses near-dups."""
     import hashlib
     import re
 
@@ -307,6 +317,7 @@ def _doc_local_minhash_pandas(df: DataFrame, id_col: str, text_col: str,
     rows = (num_hashes // bands) if bands else 0
     sig_cols = ([f"b{b}" for b in range(bands)] if bands
                 else [f"h{i}" for i in range(num_hashes)])
+    split = re.compile(r"[ \t\n\x0b\f\r]+").split   # Java \s, exactly
 
     def run(batches):
         memo: dict = {}
@@ -327,8 +338,8 @@ def _doc_local_minhash_pandas(df: DataFrame, id_col: str, text_col: str,
         for pdf in batches:
             out = {"__id": [], "ss": [], "n": [],
                    **{c: [] for c in sig_cols}}
-            for did, text in zip(pdf[id_col], pdf[text_col]):
-                ws = re.split(r"\s+", text.lower())
+            for did, text in zip(pdf["__id"], pdf["__txt"]):
+                ws = split(text) if text is not None else []
                 sh = sorted({" ".join(ws[i:i + n])
                              for i in range(len(ws) - (n - 1))}) \
                     if len(ws) >= n else []
@@ -356,7 +367,8 @@ def _doc_local_minhash_pandas(df: DataFrame, id_col: str, text_col: str,
 
     id_type = dict(df.dtypes)[id_col]
     schema_sig = ", ".join(f"{c} string" for c in sig_cols)
-    return df.select(F.col(id_col), F.col(text_col)) \
+    return df.select(F.col(id_col).alias("__id"),
+                     F.lower(F.col(text_col)).alias("__txt")) \
         .mapInPandas(run, f"__id {id_type}, ss array<string>, n long, "
                           f"{schema_sig}") \
         .withColumnRenamed("__id", id_col)

@@ -41,15 +41,31 @@ def test_minhash_impls_bit_identical(spark, docs):
     """The codegen and memoized-pandas minhash arms must agree on every
     column (signatures drive band bucketing, so ONE differing hex digit
     silently changes candidate generation) — including the empty-shingle
-    doc (id 4: NULL bands both ways) and per-hash mode."""
+    doc (id 4: NULL bands both ways) and per-hash mode.  The hostile rows
+    pin the tokenizer-parity contract: NBSP/ideographic space (Python \\s
+    splits, Java \\s does NOT — both arms must agree on Java's class),
+    NULL text (codegen's split(NULL) path == pandas' None guard), Turkish
+    dotted İ (JVM lower on both sides), and trailing whitespace (both
+    split conventions keep the trailing empty token)."""
+    hostile = spark.createDataFrame(
+        [(10, "nbsp glued tokens here ok"),          # U+00A0 not Java \s
+         (11, "ideo　space tokens here too"),         # U+3000 not Java \s
+         (12, None),                                      # NULL text
+         (13, "İstanbul pair casing check done"),    # dotted I casing
+         (14, "trailing space run ends here   ")],
+        "doc_id long, text string")
+    both = docs.unionByName(hostile)
     for bands in (4, None):
-        a = D._doc_local_minhash(docs, "doc_id", "text", 3, D.NUM_HASHES,
+        a = D._doc_local_minhash(both, "doc_id", "text", 3, D.NUM_HASHES,
                                  bands=bands, impl="pandas")
-        b = D._doc_local_minhash(docs, "doc_id", "text", 3, D.NUM_HASHES,
+        b = D._doc_local_minhash(both, "doc_id", "text", 3, D.NUM_HASHES,
                                  bands=bands, impl="codegen")
         ra = {r["doc_id"]: r.asDict() for r in a.collect()}
         rb = {r["doc_id"]: r.asDict() for r in b.collect()}
         assert ra == rb
+        assert ra[12]["ss"] == [] and ra[12]["n"] == 0   # NULL -> empty set
+        # NBSP must NOT be a token boundary: the glued bigram survives
+        assert any("nbsp glued" in s for s in ra[10]["ss"])
 
 
 def test_minhash_lsh_matches_exact_on_near_dups(spark, docs):
@@ -99,6 +115,31 @@ def test_lsh_cosine_recovers_planted_near_dups(spark):
     assert pairs <= brute                    # exact verification => precision 1
     assert len(pairs) >= 0.9 * len(brute)    # high recall on near-identical
     assert len(brute) == 20
+
+
+def test_cosine_pairs_impls_identical(spark):
+    """The blocked-matmul and codegen arms of cosine_pairs must emit the
+    IDENTICAL pair set with identical rounded cosines (the numpy arm is
+    the default; dedup_embedding/decon_embedding inherit it) — including
+    at a low threshold where many pairs survive, across several block
+    counts (tile boundaries must not change results), and with a
+    zero-norm vector (JVM division NULLs, numpy must drop, not emit inf)."""
+    import random
+    random.seed(13)
+    rows = [(i, [float(random.gauss(0, 1)) for _ in range(16)])
+            for i in range(60)]
+    rows.append((60, [0.0] * 16))     # zero-norm: both arms must drop it
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    ref = sorted((r.id_a, r.id_b, r.cos) for r in
+                 S.cosine_pairs(emb, "vec_id", "embedding", threshold=0.1,
+                                impl="codegen").collect())
+    assert len(ref) > 50                 # non-trivial survivor set
+    for nb in (1, 4, 16):
+        got = sorted((r.id_a, r.id_b, r.cos) for r in
+                     S.cosine_pairs(emb, "vec_id", "embedding", threshold=0.1,
+                                    n_blocks=nb).collect())
+        assert got == ref
+    assert all(a != 60 and b != 60 for a, b, _ in ref)
 
 
 def test_cosine_topk_self_excluded(spark):
