@@ -11,6 +11,14 @@ what it parses, the detail sidecar is for humans/the judge.
 Execution is measured with a noop-format write (full plan execution, no
 driver-side collect).
 
+Drift instrument (r13, ported from the sf1 sweep): the run is split into
+bands of $SPARK_GRAFT_BENCH_BAND (default 25) queries, each band in a
+FRESH JVM (this file re-invoked with --band), and every band brackets
+itself with a timed control query (dedup_exact).  JVM aging and machine
+drift then show up in control_runs/control_spread instead of silently
+inflating untouched queries (the r11/r12 +2-3% creep).  Set
+SPARK_GRAFT_BENCH_INPROC=1 for the legacy single-JVM path.
+
 Scale note: the exact all-pairs oracle anchors (sim_cosine_pairs,
 dedup_embedding) are deliberately NOT in HEADLINE — their scale-path
 twins (dedup_embedding_lsh, sim_ivf*/pq* top-k) are what headline
@@ -295,48 +303,134 @@ def bench_pq_state(spark, sf_dir: str, iters: int) -> dict:
     return out
 
 
-def main():
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.1
+CONTROL_QUERY = "dedup_exact"   # same control as the sf1 sweep instrument
 
+
+def _time_query(spark, fn, sf_dir: str, iters: int) -> float:
+    # each query timed end-to-end (plan + execute); min over `iters` runs
+    # so a GC pause / noisy neighbor doesn't masquerade as engine cost
+    best = None
+    for _ in range(max(1, iters)):
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def run_band(names: list, sf_dir: str, iters: int,
+             with_state: bool) -> dict:
+    """One measurement band in THIS process: warm-up, control query,
+    the band's queries, control again.  The control pair brackets the
+    band so cross-band machine drift is measurable (the sf1 sweep's
+    instrument, ported after two rounds of unfalsifiable sf0.1 creep)."""
     from kstream_spark import get_spark
     from kstream_spark.inventory import INVENTORY
 
     spark = get_spark(app_name="kstream_spark_bench")
     # warm-up: JVM/JIT + file-listing so the first timed query isn't charged
-    # for session startup (steady-state throughput is the comparison point)
+    # for session startup (steady-state throughput is the comparison point);
+    # the mapInPandas ping also forks the Python workers and initializes
+    # Arrow so a fresh-JVM band's first pandas query isn't charged either
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
-    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
+    spark.range(1000, numPartitions=8) \
+        .mapInPandas(lambda it: it, "id long") \
+        .write.format("noop").mode("overwrite").save()
+    ctrl_fn = INVENTORY[CONTROL_QUERY][0]
+    control_runs = []
+    control_runs.append(
+        {"at": "start", "sec": round(_time_query(spark, ctrl_fn, sf_dir,
+                                                 iters), 3)})
+    spark.catalog.clearCache()
     timings = {}
-    for name in HEADLINE:
+    for name in names:
         if name not in INVENTORY:
             continue
-        fn = INVENTORY[name][0]
-        # each query timed end-to-end (plan + execute); min over `iters` runs
-        # so a GC pause / noisy neighbor doesn't masquerade as engine cost
-        best = None
-        for _ in range(max(1, iters)):
-            t0 = time.time()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+        timings[name] = round(_time_query(spark, INVENTORY[name][0],
+                                          sf_dir, iters), 3)
         # operators may persist() intermediates (dedup's inverted index);
         # clear between queries so cache memory doesn't skew later timings
         spark.catalog.clearCache()
+    if with_state:
+        timings.update(bench_incremental_state(spark, sf_dir, iters))
+        timings.update(bench_ivf_state(spark, sf_dir, iters))
+        timings.update(bench_pq_state(spark, sf_dir, iters))
+        spark.catalog.clearCache()
+    control_runs.append(
+        {"at": "end", "sec": round(_time_query(spark, ctrl_fn, sf_dir,
+                                               iters), 3)})
+    return {"timings": timings, "control_runs": control_runs}
 
-    timings.update(bench_incremental_state(spark, sf_dir, iters))
-    timings.update(bench_ivf_state(spark, sf_dir, iters))
-    timings.update(bench_pq_state(spark, sf_dir, iters))
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.1
+    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
+
+    if "--band" in sys.argv:
+        # band worker: fresh JVM, one band, JSON to the path after --json
+        spec = sys.argv[sys.argv.index("--band") + 1]
+        out_path = sys.argv[sys.argv.index("--json") + 1]
+        s, e = (int(x) for x in spec.split(":"))
+        res = run_band(HEADLINE[s:e], sf_dir, iters,
+                       with_state="--state" in sys.argv)
+        with open(out_path, "w") as fh:
+            json.dump(res, fh)
+        return
+
+    band_size = int(os.environ.get("SPARK_GRAFT_BENCH_BAND", "25"))
+    timings, control_runs = {}, []
+    if os.environ.get("SPARK_GRAFT_BENCH_INPROC"):
+        # legacy single-JVM path (fast probes at tiny SFs)
+        res = run_band(HEADLINE, sf_dir, iters, with_state=True)
+        timings = res["timings"]
+        control_runs = [dict(band=0, **c) for c in res["control_runs"]]
+    else:
+        # fresh JVM per band: JVM aging (JIT/codegen caches, heap
+        # fragmentation, GC ergonomics) accumulates over a 120-query run
+        # and shows up as +2-3% "creep" on untouched queries; the sf1
+        # sweep's per-band fresh JVM killed exactly that, so the sf0.1
+        # headline uses the same discipline.  Band workers are this same
+        # file re-invoked with --band; JVM startup is untimed.
+        import subprocess
+        import tempfile
+
+        bands = [(s, min(s + band_size, len(HEADLINE)))
+                 for s in range(0, len(HEADLINE), band_size)]
+        for bi, (s, e) in enumerate(bands):
+            with tempfile.NamedTemporaryFile(mode="r", suffix=".json",
+                                             delete=False) as fh:
+                out_path = fh.name
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--band", f"{s}:{e}", "--json", out_path]
+            if e == len(HEADLINE):
+                cmd.append("--state")
+            proc = subprocess.run(cmd, stdout=subprocess.DEVNULL)
+            if proc.returncode != 0:
+                print(json.dumps({"error": f"band {bi} ({s}:{e}) failed",
+                                  "returncode": proc.returncode}),
+                      file=sys.stderr)
+                continue
+            with open(out_path) as fh:
+                res = json.load(fh)
+            os.unlink(out_path)
+            timings.update(res["timings"])
+            control_runs.extend(dict(band=bi, **c)
+                                for c in res["control_runs"])
 
     total = round(sum(timings.values()), 3)
+    ctrl = [c["sec"] for c in control_runs]
     full = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "control_query": CONTROL_QUERY,
+        "control_runs": control_runs,
+        "control_spread": (round(max(ctrl) / max(min(ctrl), 1e-9), 3)
+                          if ctrl else None),
     }
     # The driver records only a 2000-char TAIL of stdout; a single line with
     # ~80 per-query timings is ~2.5 KB, so its head (the JSON opening) gets
@@ -359,6 +453,8 @@ def main():
         "sf": sf,
         "n_queries": len(timings),
         "slowest5": slowest,
+        "control": [[c.get("band", 0), c["at"], c["sec"]]
+                    for c in control_runs],
         "detail": "BENCH_DETAIL.json",
     }))
 

@@ -52,8 +52,11 @@ FROM documents GROUP BY 2
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    return D.ngram_jaccard_pairs(_docs(StreamBuilder(spark), sf),
-                                 "doc_id", "text", n=3, threshold=0.8)
+    caches: list = []
+    out = D.ngram_jaccard_pairs(_docs(StreamBuilder(spark), sf),
+                                "doc_id", "text", n=3, threshold=0.8,
+                                caches=caches)
+    return collect_freeing(out, *caches)
 
 
 def q_dedup_prefix_jaccard(spark: SparkSession, sf: str) -> DataFrame:
@@ -933,8 +936,10 @@ def q_dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
     (operators/dedup.containment_pairs) — catches the pasted-paragraph
     duplication mode Jaccard misses.  No reference analog (the reference
     has no dedup surface)."""
-    return D.containment_pairs(_docs(StreamBuilder(spark), sf), "doc_id",
-                               "text", n=3, threshold=0.8)
+    caches: list = []
+    out = D.containment_pairs(_docs(StreamBuilder(spark), sf), "doc_id",
+                              "text", n=3, threshold=0.8, caches=caches)
+    return collect_freeing(out, *caches)
 
 
 SQL_DEDUP_CONTAINMENT = f"""
@@ -1040,9 +1045,11 @@ def q_dedup_ngram_capped(spark: SparkSession, sf: str) -> DataFrame:
     cost of computing Jaccard over the rare-shingle universe.  Registered
     separately from the exact baseline so the capped pipeline itself is
     driver-proven with the cap BINDING (df max is 7 at the driver SF)."""
-    return D.ngram_jaccard_pairs(_docs(StreamBuilder(spark), sf),
-                                 "doc_id", "text", n=3, threshold=0.8,
-                                 max_shingle_df=3)
+    caches: list = []
+    out = D.ngram_jaccard_pairs(_docs(StreamBuilder(spark), sf),
+                                "doc_id", "text", n=3, threshold=0.8,
+                                max_shingle_df=3, caches=caches)
+    return collect_freeing(out, *caches)
 
 
 SQL_DEDUP_NGRAM_CAPPED = f"""

@@ -90,7 +90,8 @@ def _jaccard_on_pairs(cand: DataFrame, sh: DataFrame, id_col: str,
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
                         threshold: float = 0.8,
-                        max_shingle_df: int | None = None) -> DataFrame:
+                        max_shingle_df: int | None = None,
+                        caches: list | None = None) -> DataFrame:
     """All pairs with shingle-set Jaccard >= threshold (exact, inverted index).
 
     Intersections come straight off the shingle self-join aggregation — no
@@ -105,6 +106,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
     from pyspark.sql import Window as W
     sized = sh.withColumn("n", F.count("*").over(W.partitionBy(id_col))) \
         .persist()
+    if caches is not None:
+        caches.append(sized)
     inter = (
         sized.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"), "s")
         .join(sized.select(F.col(id_col).alias("doc_b"),
@@ -182,7 +185,8 @@ def winnow_pairs(df: DataFrame, id_col: str, text_col: str, k: int = 4,
 
 def containment_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
                       threshold: float = 0.9,
-                      max_shingle_df: int | None = None) -> DataFrame:
+                      max_shingle_df: int | None = None,
+                      caches: list | None = None) -> DataFrame:
     """Directed near-SUBSET pairs: (doc_a, doc_b, containment) where
     containment = |A∩B| / |A| >= threshold — doc_a's shingle set is almost
     entirely inside doc_b's.
@@ -195,10 +199,19 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
     aggregation key — but each undirected intersection emits up to two
     directed rows (i/na and i/nb gates), so the join itself still runs
     once with doc_a < doc_b.
+
+    The sized inverted index is PERSISTED (r13): both self-join sides
+    reference it, and without the cache the shingle explode + size
+    window ran twice (the r12 constant-factor gap to
+    ngram_jaccard_pairs, whose persist this mirrors).  ``caches``
+    receives the handle for the collect_freeing contract.
     """
     from pyspark.sql import Window as W
     sh = shingle_sets(df, id_col, text_col, n, max_shingle_df)
-    sized = sh.withColumn("n", F.count("*").over(W.partitionBy(id_col)))
+    sized = sh.withColumn("n", F.count("*").over(W.partitionBy(id_col))) \
+        .persist()
+    if caches is not None:
+        caches.append(sized)
     inter = (
         sized.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"), "s")
         .join(sized.select(F.col(id_col).alias("doc_b"),

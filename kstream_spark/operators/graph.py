@@ -325,7 +325,8 @@ def triangle_count(edges: DataFrame, src_col: str, dst_col: str,
 
 
 def label_propagation(edges: DataFrame, src_col: str, dst_col: str,
-                      iters: int = 3) -> DataFrame:
+                      iters: int = 3,
+                      caches: list | None = None) -> DataFrame:
     """Synchronous label propagation (community detection) over an
     undirected edge list, made fully deterministic: every node starts
     labeled with its own id, and each round adopts the MOST FREQUENT
@@ -339,15 +340,22 @@ def label_propagation(edges: DataFrame, src_col: str, dst_col: str,
     so the loop stops there and the result is bit-identical to the
     fully-unrolled replay).
 
-    Scale shape (the BSP discipline of ``pagerank``): the symmetrized
-    edge relation is PERSISTED pre-partitioned on the source key —
-    upstream edge derivations are often expensive (the inventory's
-    lineitem self-join) and a lazy chain would recompute them once per
-    round per reference — so each round's label join needs no shuffle
-    on the big side.  Then one map-side-combinable (node, label) count,
-    one argmax-by-struct aggregation, and a limit-1 changed-label probe
-    on the persisted round result — no windows, driver traffic is one
-    boolean per round; rounds are O(edges) each and ``iters`` caps them.
+    Scale shape (the BSP discipline of ``pagerank``, tightened r13 to
+    ONE exchange per round): ``sym`` is PERSISTED pre-partitioned on the
+    source key and every round's label relation is persisted partitioned
+    on the SAME key space, so the neighbor join is exchange-free on both
+    sides.  The round's single shuffle re-keys the neighbor stream by
+    destination; everything above it — the (node, label) count, the
+    argmax-by-struct, the changed-label probe join against the old
+    co-partitioned labels, and the next round's join — reuses that one
+    HashPartitioning(node) (Spark's subset rule: partitioning on ``node``
+    satisfies clustering on ``(node, label)``).  Driver traffic is one
+    count per round; rounds are O(edges) each and ``iters`` caps them.
+
+    ``caches`` (the repo-wide contract) receives the final persisted
+    label relation — callers materialize via util.collect_freeing and
+    the per-call cache frees; without it the handle stays persisted for
+    the session (each round's INTERMEDIATE persists are released here).
     """
     integral = {"tinyint", "smallint", "int", "bigint"}
     bad = [c for c in (src_col, dst_col)
@@ -362,13 +370,16 @@ def label_propagation(edges: DataFrame, src_col: str, dst_col: str,
     sym = (e.unionByName(e.select(F.col("d").alias("s"),
                                   F.col("s").alias("d")))
            .repartition("s").persist())
+    # distinct() leaves labels hash-partitioned on node == sym's key space
     labels = (sym.select(F.col("s").alias("node")).distinct()
               .withColumn("label", F.col("node").cast("long"))
               .persist())
     for rnd in range(iters):
+        # both sides hash-partitioned on the join key -> exchange-free
         nbr = (sym.join(labels.withColumnRenamed("node", "s"), "s")
                .select(F.col("d").alias("node"), "label"))
-        counts = nbr.groupBy("node", "label") \
+        # the round's ONE shuffle; both aggs and the probe join ride it
+        counts = nbr.repartition("node").groupBy("node", "label") \
             .agg(F.count("*").cast("long").alias("c"))
         # lexicographic struct max == (count DESC, label ASC) argmax
         best = counts.groupBy("node").agg(
@@ -377,16 +388,19 @@ def label_propagation(edges: DataFrame, src_col: str, dst_col: str,
         new_labels = best.select(
             "node", (-F.col("b.nl")).cast("long").alias("label")).persist()
         # fixed-point probe: zero changed labels means every later round
-        # is identical — stop, hash-safe.  The probe is also what
-        # MATERIALIZES new_labels into cache; it must run before the
-        # parent unpersists or the final collect would recompute the
-        # whole round chain from lineage.
-        converged = (new_labels.join(
+        # is identical — stop, hash-safe.  The probe COUNTS the changed
+        # rows (a full count, unlike isEmpty's take(1) short-circuit), so
+        # it also fully materializes new_labels into cache — that must
+        # happen before the old labels unpersist, or later rounds / the
+        # final collect would recompute the round chain from lineage.
+        changed = (new_labels.join(
             labels.withColumnRenamed("label", "old"), "node")
-            .where(F.col("label") != F.col("old")).isEmpty())
+            .where(F.col("label") != F.col("old")).count())
         labels.unpersist()
         labels = new_labels
-        if converged and rnd < iters - 1:
+        if changed == 0 and rnd < iters - 1:
             break
     sym.unpersist()
+    if caches is not None:
+        caches.append(labels)
     return labels.select("node", F.col("label").alias("community"))

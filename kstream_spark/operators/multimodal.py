@@ -173,9 +173,12 @@ def _fake_decode_segments(df: DataFrame, id_col: str, text_col: str,
     expression-tree analysis, not execution (r12 profile).
     ``impl="codegen"`` keeps the pure-expression arm (no Python
     dependency; the pre-r12 default).  Both are integer-exact and
-    bit-identical (pytest-pinned): bounds ``(k*n) div n_seg``, sums over
-    codepoints (== Spark ``ascii`` == DuckDB ``ord`` on every fixture),
-    floor division by ``greatest(len, 1)`` for the mean arm."""
+    bit-identical (pytest-pinned by test_fake_decode_impls_bit_identical
+    across null/empty/non-ASCII/astral rows): bounds ``(k*n) div
+    n_seg``, sums over codepoints (Spark ``ascii`` returns full
+    codepoints, == Python ``ord`` even beyond the BMP — probed, and the
+    parity test pins it), NULL text folds every segment to NULL in both
+    arms, floor division by ``greatest(len, 1)`` for the mean arm."""
     if impl == "codegen":
         src = df.select(F.col(id_col),
                         F.transform(F.split(F.col(text_col), ""),
@@ -202,7 +205,14 @@ def _fake_decode_segments(df: DataFrame, id_col: str, text_col: str,
         for pdf in batches:
             ids, arrs = [], []
             for did, t in zip(pdf[id_col], pdf[text_col]):
-                n = 0 if t is None else len(t)
+                if t is None:
+                    # codegen's aggregate-over-NULL-slice folds each
+                    # segment to NULL — emit the same n_seg NULLs, not
+                    # zeros (parity-pinned; callers filter length >= n)
+                    ids.append(did)
+                    arrs.append([None] * n_seg)
+                    continue
+                n = len(t)
                 if n:
                     codes = np.fromiter(map(ord, t), dtype=np.int64,
                                         count=n)

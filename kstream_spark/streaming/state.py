@@ -201,7 +201,7 @@ def _latest_with_ttl_tws(df: DataFrame, key_col: str, version_col: str,
 
 
 def session_stream(df: DataFrame, user_col: str, ts_col: str,
-                   gap: str = "30 minutes") -> DataFrame:
+                   gap: str = "30 minutes", impl: str = "auto") -> DataFrame:
     """Streaming gap sessionization with event-time timeouts: per user,
     events closer than ``gap`` belong to one session; a session closes
     (and emits one row) either when a later event arrives past the gap
@@ -217,8 +217,17 @@ def session_stream(df: DataFrame, user_col: str, ts_col: str,
     State is three numbers per live user (start_ms, last_ms, n) —
     O(active users), safe at any stream volume; the shuffle key is
     user_col, the same key every downstream per-user consumer needs.
+
+    ``impl``: 'auto' uses Spark 4's ``transformWithStateInPandas``
+    (event-time timers, RocksDB-backed) when the runtime supports it
+    (``tws_available``) and falls back to ``applyInPandasWithState``
+    otherwise; 'tws' / 'legacy' force an arm (parity tests use both).
     """
+    if impl not in ("auto", "tws", "legacy"):
+        raise ValueError(f"impl must be auto|tws|legacy, got {impl!r}")
     gap_ms = int(pd.Timedelta(gap).total_seconds() * 1000)
+    if impl == "tws" or (impl == "auto" and tws_available(df.sparkSession)):
+        return _session_stream_tws(df, user_col, ts_col, gap_ms)
     out_schema = T.StructType([
         T.StructField(user_col, T.LongType()),
         T.StructField("session_start", T.TimestampType()),
@@ -267,6 +276,88 @@ def session_stream(df: DataFrame, user_col: str, ts_col: str,
     return df.groupBy(user_col).applyInPandasWithState(
         update, out_schema, state_schema, "append",
         GroupStateTimeout.EventTimeTimeout)
+
+
+def _session_stream_tws(df: DataFrame, user_col: str, ts_col: str,
+                        gap_ms: int) -> DataFrame:
+    """``session_stream`` on the Spark 4 ``transformWithStateInPandas``
+    API (the second operator migrated behind ``tws_available``, after
+    ``latest_with_ttl``): one ValueState var holds the open session
+    (start_ms, last_ms, n); an EVENT-TIME timer at last_ms + gap
+    (clamped strictly above the watermark, exactly like the legacy arm's
+    setTimeoutTimestamp) closes-and-emits when the watermark passes with
+    no new events.  Timers are re-armed per batch by deleting the old
+    one (TWS timers don't auto-cancel on state update).  Same output
+    contract as the legacy arm — the parity test drives both."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+
+    out_schema = T.StructType([
+        T.StructField(user_col, T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("start_ms", T.LongType()),
+        T.StructField("last_ms", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ])
+
+    def row(k, s, l, n):
+        return {user_col: k,
+                "session_start": pd.Timestamp(s, unit="ms"),
+                "session_end": pd.Timestamp(l, unit="ms"),
+                "n_events": n}
+
+    class SessionStream(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._sess = handle.getValueState("sess", state_schema)
+
+        def handleInputRows(self, key, rows, timer_values):
+            (k,) = key
+            ts = sorted(int(t) for pdf in rows
+                        for t in pdf[ts_col].astype("int64") // 1_000_000)
+            cur = self._sess.get()
+            open_sess = tuple(cur) if cur is not None else None
+            closed = []
+            for t in ts:
+                if open_sess is None:
+                    open_sess = (t, t, 1)
+                elif t > open_sess[1] + gap_ms:
+                    closed.append(open_sess)
+                    open_sess = (t, t, 1)
+                else:
+                    open_sess = (open_sess[0], max(open_sess[1], t),
+                                 open_sess[2] + 1)
+            self._sess.update(open_sess)
+            for t in self._handle.listTimers():
+                self._handle.deleteTimer(t)
+            # timer must sit strictly above the current watermark
+            self._handle.registerTimer(max(
+                open_sess[1] + gap_ms,
+                timer_values.getCurrentWatermarkInMs() + 1))
+            if closed:
+                yield pd.DataFrame([row(k, s, l, n) for s, l, n in closed])
+
+        def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+            (k,) = key
+            cur = self._sess.get()
+            if cur is None:
+                return
+            s, l, n = cur
+            self._sess.clear()
+            yield pd.DataFrame([row(k, s, l, n)])
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy(user_col).transformWithStateInPandas(
+        statefulProcessor=SessionStream(),
+        outputStructType=out_schema,
+        outputMode="append",
+        timeMode="eventTime")
 
 
 def funnel_stream(df: DataFrame, user_col: str, type_col: str, ts_col: str,

@@ -765,6 +765,32 @@ def test_fake_decode_image_segment_means(spark):
     assert set(px) == {97}
 
 
+def test_fake_decode_impls_bit_identical(spark):
+    """The pandas (default) and codegen decode-stub arms must agree on
+    every row — the thumbnails/envelopes they emit feed the Hamming-band
+    dedup hashes, so one differing segment silently changes candidate
+    generation.  Hostile rows: NULL text (both arms fold every segment
+    to NULL), empty text (zeros, from the empty-slice aggregate), text
+    shorter than n_seg, BMP non-ASCII and astral chars (Spark ascii ==
+    Python ord at full codepoint width), plus a normal long payload.
+    Covers both the mean (image) and sum (audio) shapes."""
+    from kstream_spark.operators import multimodal as M
+    df = spark.createDataFrame(
+        [(1, "ab" * 72), (2, None), (3, ""), (4, "xy"),
+         (5, "héllo wörld" * 20), (6, "a\U0001F600é" * 40)],
+        "doc_id long, text string")
+    for fn, kw in ((M.fake_decode_image, {"n_px": 8}),
+                   (M.fake_decode_audio, {"n_seg": 8})):
+        a = {r["doc_id"]: r.asDict() for r in
+             fn(df, "doc_id", "text", impl="pandas", **kw).collect()}
+        b = {r["doc_id"]: r.asDict() for r in
+             fn(df, "doc_id", "text", impl="codegen", **kw).collect()}
+        assert a == b
+        out_col = next(c for c in a[1] if c != "doc_id")
+        assert a[2][out_col] == [None] * 8      # NULL text -> NULL segments
+        assert a[3][out_col] == [0] * 8         # empty text -> zero segments
+
+
 def test_afp_dedup_survives_reencode_jitter_banded(spark):
     """Haitsma-Kalker fingerprint: a small energy jitter (re-encode
     artifact) stays within max_hamming and is recovered via the shared

@@ -638,6 +638,61 @@ def test_session_stream_in_batch_and_timeout_close(spark, tmp_path):
     assert (10, "2024-01-01 12:00:00", 1) in got
 
 
+def test_session_stream_impl_dispatch(spark, tmp_path):
+    """session_stream impl='auto' resolves to the supported arm; bad impl
+    errors; where the runtime has transformWithStateInPandas, the tws arm
+    must emit the identical session set as the forced legacy arm (in the
+    protobuf-less sandbox auto IS legacy, covered by the main test)."""
+    import pytest as _pytest
+
+    from kstream_spark.streaming.state import session_stream, tws_available
+
+    d = tmp_path / "sess_di"
+    d.mkdir()
+    spark.createDataFrame(
+        [(10, "2024-01-01 10:00:00"), (10, "2024-01-01 10:10:00"),
+         (10, "2024-01-01 12:00:00")],
+        "user_id long, ts string") \
+        .withColumn("ts", F.col("ts").cast("timestamp")) \
+        .coalesce(1).write.mode("overwrite").parquet(str(d))
+    src = SC.read_stream_parquet(spark, str(d)) \
+        .withWatermark("ts", "10 seconds")
+    with _pytest.raises(ValueError):
+        session_stream(src, "user_id", "ts", impl="nope")
+    if not tws_available(spark):
+        _pytest.skip("transformWithStateInPandas needs google.protobuf "
+                     "in the Python worker (COMPAT.md)")
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    try:
+        outs = {}
+        for arm in ("tws", "legacy"):
+            sess = session_stream(src, "user_id", "ts",
+                                  gap="30 minutes", impl=arm)
+            q = (sess.writeStream.format("memory")
+                 .queryName(f"sess_{arm}").outputMode("append")
+                 .option("checkpointLocation",
+                         str(tmp_path / f"ck_{arm}")).start())
+            q.processAllAvailable()
+            q.stop()
+            q.awaitTermination(10)
+            outs[arm] = {(r.user_id, str(r.session_start),
+                          str(r.session_end), r.n_events) for r in
+                         spark.sql(f"SELECT * FROM sess_{arm}").collect()}
+        assert outs["tws"] == outs["legacy"]
+        assert (10, "2024-01-01 10:00:00",
+                "2024-01-01 10:10:00", 2) in outs["tws"]
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def test_funnel_stream_stage_advances_across_batches(spark, tmp_path):
     """Streaming funnel: stages advance in strict order, state carries
     across micro-batches, and an out-of-order shallow event can't re-fire
