@@ -546,24 +546,21 @@ INVENTORY.update(QUALITY_INVENTORY)
 # touched + the 27-query r6-stale band (group 3's current front).
 
 _TOUCHED_THIS_ROUND: list[str] = [
-    # r12: _doc_local_minhash moved from the mapInPandas md5 loop to a
-    # whole-stage-codegen projection chain — bit-identical by
-    # construction (pytest parity) but EVERY minhash consumer evaluates
-    # a new path; re-prove the family
+    # r13: cosine_pairs defaults to the blocked numpy-matmul arm
+    # (pytest-pinned parity with the codegen arm) — the exact scorer
+    # and its dedup consumer evaluate a new path
+    "sim_cosine_pairs", "dedup_embedding",
+    # r13: the pandas minhash arm re-tokenized for codegen/RE2 parity
+    # (ASCII \s split, JVM-side lower, NULL guard) — it is the default
+    # arm for the corpus queries; re-prove the family
     "dedup_minhash_lsh", "dedup_survivors", "dedup_clusters",
     "dedup_best_of_cluster", "dedup_cross_source", "dedup_incremental",
-    # r12: prefix filtering builds the inverted index with df attached
-    # (one token-stream shuffle fewer) + PPJoin length filter on
-    # candidates
-    "dedup_prefix_jaccard",
-    # r12: label_propagation persists sym/labels and gains the
-    # fixed-point early exit
+    # r13: label_propagation rounds re-keyed to one exchange; probe is
+    # a changed-row count
     "graph_lpa",
-    # r12: kmv sketch persists before the source-list collect
-    "sketch_kmv_overlap",
-    # r12: confusion matrix threads lang through keep_cols instead of
-    # the doc-keyed join back
-    "text_lang_id_ngram",
+    # r13: containment/jaccard persist the sized inverted index and
+    # free it via collect_freeing
+    "dedup_containment", "dedup_ngram_jaccard", "dedup_ngram_capped",
 ]
 
 
