@@ -936,10 +936,8 @@ def q_dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
     (operators/dedup.containment_pairs) — catches the pasted-paragraph
     duplication mode Jaccard misses.  No reference analog (the reference
     has no dedup surface)."""
-    caches: list = []
-    out = D.containment_pairs(_docs(StreamBuilder(spark), sf), "doc_id",
-                              "text", n=3, threshold=0.8, caches=caches)
-    return collect_freeing(out, *caches)
+    return D.containment_pairs(_docs(StreamBuilder(spark), sf), "doc_id",
+                               "text", n=3, threshold=0.8)
 
 
 SQL_DEDUP_CONTAINMENT = f"""
@@ -1220,6 +1218,10 @@ def q_dedup_winnow(spark: SparkSession, sf: str) -> DataFrame:
     10x data, SCALING.md r6-3b) and NOT the production posture; the
     operator's default (and the headline scale query) is the capped form,
     ``dedup_winnow_capped``."""
+    # lazy return, no collect_freeing: the uncapped pair list is ~111k
+    # rows at sf1 and the driver collect costs ~2 s (A/B r13); the
+    # sweep/bench harnesses clearCache between queries, which releases
+    # the operator's fingerprint persist (its documented contract)
     return D.winnow_pairs(_docs(StreamBuilder(spark), sf), "doc_id", "text",
                           k=4, window=4, min_shared=1, max_fp_df=None)
 
@@ -1254,6 +1256,7 @@ def q_dedup_winnow_capped(spark: SparkSession, sf: str) -> DataFrame:
     that keeps winnow's pair space linear at corpus scale.  The uncapped
     ``dedup_winnow`` is kept only as the exact-complete oracle baseline
     (measured superlinear at sf1, SCALING.md r6-3b)."""
+    # lazy return for the same reason as q_dedup_winnow (large pair list)
     return D.winnow_pairs(_docs(StreamBuilder(spark), sf), "doc_id",
                           "text", k=4, window=4, min_shared=1,
                           max_fp_df=20)

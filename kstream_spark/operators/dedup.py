@@ -124,7 +124,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
 
 def winnow_pairs(df: DataFrame, id_col: str, text_col: str, k: int = 4,
                  window: int = 4, min_shared: int = 1,
-                 max_fp_df: int | None = 20) -> DataFrame:
+                 max_fp_df: int | None = 20,
+                 caches: list | None = None) -> DataFrame:
     """Winnowing-fingerprint shared-substring pairs (Schleimer et al. 2003,
     the MOSS algorithm — public paper).
 
@@ -172,9 +173,18 @@ def winnow_pairs(df: DataFrame, id_col: str, text_col: str, k: int = 4,
         .otherwise(F.array().cast("array<string>"))
     fp = hashed.select(F.col(id_col), F.explode(fps).alias("f"))
     if max_fp_df is not None:
-        keep = fp.groupBy("f").agg(F.count("*").alias("df")) \
-                 .filter(F.col("df") <= max_fp_df).select("f")
-        fp = fp.join(keep, "f")
+        # df cap as a count-window over f: one shuffle, no separate keep
+        # relation to re-join (the keep-join read the md5 chain twice)
+        from pyspark.sql import Window as W
+        fp = fp.withColumn("_df", F.count("*").over(W.partitionBy("f"))) \
+            .filter(F.col("_df") <= max_fp_df).drop("_df")
+    # persist: the self-join references fp twice — uncached, the
+    # split -> shingle -> md5 -> window-min chain (the expensive part)
+    # re-derived per side (sf1 A/B: 6.2s -> 4.3s).  Callers free via
+    # ``caches``; sweep-style callers clearCache between queries
+    fp = fp.persist()
+    if caches is not None:
+        caches.append(fp)
     return (fp.select(F.col(id_col).alias("doc_a"), "f")
             .join(fp.select(F.col(id_col).alias("doc_b"), "f"), "f")
             .filter(F.col("doc_a") < F.col("doc_b"))
@@ -200,18 +210,19 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
     directed rows (i/na and i/nb gates), so the join itself still runs
     once with doc_a < doc_b.
 
-    The sized inverted index is PERSISTED (r13): both self-join sides
-    reference it, and without the cache the shingle explode + size
-    window ran twice (the r12 constant-factor gap to
-    ngram_jaccard_pairs, whose persist this mirrors).  ``caches``
-    receives the handle for the collect_freeing contract.
+    Shape notes (r13 A/B at sf1): the two-sided index is deliberately
+    NOT persisted — caching the exploded (doc, n, s) stream costs more
+    than the recompute the optimizer already avoids via exchange reuse
+    (persist: 7.6 s, plain: 7.0 s), and the slim no-window variants
+    (sizes joined post-aggregation) measured slower still (9.4–9.8 s).
+    The threshold filter runs BEFORE the direction explode so only
+    qualifying pairs double, not the full candidate-pair relation.
+    ``caches`` is accepted for signature parity with the family but the
+    operator holds no cache.
     """
     from pyspark.sql import Window as W
     sh = shingle_sets(df, id_col, text_col, n, max_shingle_df)
-    sized = sh.withColumn("n", F.count("*").over(W.partitionBy(id_col))) \
-        .persist()
-    if caches is not None:
-        caches.append(sized)
+    sized = sh.withColumn("n", F.count("*").over(W.partitionBy(id_col)))
     inter = (
         sized.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"), "s")
         .join(sized.select(F.col(id_col).alias("doc_b"),
@@ -219,8 +230,12 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b", "na", "nb").agg(F.count("*").alias("i"))
     )
-    # stack the two directions, then one threshold filter
-    directed = inter.select(F.expr(
+    # prune BEFORE doubling: only pairs qualifying in at least one
+    # direction reach the explode (the candidate relation is
+    # pair-space-sized; the survivors are the result)
+    hit = inter.filter((F.col("i") / F.col("na") >= threshold)
+                       | (F.col("i") / F.col("nb") >= threshold))
+    directed = hit.select(F.expr(
         "explode(array("
         "  struct(doc_a AS doc_a, doc_b AS doc_b, i / na AS containment),"
         "  struct(doc_b AS doc_a, doc_a AS doc_b, i / nb AS containment)"
