@@ -75,6 +75,9 @@ CONTROL_EVERY = 25
 # ">2x oracle at >=2s" weak-set rule and suspected regressions, without
 # re-running the long tail of sub-2s queries)
 STANDALONE_RERUN_SECONDS = 2.0
+# standalone children replay the oracle; in-band oracles at/over this
+# cost keep their in-band measurement (see orchestrate)
+ORACLE_SOLO_CAP_SECONDS = 60.0
 DEFAULT_BAND = 25
 
 
@@ -227,11 +230,24 @@ def orchestrate(sf_dir: str, only: set[str], sample: bool, minof: int,
         for name, row in part["results"].items():
             results[name] = dict(row, band=bi)
         control_runs += [dict(c, band=bi) for c in part["control_runs"]]
+    # a standalone child replays the query's ORACLE too, so queries whose
+    # oracle is deliberately brute-force-expensive (graph_triangles:
+    # ~1h of DuckDB replay at sf1) are exempt — their in-band numbers
+    # stand, recorded under standalone_skipped_oracle_cost.  This keeps
+    # the phase (r12 skipped it wholesale and lost 4 boundary
+    # adjudications) while bounding its wall-clock.
+    skipped_oracle = sorted(
+        n for n, r in results.items()
+        if r.get("pass") and not r.get("rows_only")
+        and r.get("spark_seconds", 0) >= STANDALONE_RERUN_SECONDS
+        and r.get("oracle_seconds", 0) >= ORACLE_SOLO_CAP_SECONDS)
     rerun = [n for n, r in results.items()
              if r.get("pass") and not r.get("rows_only")
-             and r.get("spark_seconds", 0) >= STANDALONE_RERUN_SECONDS]
+             and r.get("spark_seconds", 0) >= STANDALONE_RERUN_SECONDS
+             and n not in skipped_oracle]
     print(f"== standalone re-measure: {len(rerun)} queries "
-          f">= {STANDALONE_RERUN_SECONDS}s", flush=True)
+          f">= {STANDALONE_RERUN_SECONDS}s "
+          f"(oracle-cost exempt: {skipped_oracle})", flush=True)
     for qi, name in enumerate(rerun):
         part = run_child([name], f"{work}/solo_{name}.json", f"solo {name}")
         solo = part["results"].get(name, {})
@@ -247,6 +263,7 @@ def orchestrate(sf_dir: str, only: set[str], sample: bool, minof: int,
                    "orchestrated": True, "band_size": band_size,
                    "standalone_rerun_seconds": STANDALONE_RERUN_SECONDS,
                    "standalone_remeasured": sorted(rerun),
+                   "standalone_skipped_oracle_cost": skipped_oracle,
                    "control_query": CONTROL_QUERY,
                    "control_runs": control_runs,
                    "sampled_queries": sorted(SAMPLED_QUERIES & set(results)),
