@@ -126,10 +126,11 @@ def _cosine_pairs_numpy(emb: DataFrame, id_col: str, vec_col: str,
 
     if n_blocks is None:
         size = input_size_bytes(emb)
-        if size is None:
+        dim_probe = (emb.select(F.size(vec_col).alias("d")).first()
+                     if size is not None else None)
+        if size is None or dim_probe is None:   # no stats / empty input
             n_blocks = 16
         else:
-            dim_probe = emb.select(F.size(vec_col).alias("d")).first()
             row_bytes = max(1, (dim_probe["d"] or 0) * 5 + 16)
             est_rows = size // row_bytes
             n_blocks = int(min(256, max(4, -(-est_rows // 4096))))
