@@ -67,16 +67,23 @@ def admit_stream(df: DataFrame, corpus_path: str, signature_path: str,
     regardless of batch size, so sustained-throughput contracts only hold
     above a minimum trigger size — measured at sf-independent fixtures,
     ≥50k rec/s needs ~1M-record triggers (see SCALING.md "Corpus
-    admission throughput vs trigger size").  Batches below ``min_trigger``
-    log a RuntimeWarning naming the expected regime (one count job per
-    batch, negligible against the admission work); pass ``None`` to skip
-    the count and the warning entirely."""
+    admission throughput vs trigger size").  The FIRST batch below
+    ``min_trigger`` logs a RuntimeWarning naming the expected regime.
+    Only the first batch is counted — trigger sizing is a configuration
+    property (processingTime / maxOffsetsPerTrigger), so one check
+    catches the misconfiguration, while a per-batch count would itself
+    cost ~5 s per 2M-record trigger (A/B r13: 60.0k -> 72.3k rec/s
+    without it) — exactly the overhead class the warning guards
+    against.  Pass ``None`` to skip the check entirely."""
     from kstream_spark.operators.dedup import incremental_dedup
+
+    trigger_checked = []   # closure flag: first batch only
 
     def _admit(batch: DataFrame, epoch_id: int) -> None:
         from kstream_spark.util import free_local_checkpoint
         spark = batch.sparkSession
-        if min_trigger is not None:
+        if min_trigger is not None and not trigger_checked:
+            trigger_checked.append(True)
             n_in = batch.count()
             if n_in < min_trigger:
                 import warnings
