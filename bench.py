@@ -11,13 +11,18 @@ what it parses, the detail sidecar is for humans/the judge.
 Execution is measured with a noop-format write (full plan execution, no
 driver-side collect).
 
-Drift instrument (r13, ported from the sf1 sweep): the run is split into
-bands of $SPARK_GRAFT_BENCH_BAND (default 25) queries, each band in a
-FRESH JVM (this file re-invoked with --band), and every band brackets
-itself with a timed control query (dedup_exact).  JVM aging and machine
-drift then show up in control_runs/control_spread instead of silently
-inflating untouched queries (the r11/r12 +2-3% creep).  Set
-SPARK_GRAFT_BENCH_INPROC=1 for the legacy single-JVM path.
+Drift instrument (r13): ONE JVM, an untimed warm-up pass over every
+query (a cold JVM charges its C2/codegen warm-up to whichever queries
+run first), and the control query (dedup_exact) timed at the start, the
+end, and every 25 queries in between — machine drift and JVM aging then
+show up as a trend in control_runs/control_spread instead of silently
+inflating untouched queries (the r11/r12 unfalsifiable +2-3% creep).
+Fresh-JVM bands (the sf1 sweep's discipline) were measured and rejected
+as the DEFAULT for this suite: bands of 25 read 201.7 s cold / 181.9 s
+with a warm-up pass vs ~164 s aged-JVM on identical code, the penalty
+concentrated in driver-iterative queries (BSP rounds, merge loops) that
+need minutes of JIT aging.  Set SPARK_GRAFT_BENCH_BAND=N to opt in to
+banded fresh-JVM mode for drift diagnosis.
 
 Scale note: the exact all-pairs oracle anchors (sim_cosine_pairs,
 dedup_embedding) are deliberately NOT in HEADLINE — their scale-path
@@ -304,6 +309,7 @@ def bench_pq_state(spark, sf_dir: str, iters: int) -> dict:
 
 
 CONTROL_QUERY = "dedup_exact"   # same control as the sf1 sweep instrument
+CONTROL_EVERY = 25              # interleave a timed control run this often
 
 
 def _time_query(spark, fn, sf_dir: str, iters: int) -> float:
@@ -337,6 +343,23 @@ def run_band(names: list, sf_dir: str, iters: int,
     spark.range(1000, numPartitions=8) \
         .mapInPandas(lambda it: it, "id long") \
         .write.format("noop").mode("overwrite").save()
+    # steady-state warm-up: run every band query once UNTIMED before the
+    # timed pass.  A fresh JVM spends its first minutes C2-compiling
+    # Spark itself (first banded run: the band-0 control read 0.455 s at
+    # band start vs 0.253 s at band end, and the banded total came out
+    # 201.7 s vs the aged-JVM 164.2 s on identical code), so charging
+    # that warm-up to whichever queries run early re-creates the very
+    # attribution problem the fresh-JVM bands exist to solve.  One
+    # untimed pass warms the codegen classes, file listings, Python
+    # workers, and shared JIT paths; the timed min-of-N then measures
+    # steady state — the regime a long-running production job lives in,
+    # and the same regime the old single-JVM instrument measured for
+    # every query except the first few.
+    for name in names:
+        if name in INVENTORY:
+            INVENTORY[name][0](spark, sf_dir) \
+                .write.format("noop").mode("overwrite").save()
+            spark.catalog.clearCache()
     ctrl_fn = INVENTORY[CONTROL_QUERY][0]
     control_runs = []
     control_runs.append(
@@ -344,6 +367,7 @@ def run_band(names: list, sf_dir: str, iters: int,
                                                  iters), 3)})
     spark.catalog.clearCache()
     timings = {}
+    done = 0
     for name in names:
         if name not in INVENTORY:
             continue
@@ -352,6 +376,16 @@ def run_band(names: list, sf_dir: str, iters: int,
         # operators may persist() intermediates (dedup's inverted index);
         # clear between queries so cache memory doesn't skew later timings
         spark.catalog.clearCache()
+        done += 1
+        # interleaved control: in the single-JVM default, JVM aging (the
+        # r11/r12 unfalsifiable +2-3% creep) shows up as an upward trend
+        # in THIS series instead of silently inflating late queries
+        if done % CONTROL_EVERY == 0 and done < len(names):
+            control_runs.append(
+                {"at": f"after_{done}",
+                 "sec": round(_time_query(spark, ctrl_fn, sf_dir,
+                                          iters), 3)})
+            spark.catalog.clearCache()
     if with_state:
         timings.update(bench_incremental_state(spark, sf_dir, iters))
         timings.update(bench_ivf_state(spark, sf_dir, iters))
@@ -379,20 +413,31 @@ def main():
             json.dump(res, fh)
         return
 
-    band_size = int(os.environ.get("SPARK_GRAFT_BENCH_BAND", "25"))
+    band_env = os.environ.get("SPARK_GRAFT_BENCH_BAND")
     timings, control_runs = {}, []
-    if os.environ.get("SPARK_GRAFT_BENCH_INPROC"):
-        # legacy single-JVM path (fast probes at tiny SFs)
+    if band_env is None or os.environ.get("SPARK_GRAFT_BENCH_INPROC"):
+        # DEFAULT: one JVM, untimed warm-up pass, control query
+        # interleaved every CONTROL_EVERY queries.  The r13 fresh-JVM
+        # band experiment measured the alternative and it is the worse
+        # instrument at this scale: bands of 25 read 201.7 s without a
+        # warm-up pass and 181.9 s with one, vs ~the aged-JVM 164 s on
+        # identical code — C2/codegen warm-up recurs per band and lands
+        # hardest on driver-iterative queries (graph BSP rounds, BPE
+        # merge loops) that need minutes of aging, not one pass.  The
+        # single JVM keeps r11/r12 comparability, and the aging creep
+        # those rounds could not falsify is now measured directly: an
+        # upward trend in the interleaved control series attributes it.
         res = run_band(HEADLINE, sf_dir, iters, with_state=True)
         timings = res["timings"]
         control_runs = [dict(band=0, **c) for c in res["control_runs"]]
     else:
-        # fresh JVM per band: JVM aging (JIT/codegen caches, heap
-        # fragmentation, GC ergonomics) accumulates over a 120-query run
-        # and shows up as +2-3% "creep" on untouched queries; the sf1
-        # sweep's per-band fresh JVM killed exactly that, so the sf0.1
-        # headline uses the same discipline.  Band workers are this same
-        # file re-invoked with --band; JVM startup is untimed.
+        # opt-in (SPARK_GRAFT_BENCH_BAND=N): fresh JVM per band of N,
+        # the sf1 sweep's discipline — kept for drift diagnosis and for
+        # memory-pressure regimes (at sf1 JVM accumulation corrupted
+        # late-query timings 3-4x, which is a different failure mode
+        # than the sf0.1 +2-3% creep).  Band workers are this same file
+        # re-invoked with --band; JVM startup is untimed.
+        band_size = int(band_env)
         import subprocess
         import tempfile
 

@@ -52,11 +52,13 @@ FROM documents GROUP BY 2
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    caches: list = []
-    out = D.ngram_jaccard_pairs(_docs(StreamBuilder(spark), sf),
-                                "doc_id", "text", n=3, threshold=0.8,
-                                caches=caches)
-    return collect_freeing(out, *caches)
+    # lazy return, same contract as q_dedup_winnow: the pair list is
+    # large enough that collect_freeing's driver materialization costs
+    # more than it frees (r13 A/B at sf0.1: 0.78 s lazy vs 2.46 s
+    # collected); sweep/bench harnesses clearCache between queries,
+    # which releases the operator's sized-index persist
+    return D.ngram_jaccard_pairs(_docs(StreamBuilder(spark), sf),
+                                 "doc_id", "text", n=3, threshold=0.8)
 
 
 def q_dedup_prefix_jaccard(spark: SparkSession, sf: str) -> DataFrame:
@@ -1043,11 +1045,10 @@ def q_dedup_ngram_capped(spark: SparkSession, sf: str) -> DataFrame:
     cost of computing Jaccard over the rare-shingle universe.  Registered
     separately from the exact baseline so the capped pipeline itself is
     driver-proven with the cap BINDING (df max is 7 at the driver SF)."""
-    caches: list = []
-    out = D.ngram_jaccard_pairs(_docs(StreamBuilder(spark), sf),
-                                "doc_id", "text", n=3, threshold=0.8,
-                                max_shingle_df=3, caches=caches)
-    return collect_freeing(out, *caches)
+    # lazy return for the same reason as q_dedup_ngram_jaccard
+    return D.ngram_jaccard_pairs(_docs(StreamBuilder(spark), sf),
+                                 "doc_id", "text", n=3, threshold=0.8,
+                                 max_shingle_df=3)
 
 
 SQL_DEDUP_NGRAM_CAPPED = f"""
