@@ -168,10 +168,15 @@ def connected_components(edges: DataFrame, src_col: str, dst_col: str,
         sym = edges.unionByName(edges.select(F.col("m").alias("v"),
                                              F.col("v").alias("m")))
         wu = W.partitionBy("v")
+        # large-star output is NOT deduped (r13): duplicates — two
+        # centers re-attaching the same node to the same min — cannot
+        # change the small-star window MIN, and new_edges' distinct
+        # dedups the round's output anyway, so the old ls.distinct()
+        # bought nothing but a fourth exchange per round (A/B'd at
+        # sf0.1; edge set per round is provably identical)
         ls = (sym.withColumn("mn", F.least(F.min("m").over(wu), F.col("v")))
               .filter(F.col("m") > F.col("v"))
-              .select(F.col("m").alias("v"), F.col("mn").alias("m"))
-              .distinct())
+              .select(F.col("m").alias("v"), F.col("mn").alias("m")))
         # small-star: each node v re-attaches its smaller neighbors
         # (and itself) to the smallest of them
         wv = W.partitionBy("v")
@@ -193,14 +198,22 @@ def connected_components(edges: DataFrame, src_col: str, dst_col: str,
         # a star forest's centers are the component minima because both
         # star operations preserve connectivity, so each component
         # collapses into ONE star rooted at its smallest node
+        # equivalent single-aggregation form (r13): a star-forest
+        # violation is a node that is EITHER a duplicate child (appears
+        # >1 time as v) OR both child and parent (appears as v and as m)
+        # — same two tests as the old groupBy + self-semi-join pair, in
+        # ONE map-side-combinable aggregation over the checkpointed
+        # round output instead of two shuffles and a join
         violations = (
-            edges.groupBy("v").agg(F.count("*").alias("c"))
-            .filter(F.col("c") > 1).select(F.lit(1).alias("x"))
+            edges.select(F.col("v").alias("node"),
+                         F.lit(1).alias("c"), F.lit(0).alias("p"))
             .unionByName(
-                edges.alias("a").join(edges.alias("b"),
-                                      F.col("a.m") == F.col("b.v"),
-                                      "left_semi")
-                .select(F.lit(1).alias("x")))
+                edges.select(F.col("m").alias("node"),
+                             F.lit(0).alias("c"), F.lit(1).alias("p")))
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"), F.sum("p").alias("p"))
+            .filter((F.col("c") > 1)
+                    | ((F.col("c") > 0) & (F.col("p") > 0)))
             .limit(1).count())
         if violations == 0:
             break

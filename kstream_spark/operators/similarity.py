@@ -458,9 +458,44 @@ def decontaminate_embedding(corpus: DataFrame, eval_set: DataFrame,
     return c.join(e, hit, "left_anti").drop("__v", "__n")
 
 
+def _train_local(emb: DataFrame, id_col: str | None,
+                 local_bytes: int | None, local: bool | None) -> bool:
+    """Arm gate shared by the training loops: run Lloyd's driver-local
+    when the INPUT is provably tiny (Catalyst scan stats — no job), the
+    seed order is well-defined (id_col given), and the caller didn't pin
+    an arm.  Missing stats (mapInPandas children, views) mean "can't
+    prove small" and keep the distributed arm — the safe default at any
+    scale."""
+    if local is not None:
+        return local
+    if id_col is None or local_bytes is None:
+        return False
+    from kstream_spark.util import _plan_size_bytes
+    size = _plan_size_bytes(emb)
+    return size is not None and size <= local_bytes
+
+
+def _collect_vecs_sorted_seeds(emb: DataFrame, vec_col: str, sort_key: str,
+                               k: int):
+    """One bounded action for the local training arm: collect the (vec,
+    sort-key) projection in scan order and derive the k lowest-key seed
+    ROW INDICES driver-side (same seed set as the distributed arm's
+    ``orderBy(sort_key).limit(k)``; keys are unique in every caller, so
+    tie order cannot differ).  Returns (mat, seed_indices)."""
+    import numpy as np
+
+    rows = emb.select(as_double(F.col(vec_col)).alias("v"),
+                      F.col(sort_key).alias("_sk")).collect()
+    mat = np.array([r["v"] for r in rows], dtype=np.float64)
+    order = sorted(range(len(rows)), key=lambda i: rows[i]["_sk"])
+    return mat, order[:k]
+
+
 def kmeans_centroids(emb: DataFrame, vec_col: str, k: int = 16,
                      iters: int = 5, seed: int = 7,
-                     id_col: str | None = None) -> list:
+                     id_col: str | None = None,
+                     local_bytes: int | None = 32 << 20,
+                     local: bool | None = None) -> list:
     """Lloyd's k-means over the embedding column, cosine-style (vectors and
     centroids L2-normalized each round).
 
@@ -478,10 +513,49 @@ def kmeans_centroids(emb: DataFrame, vec_col: str, k: int = 16,
     — including the DuckDB SQL oracle — derives bit-identical centroids.
     Ties in assignment break toward the lowest cell id (np.argmax picks the
     first maximum), matching ORDER BY score DESC, cell ASC.
+
+    HYBRID EXECUTION (r13, guide §1/§5): at the bench SFs the embeddings
+    relation is thousands of rows, and each Lloyd iteration's cost is the
+    ACTION (plan + Arrow round-trip + collect), not the math — k=8 x
+    iters=3 paid 4 driver actions ~0.2 s each for ~1 ms of numpy.  When
+    Catalyst scan stats prove the input <= ``local_bytes`` (default 32 MB
+    — comfortably bounded driver traffic, the same class as the existing
+    centroid/codebook collects), ONE action collects the vector column
+    and every iteration runs driver-side with the IDENTICAL numpy
+    expressions the executor partials use — on a single-partition
+    single-Arrow-batch input (all bench SFs) that is bit-identical, and
+    under any batching the shared round-6 HALF_UP discipline absorbs
+    summation-order ulps exactly as it already does between the two
+    distributed reduce paths and the SQL oracle.  ``local=True/False``
+    pins the arm (parity tests); missing stats or ``local_bytes=None``
+    keep the distributed arm — at 100 TB nothing changes.
     """
     import numpy as np
 
     sort_key = id_col if id_col is not None else vec_col
+    if _train_local(emb, id_col, local_bytes, local):
+        mat, seed_idx = _collect_vecs_sorted_seeds(emb, vec_col, sort_key, k)
+        cents = mat[seed_idx].copy()
+        cents = np_round6_half_up(
+            cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True),
+                               1e-12))
+        for _ in range(iters):
+            # same expressions as the executor partials, one full batch
+            normed = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            cells = np.argmax(np.round(normed @ cents.T, 6), axis=1)
+            new = cents.copy()
+            for cell in np.unique(cells):
+                sel = mat[cells == cell]
+                m = np_round6_half_up(sel.sum(axis=0) / sel.shape[0])
+                nrm = np.linalg.norm(m)
+                if nrm > 1e-12:
+                    new[cell] = np_round6_half_up(m / nrm)
+            if np.allclose(new, cents, atol=1e-9):
+                cents = new
+                break
+            cents = new
+        return cents.tolist()
     first = (emb.orderBy(sort_key).limit(k)
              .select(as_double(F.col(vec_col)).alias("v")).collect())
     cents = np.array([r["v"] for r in first], dtype=np.float64)
@@ -757,7 +831,9 @@ def load_codebooks(spark, path: str) -> list:
 
 
 def pq_codebooks(emb: DataFrame, vec_col: str, m: int = 4, k: int = 16,
-                 iters: int = 2, id_col: str | None = None) -> list:
+                 iters: int = 2, id_col: str | None = None,
+                 local_bytes: int | None = 32 << 20,
+                 local: bool | None = None) -> list:
     """Train product-quantization codebooks: the vector space splits into
     ``m`` contiguous subspaces (dim/m components each) and each learns an
     independent ``k``-codeword Euclidean k-means codebook (Jegou et al.
@@ -771,10 +847,39 @@ def pq_codebooks(emb: DataFrame, vec_col: str, m: int = 4, k: int = 16,
     every distance/mean is rounded to 6 dp HALF_UP with ties toward the
     lowest code — so a SQL oracle replays training bit-for-bit.  Returns
     ``m`` lists of ``k`` codewords (list of lists of floats).
+
+    HYBRID EXECUTION (r13): same size-gated driver-local arm as
+    kmeans_centroids — when scan stats prove the input <= ``local_bytes``
+    the whole training runs off ONE collect with the executor partials'
+    exact numpy expressions (seed collect + iters actions collapse to a
+    single action); ``local=True/False`` pins an arm, missing stats keep
+    the distributed path.  Callers whose input has no stats (e.g. the
+    residual mapInPandas chain) pass ``local=`` derived from their own
+    source relation.
     """
     import numpy as np
 
     sort_key = id_col if id_col is not None else vec_col
+    if _train_local(emb, id_col, local_bytes, local):
+        mat, seed_idx = _collect_vecs_sorted_seeds(emb, vec_col, sort_key, k)
+        dim = mat.shape[1]
+        if dim % m:
+            raise ValueError(f"dim {dim} not divisible by m={m}")
+        sub = dim // m
+        seed_mat = mat[seed_idx]
+        books = [seed_mat[:, j * sub:(j + 1) * sub].copy() for j in range(m)]
+        for _ in range(iters):
+            for j, cb in enumerate(books):
+                # identical expressions to the executor partials
+                x = mat[:, j * sub:(j + 1) * sub]
+                raw = ((x[:, None, :] - cb[None, :, :]) ** 2).sum(-1)
+                d = np.copysign(np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6, raw)
+                codes = np.argmin(d, axis=1)
+                for c in np.unique(codes):
+                    sel = x[codes == c]
+                    books[j][c] = np_round6_half_up(
+                        sel.sum(axis=0) / sel.shape[0])
+        return [b.tolist() for b in books]
     first = (emb.orderBy(sort_key).limit(k)
              .select(as_double(F.col(vec_col)).alias("v")).collect())
     seed_mat = np.array([r["v"] for r in first], dtype=np.float64)
@@ -1162,9 +1267,15 @@ def ivfpq_residual_topk(emb: DataFrame, id_col: str, vec_col: str,
         residual,
         schema=f"neighbor_id {id_dt}, cell_id long, rv array<double>")
 
-    # --- PQ codebooks trained ON RESIDUALS (seeds: k lowest-id residuals)
+    # --- PQ codebooks trained ON RESIDUALS (seeds: k lowest-id residuals).
+    # res_df is a mapInPandas child — no Catalyst stats — but its row set
+    # is exactly emb's, so the local-arm gate reads the SOURCE relation's
+    # scan stats (r13: collapses seed collect + persist fill + per-iter
+    # actions, each of which re-ran the assign+residual chain, into one).
     books = pq_codebooks(res_df, "rv", m=m, k=pq_k, iters=pq_iters,
-                         id_col="neighbor_id")
+                         id_col="neighbor_id",
+                         local=_train_local(emb, "neighbor_id", 32 << 20,
+                                            None) or None)
     bks = [np.asarray(b, dtype=np.float64) for b in books]
     sub = bks[0].shape[1]
 

@@ -142,6 +142,39 @@ def test_cosine_pairs_impls_identical(spark):
     assert all(a != 60 and b != 60 for a, b, _ in ref)
 
 
+def test_training_local_arm_bit_identical(spark):
+    """The r13 driver-local training arm (one collect, all Lloyd rounds
+    in numpy) must return BIT-identical centroids/codebooks to the
+    distributed partials arm on the same input — including a multi-batch
+    shape (several partitions) and non-contiguous ids, so the seed
+    selection (k lowest ids) and per-cell sums line up across arms.  The
+    auto gate must also resolve: tiny scan stats -> local; an input with
+    no stats (in-memory rows keep the distributed arm via the
+    defaultSizeInBytes sentinel -> None) -> distributed."""
+    import random
+    random.seed(29)
+    rows = [(i * 3 + 1, [float(random.gauss(0, 1)) for _ in range(16)])
+            for i in range(120)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>").repartition(4)
+    km_d = S.kmeans_centroids(emb, "embedding", k=5, iters=3,
+                              id_col="vec_id", local=False)
+    km_l = S.kmeans_centroids(emb, "embedding", k=5, iters=3,
+                              id_col="vec_id", local=True)
+    assert km_l == km_d
+    pq_d = S.pq_codebooks(emb, "embedding", m=4, k=6, iters=2,
+                          id_col="vec_id", local=False)
+    pq_l = S.pq_codebooks(emb, "embedding", m=4, k=6, iters=2,
+                          id_col="vec_id", local=True)
+    assert pq_l == pq_d
+    # createDataFrame relations carry no scan stats -> auto stays
+    # distributed (gate returns False); forced arms above prove parity
+    from kstream_spark.operators.similarity import _train_local
+    assert _train_local(emb, "vec_id", 32 << 20, None) is False
+    assert _train_local(emb, None, 32 << 20, None) is False
+    assert _train_local(emb, "vec_id", None, None) is False
+
+
 def test_cosine_topk_self_excluded(spark):
     emb = spark.createDataFrame(
         [(i, [float(i == j) for j in range(4)]) for i in range(4)] +
