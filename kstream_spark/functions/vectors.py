@@ -29,6 +29,38 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def lit_doubles(vals) -> Column:
+    """array<double> literal built in ONE py4j round trip (r13).
+
+    ``F.lit(list)`` recurses element-by-element through py4j — a 16x64
+    centroid matrix cost ~0.9 s of socket round trips PER QUERY
+    CONSTRUCTION (cProfile: 1269 ``lit`` calls inside
+    cell_cosine_scores), pure driver overhead the bench pays every run.
+    One ``F.expr`` string with D-suffixed shortest-repr doubles builds
+    the IDENTICAL literal JVM-side: Python ``repr`` emits the shortest
+    decimal that round-trips to the exact double, and Java's
+    ``Double.parseDouble`` of that string returns the same bits
+    (verified bit-identical over gauss/subnormal/huge/negative-zero
+    values).  Non-finite values (no caller produces them) fall back to
+    the element-wise path, which handles them today."""
+    import math
+    vals = [float(v) for v in vals]
+    if not vals or not all(math.isfinite(v) for v in vals):
+        return F.lit(vals)
+    return F.expr("array(" + ",".join(f"{v!r}D" for v in vals) + ")")
+
+
+def lit_double_matrix(rows) -> Column:
+    """array<array<double>> literal in one py4j round trip — see
+    lit_doubles."""
+    import math
+    rows = [[float(v) for v in r] for r in rows]
+    if not rows or not all(math.isfinite(v) for r in rows for v in r):
+        return F.lit(rows)
+    return F.expr("array(" + ",".join(
+        "array(" + ",".join(f"{v!r}D" for v in r) + ")" for r in rows) + ")")
+
+
 def cell_cosine_scores(v: Column, vnorm: Column, centroids: list) -> Column:
     """Round-6 cosine of ``v`` against every row of a LITERAL centroid
     matrix — the IVF cell-assignment scores — as one constant-size
@@ -42,9 +74,9 @@ def cell_cosine_scores(v: Column, vnorm: Column, centroids: list) -> Column:
     left-fold dot, same driver-side float centroid norm, same round-6;
     ties still resolve by array_position's first match downstream."""
     import math
-    cmat = F.lit([[float(x) for x in c] for c in centroids])
-    cn = F.lit([float(math.sqrt(sum(float(x) * float(x) for x in c)))
-                for c in centroids])
+    cmat = lit_double_matrix(centroids)
+    cn = lit_doubles([math.sqrt(sum(float(x) * float(x) for x in c))
+                      for c in centroids])
     return F.transform(
         cmat,
         lambda cv, i: F.round(

@@ -291,7 +291,8 @@ def kcenter_select(emb: DataFrame, id_col: str, vec_col: str,
                 .select("vec_id", "v").collect()[0])
         centers = [(seed.vec_id, [float(x) for x in seed.v], 0.0)]
         for _ in range(k - 1):
-            cmat = F.lit([c[1] for c in centers])
+            from kstream_spark.functions.vectors import lit_double_matrix
+            cmat = lit_double_matrix([c[1] for c in centers])
             dists = F.transform(
                 cmat,
                 lambda cv: F.round(

@@ -669,11 +669,6 @@ def ivf_topk(emb: DataFrame, id_col: str, vec_col: str,
                      .select(as_double(F.col(vec_col)).alias("cv"))
                      .collect()]
     spark = emb.sparkSession
-    cents = F.broadcast(
-        spark.createDataFrame(
-            [(i, c) for i, c in enumerate(cent_list)],
-            schema="cell_id long, cv array<double>")
-        .withColumn("cn", norm(F.col("cv"))))
 
     # assign every corpus vector to its nearest centroid as a LITERAL
     # PROJECTION (the centroid matrix rides into the expression; no join,
@@ -692,18 +687,31 @@ def ivf_topk(emb: DataFrame, id_col: str, vec_col: str,
         (F.array_position(cell_scores, F.array_max(cell_scores)) - 1)
         .cast("long")).select("neighbor_id", "nv", "nn", "cell_id")
 
-    # queries probe their n_probe nearest cells
-    queries = emb.filter(F.col(id_col).isin(query_ids)) \
-        .select(F.col(id_col).alias("query_id"),
-                as_double(F.col(vec_col)).alias("qv")) \
-        .withColumn("qn", norm(F.col("qv")))
-    w_probe = W.partitionBy("query_id").orderBy(F.desc("cell_cos"), F.asc("cell_id"))
-    probes = (F.broadcast(queries).join(cents)
-              .withColumn("cell_cos", F.round(dot(F.col("qv"), F.col("cv"))
-                                              / (F.col("qn") * F.col("cn")), 6))
-              .withColumn("rn", F.row_number().over(w_probe))
-              .filter(F.col("rn") <= n_probe)
-              .select("query_id", "qv", "qn", "cell_id"))
+    # queries probe their n_probe nearest cells — probe selection runs
+    # DRIVER-SIDE on the |Q|-bounded query rows (the ivfpq_topk recipe,
+    # r13: same round-6 cos, same (cos DESC, cell ASC) lexsort), which
+    # replaces the centroid-relation broadcast join + rank window with a
+    # tiny literal relation.  ``qn`` stays a JVM ``norm()`` column so the
+    # downstream score arithmetic is bit-identical to the old plan.
+    import numpy as np
+    id_dt = emb.schema[id_col].dataType.simpleString()
+    qrows = (emb.filter(F.col(id_col).isin(query_ids))
+             .select(F.col(id_col).alias("query_id"),
+                     as_double(F.col(vec_col)).alias("qv")).collect())
+    cents_np = np.asarray(cent_list, dtype=np.float64)
+    cnorm = np.sqrt((cents_np ** 2).sum(-1))
+    probe_rows = []
+    for r in qrows:
+        qv = np.asarray(r["qv"], dtype=np.float64)
+        raw = (cents_np @ qv) / (cnorm * float(np.sqrt((qv ** 2).sum())))
+        cos = np.copysign(np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6, raw)
+        cell_order = np.lexsort((np.arange(len(cos)), -cos))
+        for cell in cell_order[:n_probe]:
+            probe_rows.append((r["query_id"], list(r["qv"]), int(cell)))
+    probes = F.broadcast(spark.createDataFrame(
+        probe_rows, schema=f"query_id {id_dt}, qv array<double>, "
+                           f"cell_id long")
+        .withColumn("qn", norm(F.col("qv"))))
 
     scored = (probes.join(assigned, "cell_id")
               .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -1359,7 +1367,7 @@ def sq8_stats(emb: DataFrame, vec_col: str) -> tuple[list, list]:
 
 
 def sq8_topk(emb: DataFrame, id_col: str, vec_col: str, query_ids: list,
-             k: int = 10) -> DataFrame:
+             k: int = 10, local: bool | None = None) -> DataFrame:
     """Scalar-quantized (SQ8) asymmetric top-k: corpus vectors compress to
     one uint8 code per dimension (4x smaller than float32 — the standard
     memory/IO tier between raw vectors and PQ), queries stay full
@@ -1384,10 +1392,35 @@ def sq8_topk(emb: DataFrame, id_col: str, vec_col: str, query_ids: list,
     from kstream_spark.util import ensure_parallelism
     from kstream_spark.functions.vectors import dot
     emb = ensure_parallelism(emb)
-    mn, mx = sq8_stats(emb, vec_col)
+    # r13 local-setup arm (same size gate as the training loops): the
+    # per-dim min/max scan and the query-row broadcast scan were two
+    # separate jobs over a tiny relation; one collect derives both.
+    # min/max are exact data picks (order-free), query rows are verbatim
+    # vectors — bit-identical by construction.  Corpus-side quantize +
+    # score stays distributed: only bounded setup localizes.
+    id_dt = emb.schema[id_col].dataType.simpleString()
+    spark = emb.sparkSession
+    if _train_local(emb, id_col, 32 << 20, local):
+        import numpy as np
+        rows = emb.select(F.col(id_col).alias("_id"),
+                          as_double(F.col(vec_col)).alias("v")).collect()
+        mat = np.array([r["v"] for r in rows], dtype=np.float64)
+        mn = [float(x) for x in mat.min(axis=0)]
+        mx = [float(x) for x in mat.max(axis=0)]
+        want = set(query_ids)
+        q_rows = [(r["_id"], [float(x) for x in r["v"]])
+                  for r in rows if r["_id"] in want]
+        q = F.broadcast(spark.createDataFrame(
+            q_rows, schema=f"query_id {id_dt}, qv array<double>"))
+    else:
+        mn, mx = sq8_stats(emb, vec_col)
+        q = F.broadcast(emb.filter(F.col(id_col).isin(query_ids))
+                        .select(F.col(id_col).alias("query_id"),
+                                as_double(F.col(vec_col)).alias("qv")))
     scale = [255.0 / (b - a) if b > a else 0.0 for a, b in zip(mn, mx)]
     step = [(b - a) / 255.0 for a, b in zip(mn, mx)]
-    mnl, scl, stl = F.lit(mn), F.lit(scale), F.lit(step)
+    from kstream_spark.functions.vectors import lit_doubles
+    mnl, scl, stl = lit_doubles(mn), lit_doubles(scale), lit_doubles(step)
     codes = F.transform(
         as_double(F.col(vec_col)),
         lambda x, i: F.least(
@@ -1399,9 +1432,6 @@ def sq8_topk(emb: DataFrame, id_col: str, vec_col: str, query_ids: list,
         codes, F.transform(codes, lambda _c, i: (i + F.lit(1)).cast("int")),
         lambda c, idx: F.element_at(mnl, idx) + c * F.element_at(stl, idx))
     c = emb.select(F.col(id_col).alias("neighbor_id"), dq.alias("dv"))
-    q = F.broadcast(emb.filter(F.col(id_col).isin(query_ids))
-                    .select(F.col(id_col).alias("query_id"),
-                            as_double(F.col(vec_col)).alias("qv")))
     scored = (q.join(c, F.col("query_id") != F.col("neighbor_id"))
               .select("query_id", "neighbor_id",
                       F.round(dot(F.col("qv"), F.col("dv")), 6)
@@ -1410,7 +1440,8 @@ def sq8_topk(emb: DataFrame, id_col: str, vec_col: str, query_ids: list,
 
 
 def ivfsq_topk(emb: DataFrame, id_col: str, vec_col: str, query_ids: list,
-               k: int = 10, n_cells: int = 16, n_probe: int = 4) -> DataFrame:
+               k: int = 10, n_cells: int = 16, n_probe: int = 4,
+               local: bool | None = None) -> DataFrame:
     """IVF + SQ8 composed index (the FAISS "IVF,SQ8" shape — the most
     common production tier before PQ): the corpus is partitioned into
     ``n_cells`` Voronoi cells on the RAW vectors (assignment happens at
@@ -1435,14 +1466,53 @@ def ivfsq_topk(emb: DataFrame, id_col: str, vec_col: str, query_ids: list,
                                                  norm)
     from kstream_spark.util import ensure_parallelism
     emb = ensure_parallelism(emb)
-    cent_list = [list(r["cv"]) for r in
-                 emb.orderBy(id_col).limit(n_cells)
-                 .select(as_double(F.col(vec_col)).alias("cv"))
-                 .collect()]
-    mn, mx = sq8_stats(emb, vec_col)
+    id_dt = emb.schema[id_col].dataType.simpleString()
+    spark = emb.sparkSession
+    # r13 local-setup arm (training-loop size gate): seeds, per-dim
+    # min/max, and the probe selection each cost a job over a tiny
+    # relation; one collect derives all three.  Probe choice runs the
+    # ivfpq_topk driver-side recipe (same round-6 cos, same
+    # (cos DESC, cell ASC) lexsort).  Corpus-side assignment, quantize
+    # and scoring stay distributed — only bounded setup localizes, so
+    # the 100 TB shape is untouched (stats past the gate keep every
+    # job distributed exactly as before).
+    probes = None
+    if _train_local(emb, id_col, 32 << 20, local):
+        import numpy as np
+        rows = emb.select(F.col(id_col).alias("_id"),
+                          as_double(F.col(vec_col)).alias("v")).collect()
+        mat = np.array([r["v"] for r in rows], dtype=np.float64)
+        order = sorted(range(len(rows)), key=lambda i: rows[i]["_id"])
+        cent_list = [[float(x) for x in mat[i]] for i in order[:n_cells]]
+        mn = [float(x) for x in mat.min(axis=0)]
+        mx = [float(x) for x in mat.max(axis=0)]
+        cents_np = np.asarray(cent_list, dtype=np.float64)
+        cnorm = np.sqrt((cents_np ** 2).sum(-1))
+        want = set(query_ids)
+        probe_rows = []
+        for i, r in enumerate(rows):
+            if r["_id"] not in want:
+                continue
+            qv = mat[i]
+            raw = (cents_np @ qv) / (cnorm * float(np.sqrt((qv ** 2).sum())))
+            cos = np.copysign(np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6, raw)
+            cell_order = np.lexsort((np.arange(len(cos)), -cos))
+            for cell in cell_order[:n_probe]:
+                probe_rows.append((r["_id"], [float(x) for x in r["v"]],
+                                   int(cell)))
+        probes = F.broadcast(spark.createDataFrame(
+            probe_rows,
+            schema=f"query_id {id_dt}, qv array<double>, cell_id long"))
+    else:
+        cent_list = [list(r["cv"]) for r in
+                     emb.orderBy(id_col).limit(n_cells)
+                     .select(as_double(F.col(vec_col)).alias("cv"))
+                     .collect()]
+        mn, mx = sq8_stats(emb, vec_col)
     scale = [255.0 / (b - a) if b > a else 0.0 for a, b in zip(mn, mx)]
     step = [(b - a) / 255.0 for a, b in zip(mn, mx)]
-    mnl, scl, stl = F.lit(mn), F.lit(scale), F.lit(step)
+    from kstream_spark.functions.vectors import lit_doubles
+    mnl, scl, stl = lit_doubles(mn), lit_doubles(scale), lit_doubles(step)
 
     corpus = emb.select(F.col(id_col).alias("neighbor_id"),
                         as_double(F.col(vec_col)).alias("nv")) \
@@ -1464,24 +1534,24 @@ def ivfsq_topk(emb: DataFrame, id_col: str, vec_col: str, query_ids: list,
         .cast("long").alias("cell_id"),
         dq.alias("dv"))
 
-    spark = emb.sparkSession
-    cents = F.broadcast(spark.createDataFrame(
-        [(i, c) for i, c in enumerate(cent_list)],
-        schema="cell_id long, cv array<double>")
-        .withColumn("cn", norm(F.col("cv"))))
-    queries = emb.filter(F.col(id_col).isin(query_ids)) \
-        .select(F.col(id_col).alias("query_id"),
-                as_double(F.col(vec_col)).alias("qv")) \
-        .withColumn("qn", norm(F.col("qv")))
-    w_probe = W.partitionBy("query_id").orderBy(F.desc("cell_cos"),
-                                                F.asc("cell_id"))
-    probes = (F.broadcast(queries).join(cents)
-              .withColumn("cell_cos",
-                          F.round(dot(F.col("qv"), F.col("cv"))
-                                  / (F.col("qn") * F.col("cn")), 6))
-              .withColumn("rn", F.row_number().over(w_probe))
-              .filter(F.col("rn") <= n_probe)
-              .select("query_id", "qv", "cell_id"))
+    if probes is None:
+        cents = F.broadcast(spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cent_list)],
+            schema="cell_id long, cv array<double>")
+            .withColumn("cn", norm(F.col("cv"))))
+        queries = emb.filter(F.col(id_col).isin(query_ids)) \
+            .select(F.col(id_col).alias("query_id"),
+                    as_double(F.col(vec_col)).alias("qv")) \
+            .withColumn("qn", norm(F.col("qv")))
+        w_probe = W.partitionBy("query_id").orderBy(F.desc("cell_cos"),
+                                                    F.asc("cell_id"))
+        probes = (F.broadcast(queries).join(cents)
+                  .withColumn("cell_cos",
+                              F.round(dot(F.col("qv"), F.col("cv"))
+                                      / (F.col("qn") * F.col("cn")), 6))
+                  .withColumn("rn", F.row_number().over(w_probe))
+                  .filter(F.col("rn") <= n_probe)
+                  .select("query_id", "qv", "cell_id"))
     scored = (F.broadcast(probes).join(assigned, "cell_id")
               .filter(F.col("query_id") != F.col("neighbor_id"))
               .select("query_id", "neighbor_id",

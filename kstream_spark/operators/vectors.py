@@ -114,7 +114,8 @@ def random_projection(df: DataFrame, vec_col: str, in_dim: int,
     """
     signs = rp_sign_matrix(in_dim, out_dim, seed)
     scale = 1.0 / (out_dim ** 0.5)
-    smat = F.lit([[float(s) for s in row] for row in signs])
+    from kstream_spark.functions.vectors import lit_double_matrix
+    smat = lit_double_matrix(signs)
     vec = F.col(vec_col).cast("array<double>")
     rp = F.transform(
         smat,

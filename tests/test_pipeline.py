@@ -175,6 +175,33 @@ def test_training_local_arm_bit_identical(spark):
     assert _train_local(emb, "vec_id", None, None) is False
 
 
+def test_sq8_local_setup_arm_identical(spark, tmp_path):
+    """sq8_topk / ivfsq_topk local-setup arms (one collect derives the
+    per-dim min/max, the seed centroids, and the numpy probe selection)
+    must return the IDENTICAL ranked rows as the distributed-setup arms.
+    Runs over a parquet scan so the auto gate ALSO resolves to local
+    (scan stats present and tiny)."""
+    import random
+    random.seed(31)
+    src = spark.createDataFrame(
+        [(i, [float(random.gauss(0, 1)) for _ in range(16)])
+         for i in range(80)], "vec_id long, embedding array<float>")
+    path = str(tmp_path / "emb.parquet")
+    src.write.parquet(path)
+    emb = spark.read.parquet(path)
+    qids = [0, 1, 2]
+    for fn, kw in ((S.sq8_topk, {}),
+                   (S.ivfsq_topk, {"n_cells": 6, "n_probe": 3})):
+        loc = sorted(map(tuple, fn(emb, "vec_id", "embedding", qids,
+                                   k=5, local=True, **kw).collect()))
+        dist = sorted(map(tuple, fn(emb, "vec_id", "embedding", qids,
+                                    k=5, local=False, **kw).collect()))
+        auto = sorted(map(tuple, fn(emb, "vec_id", "embedding", qids,
+                                    k=5, **kw).collect()))
+        assert loc == dist == auto
+        assert len(loc) == 15
+
+
 def test_cosine_topk_self_excluded(spark):
     emb = spark.createDataFrame(
         [(i, [float(i == j) for j in range(4)]) for i in range(4)] +
