@@ -263,20 +263,29 @@ def dhash_bands(df: DataFrame, id_col: str, pixel_col: str,
     grid_n = (w + 1) * h
     src = df.select(F.col(id_col), F.col(pixel_col).alias("_px"),
                     F.size(F.col(pixel_col)).alias("_l"))
-    # nearest-neighbor resample: grid g reads pixel (g * L) // grid_n
-    g = [F.expr(f"element_at(_px, cast(({i} * _l) div {grid_n} as int) + 1)")
+    # nearest-neighbor resample: grid g reads pixel (g * L) // grid_n.
+    # The whole band array is ONE F.expr string (r13): the previous
+    # per-bit Column algebra (when/lit/+ per gradient bit) built the
+    # identical expression tree through ~1.5k py4j round trips — pure
+    # driver-side construction cost paid per run (the afp_bands wall,
+    # measured 1.8 s warm at sf0.1); a generated SQL string parses
+    # JVM-side in milliseconds and the arithmetic is integer-exact, so
+    # the hash is bit-identical by construction.
+    g = [f"element_at(_px, cast(({i} * _l) div {grid_n} as int) + 1)"
          for i in range(grid_n)]
-    band_cols = []
+    band_sqls = []
     for b in range(bands):
-        acc = None
+        terms = []
         for p in range(bbits):
             i = b * bbits + p
             r, c = divmod(i, w)
-            bit = F.when(g[r * (w + 1) + c] < g[r * (w + 1) + c + 1],
-                         F.lit(1 << p)).otherwise(F.lit(0))
-            acc = bit if acc is None else acc + bit
-        band_cols.append(acc.cast("int"))
-    return src.select(F.col(id_col), F.array(*band_cols).alias("bands"))
+            terms.append(f"(case when {g[r * (w + 1) + c]} < "
+                         f"{g[r * (w + 1) + c + 1]} then {1 << p} "
+                         f"else 0 end)")
+        band_sqls.append(f"cast(({' + '.join(terms)}) as int)")
+    return src.select(F.col(id_col),
+                      F.expr("array(" + ",".join(band_sqls) + ")")
+                      .alias("bands"))
 
 
 def phash_pairs(df: DataFrame, id_col: str, pixel_col: str,
@@ -376,21 +385,27 @@ def afp_bands(df: DataFrame, id_col: str, energy_col: str,
     nbits = (frames - 1) * fbands
     assert nbits % lsh_bands == 0
     bbits = nbits // lsh_bands
-    e = [F.element_at(F.col(energy_col), i + 1)
+    # ONE F.expr string for the whole fingerprint (r13) — the per-bit
+    # Column algebra built this same integer-exact tree through
+    # thousands of py4j round trips (1.8 s warm per mm_afp_dedup run at
+    # sf0.1, pure driver overhead); see dhash_bands.
+    e = [f"element_at(`{energy_col}`, {i + 1})"
          for i in range(frames * (fbands + 1))]
-    band_cols = []
+    band_sqls = []
     for g in range(lsh_bands):
-        acc = None
+        terms = []
         for p in range(bbits):
             i = g * bbits + p
             f, b = i // fbands + 1, i % fbands
-            d = ((e[f * (fbands + 1) + b] - e[f * (fbands + 1) + b + 1])
-                 - (e[(f - 1) * (fbands + 1) + b]
-                    - e[(f - 1) * (fbands + 1) + b + 1]))
-            bit = F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0))
-            acc = bit if acc is None else acc + bit
-        band_cols.append(acc.cast("int"))
-    return df.select(F.col(id_col), F.array(*band_cols).alias("bands"))
+            d = (f"(({e[f * (fbands + 1) + b]} - "
+                 f"{e[f * (fbands + 1) + b + 1]}) - "
+                 f"({e[(f - 1) * (fbands + 1) + b]} - "
+                 f"{e[(f - 1) * (fbands + 1) + b + 1]}))")
+            terms.append(f"(case when {d} > 0 then {1 << p} else 0 end)")
+        band_sqls.append(f"cast(({' + '.join(terms)}) as int)")
+    return df.select(F.col(id_col),
+                     F.expr("array(" + ",".join(band_sqls) + ")")
+                     .alias("bands"))
 
 
 def afp_pairs(df: DataFrame, id_col: str, energy_col: str,
