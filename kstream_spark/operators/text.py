@@ -253,8 +253,56 @@ _BPE_PAIRS_EXPR = (
     "element_at(split(trim(seq), ' '), i + 1)))")
 
 
+def _local_train_arm(df: DataFrame, local_bytes: int | None,
+                     local: bool | None) -> bool:
+    """Size gate for the tokenizer-training local arms (the similarity
+    trainers' r13 pattern): run the merge/EM loop driver-side when the
+    SOURCE relation's Catalyst scan stats prove it tiny.  The collected
+    relation is the distinct-word vocabulary — smaller still.  Missing
+    stats keep the distributed loop (the 100 TB default)."""
+    if local is not None:
+        return local
+    if local_bytes is None:
+        return False
+    from kstream_spark.util import _plan_size_bytes
+    size = _plan_size_bytes(df)
+    return size is not None and size <= local_bytes
+
+
+def _bpe_pairs_local(seqs: list, wfs: list) -> dict:
+    """Adjacent-pair counts over collected symbol sequences — the exact
+    Python replay of the distributed round's statistic: tokens from
+    ``split(trim(seq), ' ')`` (Spark trim strips SPACES only ==
+    ``.strip(' ')``; seqs are single-space-joined by invariant), pair =
+    every adjacent position (overlapping, per Sennrich), weighted by
+    word frequency.  All integer arithmetic, order-free — bit-identical
+    to the groupBy sum."""
+    cnt: dict = {}
+    for s, wf in zip(seqs, wfs):
+        t = s.strip(" ").split(" ")
+        if len(t) < 2:
+            continue
+        for i in range(len(t) - 1):
+            p = t[i] + " " + t[i + 1]
+            cnt[p] = cnt.get(p, 0) + wf
+    return cnt
+
+
+def _merge_seqs_local(seqs: list, pair: str, merged: str) -> list:
+    """The delimiter-doubling triple-replace in Python — ``str.replace``
+    is the same all-occurrence leftmost non-overlapping scan as Spark's
+    ``F.replace`` (Java ``String.replace``), so the merged sequences are
+    character-identical to the distributed projection."""
+    pat = " " + pair.replace(" ", "  ") + " "
+    rep = f" {merged} "
+    return [s.replace(" ", "  ").replace(pat, rep).replace("  ", " ")
+            for s in seqs]
+
+
 def bpe_train(df: DataFrame, text_col: str,
-              n_merges: int = 8) -> DataFrame:
+              n_merges: int = 8,
+              local_bytes: int | None = 32 << 20,
+              local: bool | None = None) -> DataFrame:
     """ITERATIVE byte-pair-encoding training (Sennrich et al. 2016): each
     round counts adjacent SYMBOL-pair frequencies across the corpus,
     merges the most frequent pair everywhere (greedy leftmost-first
@@ -286,11 +334,38 @@ def bpe_train(df: DataFrame, text_col: str,
     (merge_rank, pair, merged, cnt)."""
     spark = df.sparkSession
     w = words(F.col(text_col))
-    word_freq = _right_size_vocab_relation(
-        df.select(F.explode(w).alias("w"))
-        .filter(F.length("w") >= 2)
-        .groupBy("w").agg(F.count("*").cast("long").alias("wf"))
-        .persist())
+    wf_rel = (df.select(F.explode(w).alias("w"))
+              .filter(F.length("w") >= 2)
+              .groupBy("w").agg(F.count("*").cast("long").alias("wf")))
+    if _local_train_arm(df, local_bytes, local):
+        # LOCAL ARM (r13): ONE action collects the vocab with the
+        # char-spaced seq built JVM-SIDE (regexp_replace runs in the
+        # collect projection, so Java's per-code-unit '.' semantics are
+        # baked into the collected strings — Python never splits
+        # characters); the merge rounds are then pure space-mechanics
+        # and integer counting (_bpe_pairs_local/_merge_seqs_local),
+        # bit-identical to the distributed round.  Winner tie-break:
+        # python string < == UTF-8 binary < (UTF-8 preserves code-point
+        # order), matching ORDER BY cnt DESC, pair ASC.
+        rows = wf_rel.select(
+            F.concat(F.lit(" "),
+                     F.expr(r"regexp_replace(w, '(.)', '$1 ')"))
+            .alias("seq"), "wf").collect()
+        seqs = [r["seq"] for r in rows]
+        wfs = [int(r["wf"]) for r in rows]
+        merges: list[tuple] = []
+        for r in range(1, n_merges + 1):
+            cnt = _bpe_pairs_local(seqs, wfs)
+            if not cnt:
+                break
+            pair = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            merged = pair.replace(" ", "")
+            merges.append((r, pair, merged, cnt[pair]))
+            seqs = _merge_seqs_local(seqs, pair, merged)
+        return spark.createDataFrame(
+            merges,
+            schema="merge_rank long, pair string, merged string, cnt long")
+    word_freq = _right_size_vocab_relation(wf_rel.persist())
     # " h e l l o " — every symbol flanked by spaces so a merge is a
     # plain substring replace with no boundary special-cases
     cur = word_freq.select(
@@ -684,7 +759,9 @@ def unigram_train(df: DataFrame, text_col: str, seed_v: int = 60,
                   keep_v: int = 30, iters: int = 2,
                   max_piece_len: int = 4,
                   oov_logp_micro: int = -20_000_000,
-                  max_word_len: int | None = None) -> DataFrame:
+                  max_word_len: int | None = None,
+                  local_bytes: int | None = 32 << 20,
+                  local: bool | None = None) -> DataFrame:
     """Unigram-LM tokenizer training by HARD (Viterbi) EM with pruning —
     the SentencePiece algorithm's deterministic-oracle-friendly form
     (Kudo 2018 trains with full forward-backward EM; hard EM keeps every
@@ -716,7 +793,21 @@ def unigram_train(df: DataFrame, text_col: str, seed_v: int = 60,
                  .groupBy("w").agg(F.count("*").cast("long").alias("wf")))
     if max_word_len is not None:
         word_freq = word_freq.filter(F.length("w") <= max_word_len)
-    word_freq = _right_size_vocab_relation(word_freq.persist())
+    # LOCAL ARM (r13): the E-step DP (_viterbi_pieces_batch) is Python
+    # code EITHER WAY — distributed it runs inside mapInPandas, locally
+    # it runs on the one collected vocab; the M-step is an integer,
+    # order-free count.  So the arms are bit-identical by construction
+    # and the per-iteration action (Arrow round-trip + groupBy collect)
+    # collapses into plain dict counting.
+    local_arm = _local_train_arm(df, local_bytes, local)
+    ws_l: list = []
+    wfs_l: list = []
+    if local_arm:
+        rows = word_freq.collect()
+        ws_l = [r["w"] for r in rows]
+        wfs_l = [int(r["wf"]) for r in rows]
+    else:
+        word_freq = _right_size_vocab_relation(word_freq.persist())
     seed = unigram_seed_vocab(df, text_col, max_piece_len, seed_v).collect()
     lp = {r["piece"]: int(r["logp_micro"]) for r in seed}
     ml, oov = max_piece_len, int(oov_logp_micro)
@@ -724,20 +815,29 @@ def unigram_train(df: DataFrame, text_col: str, seed_v: int = 60,
     for _ in range(iters):
         lp_b = dict(lp)
 
-        def run(batches, lp_b=lp_b):
-            for pdf in batches:
-                out_p, out_c = [], []
-                for pieces, wf in zip(
-                        _viterbi_pieces_batch(list(pdf["w"]), lp_b, ml, oov),
-                        pdf["wf"]):
-                    out_p += pieces
-                    out_c += [int(wf)] * len(pieces)
-                yield pd.DataFrame({"piece": out_p, "c": out_c})
+        if local_arm:
+            counts = {}
+            for pieces, wf_ in zip(
+                    _viterbi_pieces_batch(ws_l, lp_b, ml, oov), wfs_l):
+                for p in pieces:
+                    counts[p] = counts.get(p, 0) + wf_
+        else:
+            def run(batches, lp_b=lp_b):
+                for pdf in batches:
+                    out_p, out_c = [], []
+                    for pieces, wf in zip(
+                            _viterbi_pieces_batch(list(pdf["w"]), lp_b,
+                                                  ml, oov),
+                            pdf["wf"]):
+                        out_p += pieces
+                        out_c += [int(wf)] * len(pieces)
+                    yield pd.DataFrame({"piece": out_p, "c": out_c})
 
-        used = (word_freq.mapInPandas(run, "piece string, c long")
-                .groupBy("piece").agg(F.sum("c").cast("long").alias("cnt"))
-                .collect())
-        counts = {r["piece"]: int(r["cnt"]) for r in used}
+            used = (word_freq.mapInPandas(run, "piece string, c long")
+                    .groupBy("piece")
+                    .agg(F.sum("c").cast("long").alias("cnt"))
+                    .collect())
+            counts = {r["piece"]: int(r["cnt"]) for r in used}
         # prune: keep_v by (cnt desc, piece asc), single chars immune
         ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
         kept = {p for p, _ in ranked[:keep_v]} | \
@@ -937,7 +1037,9 @@ def _right_size_vocab_relation(word_freq: DataFrame,
 
 
 def wordpiece_train(df: DataFrame, text_col: str,
-                    n_merges: int = 6) -> DataFrame:
+                    n_merges: int = 6,
+                    local_bytes: int | None = 32 << 20,
+                    local: bool | None = None) -> DataFrame:
     """ITERATIVE WordPiece training (Schuster & Nakajima 2012, the BERT
     tokenizer's training rule): structurally bpe_train's loop — merge one
     adjacent symbol pair everywhere per round, recount — but the winner
@@ -972,11 +1074,47 @@ def wordpiece_train(df: DataFrame, text_col: str,
     import math
     spark = df.sparkSession
     w = words(F.col(text_col))
-    word_freq = (df.select(F.explode(w).alias("w"))
-                 .filter(F.length("w") >= 2)
-                 .groupBy("w").agg(F.count("*").cast("long").alias("wf"))
-                 .persist())
-    word_freq = _right_size_vocab_relation(word_freq)
+    wf_rel = (df.select(F.explode(w).alias("w"))
+              .filter(F.length("w") >= 2)
+              .groupBy("w").agg(F.count("*").cast("long").alias("wf")))
+    if _local_train_arm(df, local_bytes, local):
+        # LOCAL ARM (r13): one collect of the JVM-prepared seqs; each
+        # round's symbol+pair statistic is integer counting in Python
+        # (bit-identical to the fused groupBy sum) and the argmax was
+        # ALREADY driver-side Python — the scoring/tie-break code below
+        # is shared verbatim.
+        rows = wf_rel.select(
+            F.concat(F.lit(" "),
+                     F.expr(r"regexp_replace(w, '(.)', '$1 ')"))
+            .alias("seq"), "wf").collect()
+        seqs = [r["seq"] for r in rows]
+        wfs = [int(r["wf"]) for r in rows]
+        merges: list[tuple] = []
+        for r in range(1, n_merges + 1):
+            sc: dict = {}
+            for s, wf_ in zip(seqs, wfs):
+                for tok in s.strip(" ").split(" "):
+                    sc[tok] = sc.get(tok, 0) + wf_
+            pair_cnt = _bpe_pairs_local(seqs, wfs)
+            best = None
+            for pair, cnt in pair_cnt.items():
+                a, b = pair.split(" ")
+                score = _round_half_up(
+                    (math.log(cnt) - math.log(sc[a]) - math.log(sc[b]))
+                    * 1e6)
+                key = (-score, pair)
+                if best is None or key < best[0]:
+                    best = (key, pair, cnt, score)
+            if best is None:
+                break
+            _, pair, cnt, score = best
+            merged = pair.replace(" ", "")
+            merges.append((r, pair, merged, cnt, score))
+            seqs = _merge_seqs_local(seqs, pair, merged)
+        return spark.createDataFrame(
+            merges, schema="merge_rank long, pair string, merged string, "
+                           "cnt long, score_micro long")
+    word_freq = _right_size_vocab_relation(wf_rel.persist())
     cur = word_freq.select(
         F.concat(F.lit(" "),
                  F.expr(r"regexp_replace(w, '(.)', '$1 ')")).alias("seq"),

@@ -596,3 +596,34 @@ def test_prefix_filter_skips_boilerplate(spark):
     full = ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.8).count()
     pref = prefix_jaccard_pairs(df, "doc_id", "text", 3, 0.8).count()
     assert full == pref == 0
+
+
+def test_tokenizer_training_local_arm_bit_identical(spark):
+    """The r13 driver-local training arms of bpe_train / wordpiece_train /
+    unigram_train must return row-identical results to the distributed
+    loops — including on a Unicode-adversarial corpus (NBSP inside a
+    token, CJK, an astral emoji whose surrogate-pair char-splitting
+    happens JVM-side before either arm's loop runs, mixed case) so the
+    space-mechanics-only Python rounds provably see the same symbol
+    sequences the distributed projection builds."""
+    from kstream_spark.operators.text import (bpe_train, unigram_train,
+                                              wordpiece_train)
+    rows = [
+        (1, "banana banana bandana"),
+        (2, "low lower lowest low low"),
+        (3, "café cafe cafés naïve"),
+        (4, "漢字漢字 漢字"),
+        (5, "a b a b plain"),          # NBSP is NOT Java \s
+        (6, "\U0001F600x \U0001F600x \U0001F600y"),  # astral surrogate pair
+        (7, "Mixed MIXED mixed miXed"),
+    ]
+    df = _docs(spark, rows)
+    for fn, kw, key in (
+            (bpe_train, {"n_merges": 5}, None),
+            (wordpiece_train, {"n_merges": 5}, None),
+            (unigram_train, {"seed_v": 25, "keep_v": 12, "iters": 2,
+                             "max_piece_len": 3}, None)):
+        loc = [tuple(r) for r in fn(df, "text", local=True, **kw).collect()]
+        dist = [tuple(r) for r in fn(df, "text", local=False, **kw).collect()]
+        assert loc == dist, f"{fn.__name__} arms diverged"
+        assert len(loc) > 0
