@@ -420,18 +420,30 @@ CORPUS_INVENTORY["text_bpe_train"] = (q_text_bpe_train,
 
 def q_text_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
     """Tokenizer INFERENCE with the learned merges: train bpe_train's 6
-    merges, apply them per word across the corpus (operators/
-    text.bpe_tokenize — one codegen projection), and report the top-50
-    (token, cnt) of the resulting corpus tokenization."""
+    merges, apply them to the corpus word VOCABULARY weighted by word
+    frequency, and report the top-50 (token, cnt) of the resulting
+    corpus tokenization.  The merge chain is a pure per-word function,
+    so sum over documents of its tokens == sum over distinct words of
+    count(word) * tokens(word) — the identity the oracle SQL below
+    already exploits; running the replace-chain projection once per
+    DISTINCT word instead of once per occurrence turns the corpus-sized
+    string pass into one map-side-combinable word count plus a
+    vocab-sized projection (at 100 TB: |vocab| << |occurrences|)."""
     from kstream_spark.operators.text import bpe_tokenize, bpe_train
     from pyspark.sql import functions as F
     docs = _docs(spark, sf)
     merges = [r["pair"] for r in
               bpe_train(docs, "text", n_merges=_BPE_TRAIN_MERGES)
               .orderBy("merge_rank").collect()]
-    tok = bpe_tokenize(docs, "text", merges)
-    return (tok.select(F.explode("tokens").alias("token"))
-            .groupBy("token").agg(F.count("*").cast("long").alias("cnt"))
+    wf = (docs.select(F.explode(
+        F.split(F.lower(F.col("text")), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w").agg(F.count("*").cast("long").alias("awf")))
+    # words("w") == [w] for a single already-lowercased token, so the
+    # operator's per-word chain applies verbatim to the vocab relation
+    tokv = bpe_tokenize(wf, "w", merges)
+    return (tokv.select(F.explode("tokens").alias("token"), "awf")
+            .groupBy("token").agg(F.sum("awf").cast("long").alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc("token")).limit(50))
 
 

@@ -2521,7 +2521,12 @@ def q_dedup_cdc_chunks(spark: SparkSession, sf: str) -> DataFrame:
     # sf1 (covers every doc at the driver's sf0.01); the operator itself
     # is a linear per-row projection at any scale
     d0 = _docs(StreamBuilder(spark), sf).filter(F.col("doc_id") < 5000)
-    ch = cdc_chunks(d0, "doc_id", "text")
+    # persist the chunk relation: it feeds BOTH the per-hash doc-count
+    # aggregation and the join back, and the partial agg on one side
+    # defeats exchange reuse, so without the persist the Arrow chunking
+    # pass (the expensive part) runs twice (the q_dedup_winnow pattern;
+    # bench/sweep harnesses clearCache between queries, releasing it)
+    ch = cdc_chunks(d0, "doc_id", "text").persist()
     per = (ch.groupBy("chunk_md5")
            .agg(F.count_distinct("doc_id").alias("_nd")))
     return (ch.join(per, "chunk_md5")
