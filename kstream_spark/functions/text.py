@@ -24,6 +24,32 @@ def hash_str(col: Column, seed: str = "") -> Column:
     return F.md5(F.encode(payload, "UTF-8"))
 
 
+def lit_strings(vals) -> Column:
+    """array<string> literal built in ONE py4j round trip (r13; the
+    string twin of functions/vectors.lit_doubles).
+
+    ``F.array(*[F.lit(s) for s in vals])`` pays one py4j round trip per
+    element plus the array assembly — lang_id_ngram's ~240 profile-gram
+    literals cost ~2.4 s of socket round trips per query CONSTRUCTION in
+    a fresh JVM (cProfile: 310 ``lit`` calls, 2,388 round trips), pure
+    driver overhead the bench and every driver run pay before a single
+    task launches.  One ``F.expr`` string with backslash-escaped
+    single-quoted literals builds the IDENTICAL array Literal JVM-side
+    (parity pinned by pytest over quote/backslash/unicode/NBSP/emoji
+    values).  Values containing control characters fall back to the
+    element-wise path rather than depending on the SQL lexer's treatment
+    of raw control bytes inside literals."""
+    vals = [str(v) for v in vals]
+    if not vals:
+        return F.array().cast("array<string>")
+    if any(any(ord(c) < 0x20 for c in v) for v in vals):
+        return F.array(*[F.lit(v) for v in vals])
+    quoted = ",".join(
+        "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        for v in vals)
+    return F.expr(f"array({quoted})")
+
+
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Array of n-word shingles (with duplicates; wrap in array_distinct for
     set semantics).  Empty array when the document has fewer than n words."""

@@ -529,17 +529,20 @@ def lang_id_ngram(df: DataFrame, id_col: str, text_col: str,
     # projection: inlined, CollapseProject would re-evaluate the gram
     # build / the common remnant once per consumer (measured 4.4s ->
     # 1.5s at sf0.1 when the barrier first landed, r10)
+    # profile-gram literals ride as ONE expr-built array each (the §17
+    # py4j construction wall: element-wise F.lit cost ~2.4 s per query
+    # construction in a fresh JVM; functions/text.lit_strings)
+    from kstream_spark.functions.text import lit_strings
     all_grams = sorted({g for gs in prof.values() for g in gs})
     with_grams = src.select(F.col(id_col), *keep, grams.alias("_gs"))
     with_common = with_grams.select(
         F.col(id_col), *keep,
-        F.array_intersect(F.col("_gs"),
-                          F.array(*[F.lit(g) for g in all_grams]))
+        F.array_intersect(F.col("_gs"), lit_strings(all_grams))
         .alias("_cg"))
     scored = with_common.select(
         F.col(id_col), *keep, *[
             F.size(F.array_intersect(
-                F.col("_cg"), F.array(*[F.lit(g) for g in prof[lang]])))
+                F.col("_cg"), lit_strings(prof[lang])))
             .alias(f"_h_{i}") for i, lang in enumerate(langs)])
     # argmax with ties to the lexicographically lowest language: walk in
     # ascending lang order and replace only on a STRICT improvement

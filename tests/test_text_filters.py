@@ -135,3 +135,32 @@ def test_viterbi_batch_matches_scalar():
         got = _viterbi_pieces_batch(ws, lp, 4, -20_000_000)
         assert got == want, trial
     assert _viterbi_pieces_batch([], {"a": -1}, 4, -5) == []
+
+
+def test_lit_strings_parity_with_elementwise(spark):
+    """functions/text.lit_strings (the one-expr string-array literal,
+    the §17 py4j-wall fix applied to lang_id_ngram's profile grams) must
+    build the IDENTICAL array literal as the element-wise F.lit path —
+    including quotes, backslashes, and non-ASCII — and fall back to the
+    element-wise path for control characters rather than trusting the
+    SQL lexer with raw control bytes."""
+    from pyspark.sql import functions as F
+
+    from kstream_spark.functions.text import lit_strings
+
+    adversarial = [
+        "plain", "", "it's", 'he said "hi"', "back\\slash",
+        "quote\\'combo", "\\", "'", "''", "naïve", "日本語",
+        "emoji🙂pair", "nbsp inside", " sep",
+    ]
+    one = spark.range(1).select(lit_strings(adversarial).alias("a"),
+                                F.array(*[F.lit(s) for s in adversarial])
+                                .alias("b")).collect()[0]
+    assert one["a"] == one["b"] == adversarial
+    # control characters route through the element-wise fallback
+    ctl = ["tab\there", "new\nline", "bell\x07"]
+    row = spark.range(1).select(lit_strings(ctl).alias("a")).collect()[0]
+    assert row["a"] == ctl
+    # empty input keeps the typed empty-array contract
+    empty = spark.range(1).select(lit_strings([]).alias("a")).collect()[0]
+    assert empty["a"] == []
