@@ -32,7 +32,13 @@ SF = "/root/testdata/sf0.001"
 
 def main():
     spark = get_spark("corpus_pipeline")
-    docs = StreamBuilder(spark).table(f"{SF}/documents.parquet").to_df()
+    # persist() each funnel stage (guide §5): every stage is consumed
+    # 2-3x (its count, the next stage's input, sometimes a join back) —
+    # uncached, stage k's count recomputes stages 1..k-1, turning an
+    # 8-stage funnel into O(stages^2) recomputation (measured r14: this
+    # example was 99 s of the test suite; persists cut it to ~1/3).
+    docs = StreamBuilder(spark).table(f"{SF}/documents.parquet").to_df() \
+        .persist()
     funnel = [("raw", docs.count())]
 
     # 0. visible-text extraction (idempotent on plain text; strips tags/
@@ -42,24 +48,26 @@ def main():
     # 1. PII scrub (projection only — no shuffle)
     clean = TX.pii_redact(docs, "doc_id", "text") \
         .join(docs.drop("text"), "doc_id") \
-        .withColumnRenamed("redacted_text", "text")
+        .withColumnRenamed("redacted_text", "text").persist()
 
     # 2. quality gate
     stats = TX.text_stats(clean, "doc_id", "text") \
         .select("doc_id", "quality_score")
-    gated = clean.join(stats, "doc_id").filter(F.col("quality_score") >= 0.4)
+    gated = clean.join(stats, "doc_id") \
+        .filter(F.col("quality_score") >= 0.4).persist()
     funnel.append(("quality_gate", gated.count()))
 
     # 3. exact dedup, then near-dup clustering to fixpoint
     exact_ids = D.exact_dedup(gated, "doc_id", "text").select("doc_id")
-    exact = gated.join(exact_ids, "doc_id", "left_semi")
+    exact = gated.join(exact_ids, "doc_id", "left_semi").persist()
     funnel.append(("exact_dedup", exact.count()))
 
     # 3b. sub-document dedup: strip token spans repeated across docs
     #     (boilerplate); docs reduced to nothing drop out
     spans = C.span_dedup(exact, "doc_id", "text", span=8, max_docs=1)
     exact = exact.drop("text").join(
-        spans.select("doc_id", F.col("clean_text").alias("text")), "doc_id")
+        spans.select("doc_id", F.col("clean_text").alias("text")),
+        "doc_id").persist()
     funnel.append(("span_dedup", exact.count()))
 
     # 3c. corpus-self unigram-LM gate: drop the most surprising 10%
@@ -68,11 +76,11 @@ def main():
         .withColumn("per_tok", F.col("sum_logp") / F.col("n_tokens"))
     cut = lm.agg(F.percentile_approx("per_tok", 0.1)).first()[0]
     exact = exact.join(lm.filter(F.col("per_tok") >= cut)
-                       .select("doc_id"), "doc_id", "left_semi")
+                       .select("doc_id"), "doc_id", "left_semi").persist()
     funnel.append(("lm_gate", exact.count()))
 
     pairs = D.minhash_lsh_pairs(exact, "doc_id", "text", threshold=0.7)
-    deduped = D.dedup_survivors_cc(pairs, exact, "doc_id")
+    deduped = D.dedup_survivors_cc(pairs, exact, "doc_id").persist()
     funnel.append(("near_dedup", deduped.count()))
 
     # 3d. semantic dedup (SemDeDup) on the embedding side: vec_id keys the
@@ -84,12 +92,13 @@ def main():
     sem = SIM.semantic_dedup(emb, "vec_id", "embedding", k=8, iters=2,
                              threshold=0.4)
     deduped = deduped.join(sem.select(F.col("vec_id").alias("doc_id")),
-                           "doc_id", "left_semi")
+                           "doc_id", "left_semi").persist()
     funnel.append(("semantic_dedup", deduped.count()))
 
     # 4. balanced per-source sampling + deterministic split
     balanced = stratified_cap(deduped, "doc_id", "source", cap=20)
-    final = train_val_split(balanced, "doc_id", val_pct=10, test_pct=10)
+    final = train_val_split(balanced, "doc_id", val_pct=10,
+                            test_pct=10).persist()
     funnel.append(("balanced", balanced.count()))
 
     print("\n== corpus funnel ==")
@@ -109,6 +118,7 @@ def main():
     print("== learned merges ==", merges)
     toks.select("doc_id", F.slice("tokens", 1, 8).alias("first_tokens")) \
         .show(3, truncate=False)
+    spark.catalog.clearCache()   # free the funnel persists
     # no spark.stop(): get_spark() is getOrCreate — callers (tests, REPLs)
     # may share the session
 

@@ -28,15 +28,16 @@ SF = "/root/testdata/sf0.001"
 
 def main():
     spark = get_spark("dedup_strategies")
+    # persist: docs feeds six independent strategies (guide §5)
     docs = StreamBuilder(spark).table(f"{SF}/documents.parquet").to_df() \
-        .select("doc_id", "text")
+        .select("doc_id", "text").persist()
 
     results = {}
     exact = D.exact_dedup(docs, "doc_id", "text")
     results["exact_dup_docs"] = (docs.count()
                                  - exact.count())  # docs collapsed away
     full = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
-                                 threshold=0.8)
+                                 threshold=0.8).persist()
     results["jaccard"] = full.count()
     pref = D.prefix_jaccard_pairs(docs, "doc_id", "text", n=3,
                                   threshold=0.8)
@@ -59,6 +60,7 @@ def main():
     # survivors: who stays after near-dup removal (lower id wins)
     surv = D.dedup_survivors(full, docs, "doc_id")
     print(f"docs {docs.count()} -> survivors {surv.count()}")
+    spark.catalog.clearCache()
     return results
 
 

@@ -218,9 +218,10 @@ def q_range_join_bands(spark: SparkSession, sf: str) -> DataFrame:
     b = StreamBuilder(spark)
     li = b.stream(f"{sf}/lineitem.parquet").to_df() \
         .select("l_orderkey", "l_extendedprice")
-    bands = spark.createDataFrame(
-        [(0.0, 10000.0, "small"), (10000.0, 40000.0, "medium"),
-         (40000.0, 1e9, "large")],
+    from kstream_spark.util import local_df
+    bands = local_df(
+        spark, [(0.0, 10000.0, "small"), (10000.0, 40000.0, "medium"),
+                (40000.0, 1e9, "large")],
         "lo double, hi double, band string")
     # clamp caps the catch-all band's bucket fan-out: [40000, 1e9) would
     # otherwise explode 200k dead bucket rows; TPC-H extendedprice tops

@@ -21,7 +21,7 @@ from kstream_spark.operators import dedup as D
 from kstream_spark.operators import multimodal as M
 from kstream_spark.operators import similarity as S
 from kstream_spark.operators import text as TX
-from kstream_spark.util import collect_freeing
+from kstream_spark.util import collect_freeing, local_df
 
 # shared DuckDB CTE fragments: words + distinct 3-word shingles
 _W = ("w AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS words "
@@ -1398,11 +1398,19 @@ def q_sim_ivf_recall(spark: SparkSession, sf: str) -> DataFrame:
     emb = _embs(StreamBuilder(spark), sf)
     cents = S.kmeans_centroids(emb, "embedding", k=8, iters=3,
                                id_col="vec_id")
+    # r14: ONE query-side collect shared by the approximate and exact
+    # arms (each used to filter-and-fetch the same 5 vectors itself)
+    qrows = S.collect_query_rows(emb, "vec_id", "embedding",
+                                 list(range(5)))
+    qdf = local_df(
+        spark, [(r["query_id"], list(r["qv"])) for r in qrows],
+        "vec_id long, embedding array<double>")
     approx = S.ivf_topk(emb, "vec_id", "embedding",
                         query_ids=list(range(5)), k=10, n_probe=3,
-                        centroids=cents).select("query_id", "neighbor_id")
+                        centroids=cents, query_rows=qrows) \
+        .select("query_id", "neighbor_id")
     exact = S.cosine_topk(emb, "vec_id", "embedding",
-                          query_ids=list(range(5)), k=10) \
+                          queries=qdf, k=10) \
         .select("query_id", "neighbor_id")
     # approx is <= |Q|*k rows: broadcast it so the hit-join never
     # shuffles (plan had drifted to a sort-merge join of two tiny sides)
@@ -1715,12 +1723,20 @@ def q_sim_ivfpq_recall(spark: SparkSession, sf: str) -> DataFrame:
                                id_col="vec_id")
     books = S.pq_codebooks(emb, "embedding", m=4, k=16, iters=2,
                            id_col="vec_id")
+    # r14: ONE query-side collect shared by the approximate and exact
+    # arms (each used to filter-and-fetch the same 5 vectors itself)
+    qrows = S.collect_query_rows(emb, "vec_id", "embedding",
+                                 [0, 1, 2, 3, 4])
+    qdf = local_df(
+        spark, [(r["query_id"], list(r["qv"])) for r in qrows],
+        "vec_id long, embedding array<double>")
     approx = S.ivfpq_topk(emb, "vec_id", "embedding",
                           query_ids=[0, 1, 2, 3, 4], centroids=cents,
-                          codebooks=books, k=10, n_probe=3) \
+                          codebooks=books, k=10, n_probe=3,
+                          query_rows=qrows) \
         .select("query_id", "neighbor_id")
     exact = S.cosine_topk(emb, "vec_id", "embedding",
-                          query_ids=[0, 1, 2, 3, 4], k=10) \
+                          queries=qdf, k=10) \
         .select("query_id", "neighbor_id")
     ind = F.broadcast(approx.withColumn("_hit", F.lit(1)))
     return (exact.join(ind, ["query_id", "neighbor_id"], "left")
@@ -1941,7 +1957,7 @@ def q_select_dsir(spark: SparkSession, sf: str) -> DataFrame:
     dsir_scores' shape note) — the bounded 100-row result materializes
     via collect_freeing so the cache frees with the query."""
     from kstream_spark.operators import selection as SEL
-    from kstream_spark.util import collect_freeing
+    from kstream_spark.util import collect_freeing, local_df
     docs = _docs(StreamBuilder(spark), sf)
     caches: list = []
     out = SEL.select_dsir(docs, "doc_id", "text",
@@ -2197,11 +2213,18 @@ def q_sim_sq8_recall(spark: SparkSession, sf: str) -> DataFrame:
     be near-lossless at dim 64; the oracle replays both pipelines and
     derives the identical intersection)."""
     emb = _embs(StreamBuilder(spark), sf)
+    # r14: ONE query-side collect shared by the approximate and exact
+    # arms (each used to filter-and-fetch the same 5 vectors itself)
+    qrows = S.collect_query_rows(emb, "vec_id", "embedding",
+                                 list(range(5)))
+    qdf = local_df(
+        spark, [(r["query_id"], list(r["qv"])) for r in qrows],
+        "vec_id long, embedding array<double>")
     approx = S.sq8_topk(emb, "vec_id", "embedding",
-                        query_ids=list(range(5)), k=10) \
+                        query_ids=list(range(5)), k=10, queries=qdf) \
         .select("query_id", "neighbor_id")
     exact = S.cosine_topk(emb, "vec_id", "embedding",
-                          query_ids=list(range(5)), k=10) \
+                          queries=qdf, k=10) \
         .select("query_id", "neighbor_id")
     ind = F.broadcast(approx.withColumn("_hit", F.lit(1)))
     return (exact.join(ind, ["query_id", "neighbor_id"], "left")

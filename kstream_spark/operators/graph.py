@@ -143,8 +143,9 @@ def connected_components(edges: DataFrame, src_col: str, dst_col: str,
                 parent[hi] = lo
         nodes = {x for r in rows for x in (r["v"], r["m"])}
         out = [(n, find(n)) for n in sorted(nodes)]
-        return edges.sparkSession.createDataFrame(
-            out, "node long, component long")
+        from kstream_spark.util import local_df
+        return local_df(edges.sparkSession, out,
+                        "node long, component long")
     # node set is consumed once, at the very end — checkpoint it so the
     # final join doesn't re-derive the input after canon is freed
     nodes = (canon.select(F.col("v").alias("node"))
@@ -337,6 +338,17 @@ def triangle_count(edges: DataFrame, src_col: str, dst_col: str,
                     .cast("long").alias("n_triangles")))
 
 
+# BSP round sizing: one partition per this many symmetric-edge rows
+# ((long, long) rows — ~128k rows is a few MB cached / shuffled, small
+# enough that a round's per-task work dominates its scheduling cost,
+# large enough that toy-scale graphs collapse to a handful of tasks).
+# Swept at sf0.1 (907k sym rows): 1 part 4.18 s, 4 parts 3.15 s,
+# 8 parts 2.91 s, 32 parts (the r13 fixed count) 3.57 s — 2^17 rows/part
+# lands on 7.  Capped at spark.sql.shuffle.partitions, so at cluster
+# scale the round partitioning is exactly what it was before this knob.
+_LPA_ROWS_PER_PART = 1 << 17
+
+
 def label_propagation(edges: DataFrame, src_col: str, dst_col: str,
                       iters: int = 3,
                       caches: list | None = None) -> DataFrame:
@@ -380,9 +392,28 @@ def label_propagation(edges: DataFrame, src_col: str, dst_col: str,
                          f"non-integral columns: {bad} — map ids to longs "
                          f"(e.g. hash or dense rank) first")
     e = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
-    sym = (e.unionByName(e.select(F.col("d").alias("s"),
-                                  F.col("s").alias("d")))
-           .repartition("s").persist())
+    # r14 (guide §2.2/§2.4, VERDICT r13 #6): the BSP rounds' partition
+    # count is derived from a REAL row count of the symmetric edge
+    # relation, not left at spark.sql.shuffle.partitions.  The r13
+    # one-exchange rounds pinned shuffle.partitions-many partitions,
+    # which persist() freezes (AQE cannot re-coalesce a cached plan's
+    # output partitioning), so at toy scale every round paid
+    # cores-many near-empty tasks across 4+ stages (sf0.1: 3.34->4.03 s).
+    # Catalyst scan estimates are garbage through the explode that feeds
+    # this query (the r13 §19 negative result), so the count is the only
+    # honest sizing signal — one cheap action against the persisted
+    # union, which the round loop needs materialized anyway.  The count
+    # never RAISES the partition count above shuffle.partitions, so
+    # cluster-scale behavior is unchanged (n/_LPA_ROWS_PER_PART exceeds
+    # any sane shuffle.partitions long before 100 TB).
+    base = (e.unionByName(e.select(F.col("d").alias("s"),
+                                   F.col("s").alias("d")))
+            .persist())
+    n_sym = base.count()
+    nparts = min(
+        int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+        max(1, -(-n_sym // _LPA_ROWS_PER_PART)))
+    sym = base.repartition(nparts, "s").persist()
     # distinct() leaves labels hash-partitioned on node == sym's key space
     labels = (sym.select(F.col("s").alias("node")).distinct()
               .withColumn("label", F.col("node").cast("long"))
@@ -392,7 +423,7 @@ def label_propagation(edges: DataFrame, src_col: str, dst_col: str,
         nbr = (sym.join(labels.withColumnRenamed("node", "s"), "s")
                .select(F.col("d").alias("node"), "label"))
         # the round's ONE shuffle; both aggs and the probe join ride it
-        counts = nbr.repartition("node").groupBy("node", "label") \
+        counts = nbr.repartition(nparts, "node").groupBy("node", "label") \
             .agg(F.count("*").cast("long").alias("c"))
         # lexicographic struct max == (count DESC, label ASC) argmax
         best = counts.groupBy("node").agg(
@@ -411,8 +442,13 @@ def label_propagation(edges: DataFrame, src_col: str, dst_col: str,
             .where(F.col("label") != F.col("old")).count())
         labels.unpersist()
         labels = new_labels
+        if rnd == 0:
+            # round 0's actions have materialized sym (and labels) from
+            # the cached union — the un-repartitioned base is done
+            base.unpersist()
         if changed == 0 and rnd < iters - 1:
             break
+    base.unpersist()   # no-op when round 0 already released it
     sym.unpersist()
     if caches is not None:
         caches.append(labels)

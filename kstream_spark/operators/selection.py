@@ -310,9 +310,10 @@ def kcenter_select(emb: DataFrame, id_col: str, vec_col: str,
                 break  # k > n: every point is already a center
             centers.append((nxt.vec_id, [float(x) for x in nxt.v],
                             float(nxt.d)))
+        from kstream_spark.util import local_df
         spark = emb.sparkSession
-        return spark.createDataFrame(
-            [(i + 1, c[0], c[2]) for i, c in enumerate(centers)],
+        return local_df(
+            spark, [(i + 1, c[0], c[2]) for i, c in enumerate(centers)],
             f"rank bigint, vec_id {id_type}, dist double")
     finally:
         base.unpersist()

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from kstream_spark.functions.vectors import as_double
+from kstream_spark.util import local_df
 
 
 def cosine_topk(emb: DataFrame, id_col: str, vec_col: str,
@@ -643,9 +644,24 @@ def kmeans_centroids(emb: DataFrame, vec_col: str, k: int = 16,
     return cents.tolist()
 
 
+def collect_query_rows(emb: DataFrame, id_col: str, vec_col: str,
+                       query_ids: list) -> list:
+    """One |Q|-bounded collect of the query vectors — the shared setup
+    step of every ANN searcher here.  r14 (guide §1/§5, VERDICT r13 #7):
+    the recall audit queries run an approximate arm AND an exact arm
+    over the SAME query ids; collecting once and passing the rows to
+    both (``query_rows=`` / a local ``queries`` relation) removes a
+    duplicate scan-and-filter job per audit.  Values are the exact
+    doubles the per-arm collects produced, so results are bit-identical."""
+    return (emb.filter(F.col(id_col).isin(query_ids))
+            .select(F.col(id_col).alias("query_id"),
+                    as_double(F.col(vec_col)).alias("qv")).collect())
+
+
 def ivf_topk(emb: DataFrame, id_col: str, vec_col: str,
              query_ids: list, k: int = 10, n_cells: int = 16,
-             n_probe: int = 4, centroids: list | None = None) -> DataFrame:
+             n_probe: int = 4, centroids: list | None = None,
+             query_rows: list | None = None) -> DataFrame:
     """IVF-style approximate top-k: coarse quantizer + cell-probed search.
 
     The corpus is partitioned into ``n_cells`` Voronoi cells; centroids are
@@ -695,9 +711,8 @@ def ivf_topk(emb: DataFrame, id_col: str, vec_col: str,
     # downstream score arithmetic is bit-identical to the old plan.
     import numpy as np
     id_dt = emb.schema[id_col].dataType.simpleString()
-    qrows = (emb.filter(F.col(id_col).isin(query_ids))
-             .select(F.col(id_col).alias("query_id"),
-                     as_double(F.col(vec_col)).alias("qv")).collect())
+    qrows = (query_rows if query_rows is not None
+             else collect_query_rows(emb, id_col, vec_col, query_ids))
     cents_np = np.asarray(cent_list, dtype=np.float64)
     cnorm = np.sqrt((cents_np ** 2).sum(-1))
     probe_rows = []
@@ -708,8 +723,8 @@ def ivf_topk(emb: DataFrame, id_col: str, vec_col: str,
         cell_order = np.lexsort((np.arange(len(cos)), -cos))
         for cell in cell_order[:n_probe]:
             probe_rows.append((r["query_id"], list(r["qv"]), int(cell)))
-    probes = F.broadcast(spark.createDataFrame(
-        probe_rows, schema=f"query_id {id_dt}, qv array<double>, "
+    probes = F.broadcast(local_df(
+        spark, probe_rows, f"query_id {id_dt}, qv array<double>, "
                            f"cell_id long")
         .withColumn("qn", norm(F.col("qv"))))
 
@@ -803,7 +818,7 @@ def save_centroids(spark, centroids: list, path: str) -> None:
     kmeans_centroids, reuse across every subsequent search job instead of
     re-clustering 100 TB per query batch."""
     rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
-    spark.createDataFrame(rows, schema="cell_id long, cv array<double>") \
+    local_df(spark, rows, "cell_id long, cv array<double>") \
         .write.mode("overwrite").parquet(path)
 
 
@@ -822,8 +837,7 @@ def save_codebooks(spark, codebooks: list, path: str) -> None:
     rows = [(j, c, [float(x) for x in cw])
             for j, book in enumerate(codebooks)
             for c, cw in enumerate(book)]
-    spark.createDataFrame(
-        rows, schema="j long, code long, cw array<double>") \
+    local_df(spark, rows, "j long, code long, cw array<double>") \
         .write.mode("overwrite").parquet(path)
 
 
@@ -1083,8 +1097,8 @@ def pq_adc_topk(emb: DataFrame, id_col: str, vec_col: str,
             tabs.append([float(v) for v in d])
         tab_rows.append((r["query_id"], tabs))
     id_dt = emb.schema[id_col].dataType.simpleString()
-    tables = F.broadcast(spark.createDataFrame(
-        tab_rows, schema=f"query_id {id_dt}, tabs array<array<double>>"))
+    tables = F.broadcast(local_df(
+        spark, tab_rows, f"query_id {id_dt}, tabs array<array<double>>"))
 
     # adist = sum_j tabs[j][codes[j]] — m element_at lookups, codegen only
     adist = None
@@ -1101,7 +1115,8 @@ def pq_adc_topk(emb: DataFrame, id_col: str, vec_col: str,
 
 def ivfpq_topk(emb: DataFrame, id_col: str, vec_col: str,
                query_ids: list, centroids: list, codebooks: list,
-               k: int = 10, n_probe: int = 3) -> DataFrame:
+               k: int = 10, n_probe: int = 3,
+               query_rows: list | None = None) -> DataFrame:
     """IVF-PQ: the billion-scale ANN composition — a coarse quantizer
     restricts the scan to ``n_probe`` probed cells (the IVF half,
     cosine-assigned as in ivf_topk/semantic_dedup), and within those
@@ -1158,9 +1173,8 @@ def ivfpq_topk(emb: DataFrame, id_col: str, vec_col: str,
         encode, schema=f"neighbor_id {id_dt}, cell_id long, codes array<int>")
 
     # --- probes + per-query ADC tables, built driver-side (tiny)
-    qrows = (emb.filter(F.col(id_col).isin(query_ids))
-             .select(F.col(id_col).alias("query_id"),
-                     as_double(F.col(vec_col)).alias("qv")).collect())
+    qrows = (query_rows if query_rows is not None
+             else collect_query_rows(emb, id_col, vec_col, query_ids))
     spark = emb.sparkSession
     cents = np.asarray(centroids, dtype=np.float64)
     cnorm = np.sqrt((cents ** 2).sum(-1))
@@ -1180,10 +1194,10 @@ def ivfpq_topk(emb: DataFrame, id_col: str, vec_col: str,
             d = np.copysign(np.floor(np.abs(rawd) * 1e6 + 0.5) / 1e6, rawd)
             tabs.append([float(v) for v in d])
         tab_rows.append((r["query_id"], tabs))
-    probes = F.broadcast(spark.createDataFrame(
-        probe_rows, schema=f"query_id {id_dt}, cell_id long"))
-    tables = F.broadcast(spark.createDataFrame(
-        tab_rows, schema=f"query_id {id_dt}, tabs array<array<double>>"))
+    probes = F.broadcast(local_df(
+        spark, probe_rows, f"query_id {id_dt}, cell_id long"))
+    tables = F.broadcast(local_df(
+        spark, tab_rows, f"query_id {id_dt}, tabs array<array<double>>"))
 
     adist = None
     for j in range(len(bks)):
@@ -1336,9 +1350,9 @@ def ivfpq_residual_topk(emb: DataFrame, id_col: str, vec_col: str,
                                 rawd)
                 tabs.append([float(v) for v in d])
             tab_rows.append((r["query_id"], int(cell), tabs))
-    tables = F.broadcast(spark.createDataFrame(
-        tab_rows,
-        schema=f"query_id {id_dt}, cell_id long, tabs array<array<double>>"))
+    tables = F.broadcast(local_df(
+        spark, tab_rows,
+        f"query_id {id_dt}, cell_id long, tabs array<array<double>>"))
 
     adist = None
     for j in range(m):
@@ -1367,7 +1381,8 @@ def sq8_stats(emb: DataFrame, vec_col: str) -> tuple[list, list]:
 
 
 def sq8_topk(emb: DataFrame, id_col: str, vec_col: str, query_ids: list,
-             k: int = 10, local: bool | None = None) -> DataFrame:
+             k: int = 10, local: bool | None = None,
+             queries: DataFrame | None = None) -> DataFrame:
     """Scalar-quantized (SQ8) asymmetric top-k: corpus vectors compress to
     one uint8 code per dimension (4x smaller than float32 — the standard
     memory/IO tier between raw vectors and PQ), queries stay full
@@ -1392,15 +1407,19 @@ def sq8_topk(emb: DataFrame, id_col: str, vec_col: str, query_ids: list,
     from kstream_spark.util import ensure_parallelism
     from kstream_spark.functions.vectors import dot
     emb = ensure_parallelism(emb)
-    # r13 local-setup arm (same size gate as the training loops): the
-    # per-dim min/max scan and the query-row broadcast scan were two
-    # separate jobs over a tiny relation; one collect derives both.
-    # min/max are exact data picks (order-free), query rows are verbatim
-    # vectors — bit-identical by construction.  Corpus-side quantize +
-    # score stays distributed: only bounded setup localizes.
+    # r13 added a local-setup arm (one collect derives min/max + query
+    # rows); r14 REVERTED its auto-selection after two independent r13
+    # runs (driver 8c, builder 32c) and a controlled r14 alternating A/B
+    # (distributed faster in 4/5 rounds, e.g. 1.13 vs 1.46 s warm) all
+    # showed the local arm 15-30% SLOWER here: unlike ivfsq_topk (which
+    # collapses three setup jobs incl. a window and keeps its arm), sq8
+    # setup was only two cheap jobs — a 64-row aggregated collect and a
+    # broadcast filter — while the local arm pays a full row-based
+    # collect of every vector.  ``local=True`` still pins the arm (the
+    # parity test drives both); ``auto`` now always resolves distributed.
     id_dt = emb.schema[id_col].dataType.simpleString()
     spark = emb.sparkSession
-    if _train_local(emb, id_col, 32 << 20, local):
+    if local is True:
         import numpy as np
         rows = emb.select(F.col(id_col).alias("_id"),
                           as_double(F.col(vec_col)).alias("v")).collect()
@@ -1410,11 +1429,16 @@ def sq8_topk(emb: DataFrame, id_col: str, vec_col: str, query_ids: list,
         want = set(query_ids)
         q_rows = [(r["_id"], [float(x) for x in r["v"]])
                   for r in rows if r["_id"] in want]
-        q = F.broadcast(spark.createDataFrame(
-            q_rows, schema=f"query_id {id_dt}, qv array<double>"))
+        q = F.broadcast(local_df(
+            spark, q_rows, f"query_id {id_dt}, qv array<double>"))
     else:
         mn, mx = sq8_stats(emb, vec_col)
-        q = F.broadcast(emb.filter(F.col(id_col).isin(query_ids))
+        # `queries` (r14): a caller that already holds the query vectors
+        # (the recall audits' shared collect) passes them as a local
+        # relation instead of paying another corpus filter scan
+        q_src = queries if queries is not None else \
+            emb.filter(F.col(id_col).isin(query_ids))
+        q = F.broadcast(q_src
                         .select(F.col(id_col).alias("query_id"),
                                 as_double(F.col(vec_col)).alias("qv")))
     scale = [255.0 / (b - a) if b > a else 0.0 for a, b in zip(mn, mx)]
@@ -1500,9 +1524,9 @@ def ivfsq_topk(emb: DataFrame, id_col: str, vec_col: str, query_ids: list,
             for cell in cell_order[:n_probe]:
                 probe_rows.append((r["_id"], [float(x) for x in r["v"]],
                                    int(cell)))
-        probes = F.broadcast(spark.createDataFrame(
-            probe_rows,
-            schema=f"query_id {id_dt}, qv array<double>, cell_id long"))
+        probes = F.broadcast(local_df(
+            spark, probe_rows,
+            f"query_id {id_dt}, qv array<double>, cell_id long"))
     else:
         cent_list = [list(r["cv"]) for r in
                      emb.orderBy(id_col).limit(n_cells)
@@ -1535,9 +1559,9 @@ def ivfsq_topk(emb: DataFrame, id_col: str, vec_col: str, query_ids: list,
         dq.alias("dv"))
 
     if probes is None:
-        cents = F.broadcast(spark.createDataFrame(
-            [(i, c) for i, c in enumerate(cent_list)],
-            schema="cell_id long, cv array<double>")
+        cents = F.broadcast(local_df(
+            spark, [(i, c) for i, c in enumerate(cent_list)],
+            "cell_id long, cv array<double>")
             .withColumn("cn", norm(F.col("cv"))))
         queries = emb.filter(F.col(id_col).isin(query_ids)) \
             .select(F.col(id_col).alias("query_id"),

@@ -121,8 +121,9 @@ def kmv_source_overlap(df: DataFrame, id_col: str, text_col: str,
         caches.append(sk)
     srcs = [r["src"] for r in sk.select("src").distinct().collect()]
     spark = df.sparkSession
-    pairs = F.broadcast(spark.createDataFrame(
-        [(a, b) for a in srcs for b in srcs if a < b],
+    from kstream_spark.util import local_df
+    pairs = F.broadcast(local_df(
+        spark, [(a, b) for a in srcs for b in srcs if a < b],
         "src_a string, src_b string"))
     # union the two sketches per pair, keep the k smallest, then flag
     # membership in each side's sketch

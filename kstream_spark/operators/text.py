@@ -9,6 +9,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from kstream_spark.util import local_df
+
 from kstream_spark.functions.text import (content_hash, token_count,
                                           word_shingles, words)
 
@@ -362,9 +364,9 @@ def bpe_train(df: DataFrame, text_col: str,
             merged = pair.replace(" ", "")
             merges.append((r, pair, merged, cnt[pair]))
             seqs = _merge_seqs_local(seqs, pair, merged)
-        return spark.createDataFrame(
-            merges,
-            schema="merge_rank long, pair string, merged string, cnt long")
+        return local_df(
+            spark, merges,
+            "merge_rank long, pair string, merged string, cnt long")
     word_freq = _right_size_vocab_relation(wf_rel.persist())
     # " h e l l o " — every symbol flanked by spaces so a merge is a
     # plain substring replace with no boundary special-cases
@@ -397,9 +399,9 @@ def bpe_train(df: DataFrame, text_col: str,
                     F.lit(f" {merged} ")),
                 F.lit("  "), F.lit(" ")).alias("seq"), "wf")
     word_freq.unpersist()
-    return spark.createDataFrame(
-        merges,
-        schema="merge_rank long, pair string, merged string, cnt long")
+    return local_df(
+        spark, merges,
+        "merge_rank long, pair string, merged string, cnt long")
 
 
 def bpe_tokenize(df: DataFrame, text_col: str, merges: list,
@@ -852,8 +854,8 @@ def unigram_train(df: DataFrame, text_col: str, seed_v: int = 60,
     word_freq.unpersist()
     rows = sorted(((p, counts[p], lp[p]) for p in lp),
                   key=lambda r: (-r[1], r[0]))
-    return spark.createDataFrame(
-        rows, schema="piece string, cnt long, logp_micro long")
+    return local_df(
+        spark, rows, "piece string, cnt long, logp_micro long")
 
 
 def _viterbi_pieces(word: str, lp: dict, max_len: int,
@@ -1114,8 +1116,8 @@ def wordpiece_train(df: DataFrame, text_col: str,
             merged = pair.replace(" ", "")
             merges.append((r, pair, merged, cnt, score))
             seqs = _merge_seqs_local(seqs, pair, merged)
-        return spark.createDataFrame(
-            merges, schema="merge_rank long, pair string, merged string, "
+        return local_df(
+            spark, merges, "merge_rank long, pair string, merged string, "
                            "cnt long, score_micro long")
     word_freq = _right_size_vocab_relation(wf_rel.persist())
     cur = word_freq.select(
@@ -1164,8 +1166,8 @@ def wordpiece_train(df: DataFrame, text_col: str,
                     F.lit(f" {merged} ")),
                 F.lit("  "), F.lit(" ")).alias("seq"), "wf")
     word_freq.unpersist()
-    return spark.createDataFrame(
-        merges, schema="merge_rank long, pair string, merged string, "
+    return local_df(
+        spark, merges, "merge_rank long, pair string, merged string, "
                        "cnt long, score_micro long")
 
 

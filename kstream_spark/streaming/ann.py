@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from kstream_spark.util import local_df
+
 
 def encode_against_index(batch: DataFrame, id_col: str, vec_col: str,
                          centroids: list, codebooks: list,
@@ -151,8 +153,8 @@ def adc_topk_from_codes(codes: DataFrame, queries: DataFrame,
         tab_rows = [(r["query_id"],
                      dist_tabs(np.asarray(r["qv"], dtype=np.float64)))
                     for r in qrows]
-        tables = F.broadcast(spark.createDataFrame(
-            tab_rows, schema=f"query_id {id_dt}, tabs array<array<double>>"))
+        tables = F.broadcast(local_df(
+            spark, tab_rows, f"query_id {id_dt}, tabs array<array<double>>"))
         scored = (codes.select(F.col(id_col).alias("neighbor_id"), "codes")
                   .join(tables, F.col("query_id") != F.col("neighbor_id"))
                   .select("query_id", "neighbor_id",
@@ -178,10 +180,10 @@ def adc_topk_from_codes(codes: DataFrame, queries: DataFrame,
             for cell in probe_cells:
                 tab_rows.append((r["query_id"], cell,
                                  dist_tabs(qvn - cents_mat[cell])))
-        tables = F.broadcast(spark.createDataFrame(
-            tab_rows,
-            schema=f"query_id {id_dt}, cell_id long, "
-                   "tabs array<array<double>>"))
+        tables = F.broadcast(local_df(
+            spark, tab_rows,
+            f"query_id {id_dt}, cell_id long, "
+            "tabs array<array<double>>"))
         scored = (codes.select(F.col(id_col).alias("neighbor_id"),
                                "cell_id", "codes")
                   .join(tables, on="cell_id")

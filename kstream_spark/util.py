@@ -164,8 +164,9 @@ def skew_join(left: DataFrame, right: DataFrame, key: str,
         l_hot, l_cold = left.filter(is_hot), left.filter(~is_hot)
         r_hot, r_cold = right.filter(is_hot), right.filter(~is_hot)
     else:
-        hk = F.broadcast(left.sparkSession.createDataFrame(
-            [(k,) for k in hot_keys], schema=left.select(key).schema))
+        hk = F.broadcast(local_df(
+            left.sparkSession, [(k,) for k in hot_keys],
+            left.select(key).schema))
         l_hot = left.join(hk, key, "left_semi")
         l_cold = left.join(hk, key, "left_anti")
         r_hot = right.join(hk, key, "left_semi")
@@ -173,6 +174,60 @@ def skew_join(left: DataFrame, right: DataFrame, key: str,
     hot = l_hot.join(F.broadcast(r_hot), key, how)
     cold = l_cold.join(r_cold, key, how)
     return hot.unionByName(cold)
+
+
+def local_df(spark, rows, schema) -> DataFrame:
+    """Build a TINY driver-side relation as a JVM ``LocalTableScan``.
+
+    ``spark.createDataFrame(list_of_rows, ...)`` produces a PYTHON-RDD-
+    backed plan (``Scan ExistingRDD``) sliced into ``defaultParallelism``
+    partitions — on ``local[32]`` that is 32 Python worker round-trips
+    per ACTION for a 15-row probe table (measured r14: ~0.4 s evaluated
+    in parallel, ~4.5 s under ``coalesce(1)``), re-paid every time the
+    relation is scanned because nothing caches it.  Routing the same
+    rows through a pandas DataFrame + Arrow yields a real JVM local
+    relation: zero Python at execution time, correct (tiny) stats, and
+    the same values bit-for-bit (measured: 0.06 s vs 0.4 s for the same
+    15-row probe; plan shows ``LocalTableScan``).
+
+    Values round-trip exactly: the pandas frame is built with
+    ``dtype=object`` so ints/floats/strings/None and (nested) lists
+    reach Arrow unchanged, and the explicit ``schema`` drives the
+    conversion — no pandas type inference, no NaN coercion.  Schemas
+    containing timestamp/date types fall back to the classic row path
+    (Arrow's tz-localization semantics differ from the pickle path);
+    Arrow conversion failures (e.g. nested Row objects) also fall back.
+
+    ``rows`` must be a list of tuples/Rows matching ``schema``."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def _temporal(dt) -> bool:
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType,
+                           T.DateType)):
+            return True
+        if isinstance(dt, T.ArrayType):
+            return _temporal(dt.elementType)
+        if isinstance(dt, T.MapType):
+            return _temporal(dt.keyType) or _temporal(dt.valueType)
+        if isinstance(dt, T.StructType):
+            return any(_temporal(f.dataType) for f in dt.fields)
+        return False
+
+    struct = schema
+    if not isinstance(struct, T.StructType):
+        try:
+            struct = T._parse_datatype_string(schema)
+        except Exception:
+            return spark.createDataFrame(rows, schema)
+    if rows and not _temporal(struct):
+        try:
+            pdf = pd.DataFrame([tuple(r) for r in rows], dtype=object)
+            pdf.columns = [f.name for f in struct.fields]
+            return spark.createDataFrame(pdf, struct)
+        except Exception:
+            pass  # nested Rows / exotic types: classic path below
+    return spark.createDataFrame(rows, struct)
 
 
 def collect_freeing(out: DataFrame, *cached: DataFrame) -> DataFrame:
@@ -201,7 +256,11 @@ def collect_freeing(out: DataFrame, *cached: DataFrame) -> DataFrame:
     schema = out.schema
     for df in cached:
         df.unpersist()
-    return out.sparkSession.createDataFrame(rows, schema)
+    # local_df (r14): the materialized result comes back as a JVM
+    # LocalTableScan, not a Python-RDD scan — the caller's downstream
+    # actions (the bench noop write, joins onto the audit rows) no
+    # longer pay defaultParallelism Python worker round-trips per action
+    return local_df(out.sparkSession, rows, schema)
 
 
 def input_size_bytes(df: DataFrame) -> int | None:
