@@ -546,21 +546,25 @@ INVENTORY.update(QUALITY_INVENTORY)
 # touched + the 27-query r6-stale band (group 3's current front).
 
 _TOUCHED_THIS_ROUND: list[str] = [
-    # r13: cosine_pairs defaults to the blocked numpy-matmul arm
-    # (pytest-pinned parity with the codegen arm) — the exact scorer
-    # and its dedup consumer evaluate a new path
-    "sim_cosine_pairs", "dedup_embedding",
-    # r13: the pandas minhash arm re-tokenized for codegen/RE2 parity
-    # (ASCII \s split, JVM-side lower, NULL guard) — it is the default
-    # arm for the corpus queries; re-prove the family
-    "dedup_minhash_lsh", "dedup_survivors", "dedup_clusters",
-    "dedup_best_of_cluster", "dedup_cross_source", "dedup_incremental",
-    # r13: label_propagation rounds re-keyed to one exchange; probe is
-    # a changed-row count
-    "graph_lpa",
-    # r13: containment/jaccard persist the sized inverted index and
-    # free it via collect_freeing
-    "dedup_containment", "dedup_ngram_jaccard", "dedup_ngram_capped",
+    # r14: sq8 auto arm reverted to distributed setup; recall audits
+    # share one query-side collect between approximate and exact arms
+    "sim_sq8_topk", "sim_sq8_recall", "sim_ivf_recall",
+    "sim_ivfpq_recall",
+    # r14: BSP partition counts derived from real row counts (LPA
+    # rounds; components round-0 seed)
+    "graph_lpa", "graph_components",
+    # r14: union-find arm + dedup cluster chain return local_df
+    # relations (LocalTableScan instead of Python-RDD scans)
+    "dedup_clusters", "dedup_survivors", "dedup_best_of_cluster",
+    # r14: local_df conversion of driver-built probe/table/codebook
+    # relations — one representative per changed constructor
+    "sim_ivf_kmeans_topk", "sim_pq_adc_topk", "sim_ivfpq_topk",
+    "sim_ivfpq_residual_topk", "sim_ivfsq_topk", "sketch_kmv_overlap",
+    "select_kcenter", "text_bpe_train", "text_wordpiece_train",
+    "text_unigram_train", "j_skew_split",
+    # r14: collect_freeing materializes through local_df — re-prove the
+    # heaviest consumers
+    "pipeline_selection_mix", "mm_phash_dedup", "sim_ann_retrain",
 ]
 
 

@@ -160,8 +160,27 @@ def connected_components(edges: DataFrame, src_col: str, dst_col: str,
     # leaf; util.free_local_checkpoint releases the PREVIOUS round's
     # blocks at the RDD level (Dataset.unpersist does not touch
     # localCheckpoint storage — ADVICE r9, verified on PySpark 4.1.2).
-    edges = canon.filter(F.col("v") != F.col("m"))
-    prev = None
+    # r14 (guide §2.2, the LPA treatment): seed the round loop with a
+    # RIGHT-SIZED checkpointed edge relation instead of the 32-cached-
+    # partition canon.  Round 0 otherwise pays cores-many near-empty map
+    # tasks across its four stages (rounds >= 1 already read 1-partition
+    # checkpoints that AQE sized) — profiled at sf0.1: round 0 star pass
+    # 2.59 s vs round 1's 0.74 s on a 3.6k-edge relation; this A/B'd
+    # 5.8 -> 3.75 s for the whole operator.  The count is a real-row
+    # signal on the already-persisted canon (scan estimates are garbage
+    # through the co-occurrence explode feeding the graph queries), and
+    # the partition count is capped at shuffle.partitions so cluster-
+    # scale behavior is unchanged.  Keyed on "v" — the key every round's
+    # first window needs.
+    n_canon = canon.count()
+    nparts = min(
+        int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+        max(1, -(-2 * n_canon // _BSP_ROWS_PER_PART)))
+    seed = (canon.filter(F.col("v") != F.col("m"))
+            .repartition(nparts, "v").localCheckpoint(eager=True))
+    canon.unpersist()   # routing take, nodes, and seed all served
+    edges = seed
+    prev = seed
     for _ in range(max_iter):
         # large-star: symmetric view, each node u re-attaches its
         # bigger neighbors to min(closed neighborhood of u).  Edges
@@ -187,12 +206,7 @@ def connected_components(edges: DataFrame, src_col: str, dst_col: str,
                      .unionByName(ss.select("v", F.col("mn").alias("m")))
                      .distinct()
                      .localCheckpoint(eager=True))
-        if prev is None:
-            # round 1 materialized: canon has served both its consumers
-            # (seed edges + the node checkpoint above)
-            canon.unpersist()
-        else:
-            free_local_checkpoint(prev)
+        free_local_checkpoint(prev)
         prev = edges = new_edges
         # fixed point == star forest: every child appears exactly once
         # and no center is itself a child (one action for both tests);
@@ -346,7 +360,7 @@ def triangle_count(edges: DataFrame, src_col: str, dst_col: str,
 # 8 parts 2.91 s, 32 parts (the r13 fixed count) 3.57 s — 2^17 rows/part
 # lands on 7.  Capped at spark.sql.shuffle.partitions, so at cluster
 # scale the round partitioning is exactly what it was before this knob.
-_LPA_ROWS_PER_PART = 1 << 17
+_BSP_ROWS_PER_PART = 1 << 17
 
 
 def label_propagation(edges: DataFrame, src_col: str, dst_col: str,
@@ -404,7 +418,7 @@ def label_propagation(edges: DataFrame, src_col: str, dst_col: str,
     # honest sizing signal — one cheap action against the persisted
     # union, which the round loop needs materialized anyway.  The count
     # never RAISES the partition count above shuffle.partitions, so
-    # cluster-scale behavior is unchanged (n/_LPA_ROWS_PER_PART exceeds
+    # cluster-scale behavior is unchanged (n/_BSP_ROWS_PER_PART exceeds
     # any sane shuffle.partitions long before 100 TB).
     base = (e.unionByName(e.select(F.col("d").alias("s"),
                                    F.col("s").alias("d")))
@@ -412,7 +426,7 @@ def label_propagation(edges: DataFrame, src_col: str, dst_col: str,
     n_sym = base.count()
     nparts = min(
         int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions")),
-        max(1, -(-n_sym // _LPA_ROWS_PER_PART)))
+        max(1, -(-n_sym // _BSP_ROWS_PER_PART)))
     sym = base.repartition(nparts, "s").persist()
     # distinct() leaves labels hash-partitioned on node == sym's key space
     labels = (sym.select(F.col("s").alias("node")).distinct()
