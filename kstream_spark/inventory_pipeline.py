@@ -1849,15 +1849,22 @@ def q_sim_ann_retrain(spark: SparkSession, sf: str) -> DataFrame:
     n_hits)."""
     emb = _embs(StreamBuilder(spark), sf)
     qids = [0, 1, 2, 3, 4]
+    # r14: ONE query-side collect feeds the exact arm and BOTH ADC
+    # audits (before/after each collected the same 5 vectors themselves)
+    qrows = S.collect_query_rows(emb, "vec_id", "embedding", qids)
+    qdf = local_df(
+        spark, [(r["query_id"], list(r["qv"])) for r in qrows],
+        "vec_id long, embedding array<double>")
     # the brute-force ground truth feeds both recall audits (and the
     # decision action) — persist the 50-row relation so the exact scorer
     # scans the corpus once
-    exact = S.cosine_topk(emb, "vec_id", "embedding", query_ids=qids,
+    exact = S.cosine_topk(emb, "vec_id", "embedding", queries=qdf,
                           k=10).select("query_id", "neighbor_id").persist()
 
     def recall(books):
         approx = S.pq_adc_topk(emb, "vec_id", "embedding", qids, books,
-                               k=10).select("query_id", "neighbor_id")
+                               k=10, query_rows=qrows) \
+            .select("query_id", "neighbor_id")
         ind = F.broadcast(approx.withColumn("_hit", F.lit(1)))
         return (exact.join(ind, ["query_id", "neighbor_id"], "left")
                 .groupBy("query_id")

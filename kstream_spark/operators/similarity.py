@@ -1056,7 +1056,8 @@ def _per_query_topk(scored: DataFrame, k: int, score_col: str = "adist",
 
 
 def pq_adc_topk(emb: DataFrame, id_col: str, vec_col: str,
-                query_ids: list, codebooks: list, k: int = 10) -> DataFrame:
+                query_ids: list, codebooks: list, k: int = 10,
+                query_rows: list | None = None) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes: each query
     precomputes an m x k lookup table of exact subvector-to-codeword
     distances, and a candidate's approximate distance is the SUM of m
@@ -1081,10 +1082,10 @@ def pq_adc_topk(emb: DataFrame, id_col: str, vec_col: str,
         .withColumnRenamed(id_col, "neighbor_id")
 
     # per-query distance tables, built driver-side (|Q| x m x k doubles —
-    # tiny) and broadcast as literal arrays
-    qrows = (emb.filter(F.col(id_col).isin(query_ids))
-             .select(F.col(id_col).alias("query_id"),
-                     as_double(F.col(vec_col)).alias("qv")).collect())
+    # tiny) and broadcast as literal arrays; ``query_rows`` (r14) lets a
+    # recall audit share one collect across its arms
+    qrows = (query_rows if query_rows is not None
+             else collect_query_rows(emb, id_col, vec_col, query_ids))
     spark = emb.sparkSession
     tab_rows = []
     for r in qrows:
